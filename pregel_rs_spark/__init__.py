@@ -1,0 +1,53 @@
+"""pregel_rs_spark — a from-scratch PySpark-native Pregel/BSP link-graph
+analytics engine with the query and data-processing capabilities of
+weso/pregel-rs (reference at /root/reference, cited per-module), rebuilt
+Spark-first: DataFrame/Catalyst plans, vectorized pandas/Arrow UDFs at the
+web-text extraction boundary, per-superstep lineage truncation, salted
+two-phase aggregation for hub skew, and checkpoint/resume.
+
+Public surface:
+    GraphFrame            — vertices/edges data model (graph_frame.rs parity)
+    Pregel, PregelBuilder — BSP superstep engine (pregel.rs parity)
+    Column helpers        — subject()/object_()/edge_()/msg() naming scheme
+    algorithms            — pagerank, connected_components,
+                            label_propagation, triangle_count
+    functions.extract     — HTML → text / links (pandas UDFs)
+    sources.synth         — deterministic Common-Crawl-style pages generator
+    plans.checkpoint      — CheckpointStore with resume + lineage manifests
+    operators             — dedup / similarity / text-analysis / multimodal
+"""
+
+from pregel_rs_spark.columns import (
+    VERTEX_ID,
+    SUBJECT,
+    OBJECT,
+    EDGE,
+    MSG,
+    PREGEL_MSG,
+    subject,
+    object_,
+    edge_,
+    msg,
+)
+from pregel_rs_spark.graphframe import GraphFrame, MissingColumnError
+from pregel_rs_spark.pregel import Pregel, PregelBuilder, MessageReceiver
+
+__all__ = [
+    "GraphFrame",
+    "MissingColumnError",
+    "Pregel",
+    "PregelBuilder",
+    "MessageReceiver",
+    "VERTEX_ID",
+    "SUBJECT",
+    "OBJECT",
+    "EDGE",
+    "MSG",
+    "PREGEL_MSG",
+    "subject",
+    "object_",
+    "edge_",
+    "msg",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,378 @@
+"""Pregel — the BSP superstep engine, Spark-first.
+
+Semantics parity with /root/reference/src/pregel.rs (builder API, triplet
+dataflow, column namespace, defaults), execution re-designed for Spark:
+
+  one superstep  =  triplet build (2 equi-joins)
+                 →  message projection (user exprs, per SendMessage)
+                 →  message aggregation (groupBy receiver + user agg)
+                 →  state apply (left join + v_prog)
+                 →  state update (re-attach static vertex props)
+                 →  eager ``localCheckpoint`` (lineage truncation — the Spark
+                    analogue of the reference's per-superstep ``collect()``,
+                    pregel.rs:866-867)
+
+Dataflow parity map (reference → here):
+  * prefix namespacing ``subject.* / edge.* / object.*`` (pregel.rs:756-808)
+    → literal dotted Spark column names, all inside Catalyst.
+  * receiver exprs: Subject → ``subject.vertex_id``, Object → ``edge.object``
+    (pregel.rs:183-198).
+  * aggregated messages surface as ``_pregel_msg_``; vertices that received
+    no message see NULL (reference full-join behaviour, pregel.rs:838-854) —
+    preserved exactly (fixture F6).
+  * defaults: ``max_iterations=10``, ``vertex_column="aux"``
+    (pregel.rs:385-395).
+
+Deliberate divergences (documented in SURVEY §5.3):
+  * Q1 — chained ``send_messages`` are a UNION of message frames
+    (GraphFrames semantics); the reference silently drops all but the first.
+  * Q3 — optional convergence checking (tolerance-based early stop); the
+    reference has none (TODO at pregel.rs:784).
+  * multi-column state via ``with_vertex_columns`` (reference supports one).
+
+Scale design (10^12-doc / 100 TB):
+  * edges are repartitioned by ``subject`` once and persisted — superstep
+    join #1 reuses that partitioning every iteration (no edge re-shuffle).
+  * message aggregation relies on Spark's map-side partial aggregation
+    (hub receivers collapse to ≤ numPartitions partial rows before the
+    shuffle); an explicit salted two-phase path is available via
+    ``with_salted_aggregation`` for non-algebraic cases.
+  * AQE skew-join handles hub-vertex skew in the triplet joins; turn on
+    ``spark.sql.adaptive.skewJoin.enabled`` (see session defaults in
+    pregel_rs_spark.sources.io.get_spark).
+  * per-superstep ``localCheckpoint(eager=True)`` + ``unpersist`` of the
+    previous state bounds lineage depth at O(1) instead of O(supersteps).
+"""
+
+from __future__ import annotations
+
+import inspect
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pregel_rs_spark.columns import (
+    MSG,
+    OBJECT,
+    PREGEL_MSG,
+    SUBJECT,
+    VERTEX_ID,
+    alias,
+)
+
+ExprLike = Union[Column, Callable[..., Column]]
+MSG_VERTEX_ID = alias(MSG, VERTEX_ID)  # "msg.vertex_id"
+
+
+def _q(name: str) -> Column:
+    return F.col(f"`{name}`")
+
+
+class MessageReceiver(Enum):
+    """Who receives a message generated on a triplet (pregel.rs:156-171)."""
+
+    SUBJECT = "subject"
+    OBJECT = "object"
+
+    def receiver_expr(self) -> Column:
+        # Parity with pregel.rs:188-191: subject id comes from the
+        # subject-side vertex columns, object id from the edge columns.
+        if self is MessageReceiver.SUBJECT:
+            return _q(alias(SUBJECT, VERTEX_ID))
+        return _q(alias("edge", OBJECT))
+
+
+@dataclass
+class SendMessage:
+    """One (receiver, payload) message spec (pregel.rs:153-198)."""
+
+    receiver: MessageReceiver
+    payload: ExprLike
+
+
+@dataclass
+class SuperstepMetrics:
+    superstep: int
+    wall_seconds: float
+    vertices: int
+    delta: Optional[float] = None
+    changed: Optional[int] = None
+
+
+@dataclass
+class PregelContext:
+    """Passed to closure-valued expressions that accept one argument —
+    enables iteration-dependent programs (reference: ``FnBox`` closures
+    re-evaluated per superstep, pregel.rs:543-551, 590-596, 634-637)."""
+
+    superstep: int
+    state: Optional[DataFrame] = None
+
+
+def _resolve(expr: ExprLike, ctx: PregelContext) -> Column:
+    if isinstance(expr, Column):
+        return expr
+    if callable(expr):
+        params = inspect.signature(expr).parameters
+        return expr(ctx) if len(params) >= 1 else expr()
+    raise TypeError(f"expected Column or callable -> Column, got {type(expr)}")
+
+
+@dataclass
+class Pregel:
+    """Configured engine; produced by :class:`PregelBuilder` (pregel.rs:240-273)."""
+
+    graph: "GraphFrame"
+    max_iterations: int = 10
+    vertex_column: str = "aux"
+    initial_message: Optional[ExprLike] = None
+    send_messages: list[SendMessage] = field(default_factory=list)
+    aggregate_expr: Optional[ExprLike] = None
+    v_prog: Optional[ExprLike] = None
+    # -- extensions over the reference --
+    tolerance: Optional[float] = None       # numeric L∞ early stop
+    check_exact: bool = False               # stop when no value changes
+    checkpoint_store: Optional[object] = None  # plans.checkpoint.CheckpointStore
+    checkpoint_interval: int = 0            # 0 = only on finish
+    salted_agg_partials: int = 0            # >0: explicit two-phase salted agg
+    metrics: list[SuperstepMetrics] = field(default_factory=list)
+
+    # ------------------------------------------------------------------ run --
+    def run(self, resume: bool = False) -> DataFrame:
+        """Execute the superstep loop; returns the final vertices frame
+        ``(vertex props…, vertex_column)`` (pregel.rs:751-873)."""
+        if self.initial_message is None or self.aggregate_expr is None \
+                or self.v_prog is None or not self.send_messages:
+            raise ValueError(
+                "Pregel needs initial_message, ≥1 send_messages, "
+                "aggregate_messages and v_prog"
+            )
+
+        vertices = self.graph.vertices
+        vcol = self.vertex_column
+
+        # Edges: prefix once, repartition by the join key once, persist —
+        # reused by every superstep without re-shuffling.
+        edges = self.graph.edges.select(
+            *[F.col(c).alias(alias("edge", c)) for c in self.graph.edges.columns]
+        )
+        edges = edges.repartition(_q(alias("edge", SUBJECT))).persist()
+
+        start_step = 1
+        current = None
+        if resume and self.checkpoint_store is not None:
+            resumed = self.checkpoint_store.latest()
+            if resumed is not None:
+                start_step, current = resumed
+                start_step += 1
+
+        if current is None:
+            # Superstep 0: attach the initial state column (pregel.rs:769-777).
+            ctx0 = PregelContext(superstep=0, state=vertices)
+            init = _resolve(self.initial_message, ctx0)
+            current = vertices.select("*", init.alias(vcol))
+        current = current.localCheckpoint(eager=True)
+
+        static_cols = [c for c in vertices.columns if c != vcol]
+        state_cols = [c for c in current.columns]
+
+        iteration = start_step
+        try:
+            while iteration <= self.max_iterations:
+                t0 = time.monotonic()
+                ctx = PregelContext(superstep=iteration, state=current)
+
+                # -- triplets: subject ⋈ edge ⋈ object (pregel.rs:791-808) --
+                subj = current.select(
+                    *[F.col(f"`{c}`").alias(alias(SUBJECT, c)) for c in state_cols]
+                )
+                obj = current.select(
+                    *[F.col(f"`{c}`").alias(alias(OBJECT, c)) for c in state_cols]
+                )
+                triplets = subj.join(
+                    edges,
+                    _q(alias(SUBJECT, VERTEX_ID)) == _q(alias("edge", SUBJECT)),
+                    "inner",
+                ).join(
+                    obj,
+                    _q(alias("edge", OBJECT)) == _q(alias(OBJECT, VERTEX_ID)),
+                    "inner",
+                )
+
+                # -- messages: one frame per SendMessage, unioned (Q1 fix) --
+                frames = []
+                for sm in self.send_messages:
+                    payload = _resolve(sm.payload, ctx)
+                    frames.append(
+                        triplets.select(
+                            sm.receiver.receiver_expr().alias(MSG_VERTEX_ID),
+                            payload.alias(PREGEL_MSG),
+                        )
+                    )
+                messages = frames[0]
+                for f_ in frames[1:]:
+                    messages = messages.unionByName(f_)
+
+                # -- aggregate per receiver (pregel.rs:835-837) --
+                agg_expr = _resolve(self.aggregate_expr, ctx).alias(PREGEL_MSG)
+                if self.salted_agg_partials > 1:
+                    # Explicit two-phase: partial agg on (receiver, salt),
+                    # final agg on receiver.  Valid for self-combinable aggs
+                    # (sum/min/max/count); documents the 100 TB hub-skew path.
+                    salt = F.pmod(
+                        F.xxhash64(F.monotonically_increasing_id()),
+                        F.lit(self.salted_agg_partials),
+                    ).alias("__salt__")
+                    partial = messages.select(
+                        _q(MSG_VERTEX_ID), _q(PREGEL_MSG), salt
+                    ).groupBy(_q(MSG_VERTEX_ID), F.col("__salt__")).agg(agg_expr)
+                    aggregated = partial.groupBy(_q(MSG_VERTEX_ID)).agg(agg_expr)
+                else:
+                    # Spark's hash aggregate already does map-side partial
+                    # combine before the shuffle (two-phase for free).
+                    aggregated = messages.groupBy(_q(MSG_VERTEX_ID)).agg(agg_expr)
+
+                # -- apply: state ⟕ messages, v_prog (pregel.rs:843-854) --
+                # Left join ≡ reference full join: message ids ⊆ vertex ids
+                # because triplets are inner joins.  No-message vertices see
+                # NULL _pregel_msg_ (Q2 parity).
+                joined = current.join(
+                    aggregated,
+                    F.col(VERTEX_ID) == _q(MSG_VERTEX_ID),
+                    "left",
+                )
+                new_state = joined.select(
+                    F.col(VERTEX_ID),
+                    F.col(f"`{vcol}`").alias("__prev__"),
+                    _resolve(self.v_prog, ctx).alias(vcol),
+                )
+
+                # -- update: re-attach static vertex props (pregel.rs:859-865) --
+                nxt = vertices.select(*static_cols).join(
+                    new_state, VERTEX_ID, "inner"
+                )
+
+                # -- materialize: truncate lineage (≡ collect(), pregel.rs:867) --
+                nxt = nxt.localCheckpoint(eager=True)
+
+                delta = None
+                changed = None
+                n_vertices = -1
+                if self.tolerance is not None or self.check_exact:
+                    stats = nxt.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.max(
+                            F.abs(F.col(f"`{vcol}`") - F.col("__prev__"))
+                        ).alias("delta")
+                        if self.tolerance is not None
+                        else F.lit(None).alias("delta"),
+                        F.sum(
+                            (~F.col(f"`{vcol}`").eqNullSafe(F.col("__prev__")))
+                            .cast("int")
+                        ).alias("changed"),
+                    ).collect()[0]
+                    n_vertices = stats["n"]
+                    delta = stats["delta"]
+                    changed = stats["changed"]
+
+                prev = current
+                current = nxt.drop("__prev__")
+                state_cols = current.columns
+                prev.unpersist()
+
+                self.metrics.append(
+                    SuperstepMetrics(
+                        superstep=iteration,
+                        wall_seconds=time.monotonic() - t0,
+                        vertices=n_vertices,
+                        delta=float(delta) if delta is not None else None,
+                        changed=changed,
+                    )
+                )
+
+                if self.checkpoint_store is not None and self.checkpoint_interval \
+                        and iteration % self.checkpoint_interval == 0:
+                    self.checkpoint_store.write(
+                        iteration, current, self.metrics[-1]
+                    )
+
+                if self.tolerance is not None and delta is not None \
+                        and delta <= self.tolerance:
+                    break
+                if self.check_exact and changed == 0:
+                    break
+                iteration += 1
+        finally:
+            edges.unpersist()
+
+        if self.checkpoint_store is not None:
+            self.checkpoint_store.write(
+                min(iteration, self.max_iterations), current,
+                self.metrics[-1] if self.metrics else None, final=True,
+            )
+        return current
+
+
+class PregelBuilder:
+    """Fluent builder, reference parity (pregel.rs:330-698)."""
+
+    def __init__(self, graph: "GraphFrame") -> None:
+        self._p = Pregel(graph=graph)
+
+    def max_iterations(self, n: int) -> "PregelBuilder":
+        self._p.max_iterations = n
+        return self
+
+    def with_vertex_column(self, name: str) -> "PregelBuilder":
+        self._p.vertex_column = name
+        return self
+
+    def initial_message(self, expr: ExprLike) -> "PregelBuilder":
+        self._p.initial_message = expr
+        return self
+
+    def send_messages(
+        self, receiver: MessageReceiver, payload: ExprLike
+    ) -> "PregelBuilder":
+        self._p.send_messages.append(SendMessage(receiver, payload))
+        return self
+
+    def aggregate_messages(self, expr: ExprLike) -> "PregelBuilder":
+        self._p.aggregate_expr = expr
+        return self
+
+    def v_prog(self, expr: ExprLike) -> "PregelBuilder":
+        self._p.v_prog = expr
+        return self
+
+    # -- extensions -----------------------------------------------------------
+
+    def with_tolerance(self, tol: float) -> "PregelBuilder":
+        """Early-stop when max|new−old| ≤ tol (fills reference TODO, Q3)."""
+        self._p.tolerance = tol
+        return self
+
+    def with_exact_convergence(self) -> "PregelBuilder":
+        """Early-stop when no vertex value changes (for label programs)."""
+        self._p.check_exact = True
+        return self
+
+    def with_checkpoint(self, store, every: int = 5) -> "PregelBuilder":
+        self._p.checkpoint_store = store
+        self._p.checkpoint_interval = every
+        return self
+
+    def with_salted_aggregation(self, partials: int) -> "PregelBuilder":
+        self._p.salted_agg_partials = partials
+        return self
+
+    def build(self) -> Pregel:
+        return self._p
+
+
+# late import for type reference only
+from pregel_rs_spark.graphframe import GraphFrame  # noqa: E402  (cycle-free)

@@ -1,0 +1,231 @@
+"""Fixtures F3-F6 — Pregel engine parity with pregel.rs tests
+(pregel.rs:876-1148) per FIXTURES.md."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_rs_spark import (
+    GraphFrame,
+    MessageReceiver,
+    PregelBuilder,
+    msg,
+    object_,
+    subject,
+)
+
+
+@pytest.fixture
+def graph_a(spark):
+    """PageRank graph (pregel.rs:885-912): 5 vertices, 8 edges,
+    vertices carry out_degree."""
+    e = spark.createDataFrame(
+        list(zip([0, 0, 1, 2, 3, 4, 4, 4], [1, 2, 2, 3, 3, 1, 2, 3])),
+        "subject long, object long",
+    )
+    g = GraphFrame.from_edges(e)
+    return GraphFrame(g.out_degrees(), e)
+
+
+@pytest.fixture
+def graph_b(spark):
+    """Max-value graph (pregel.rs:996-1017): 4 vertices with values."""
+    v = spark.createDataFrame(
+        [(0, 3), (1, 6), (2, 2), (3, 1)], "vertex_id long, value long"
+    )
+    e = spark.createDataFrame(
+        list(zip([0, 1, 1, 2, 2, 3], [1, 0, 3, 1, 3, 2])),
+        "subject long, object long",
+    )
+    return GraphFrame(v, e)
+
+
+def test_max_value(spark, graph_b):
+    """F4: per-vertex [6,6,6,6] exact from superstep 2."""
+    res = (
+        PregelBuilder(graph_b)
+        .max_iterations(2)
+        .with_vertex_column("max_value")
+        .initial_message(F.col("value"))
+        .send_messages(MessageReceiver.OBJECT, subject("max_value"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.greatest(F.col("max_value"), msg()))
+        .build()
+        .run()
+    )
+    vals = {r.vertex_id: r.max_value for r in res.collect()}
+    assert vals == {0: 6, 1: 6, 2: 6, 3: 6}
+
+
+def test_max_value_one_step(spark, graph_b):
+    """Intermediate state after 1 superstep: [6,6,2,6] (FIXTURES F4 sim)."""
+    res = (
+        PregelBuilder(graph_b)
+        .max_iterations(1)
+        .with_vertex_column("max_value")
+        .initial_message(F.col("value"))
+        .send_messages(MessageReceiver.OBJECT, subject("max_value"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.greatest(F.col("max_value"), msg()))
+        .build()
+        .run()
+    )
+    vals = {r.vertex_id: r.max_value for r in res.collect()}
+    assert vals == {0: 6, 1: 6, 2: 2, 3: 6}
+
+
+def test_degenerate_pagerank_reference_parity(spark, graph_a):
+    """F3: the reference's own PageRank test config (single Subject-send per
+    SURVEY §5.3 Q1) is a fixed point at rank ≡ 0.2, Σ = 1 (pregel.rs:914-994).
+    """
+    n = 5
+    for iters in (1, 2):
+        res = (
+            PregelBuilder(graph_a)
+            .max_iterations(iters)
+            .with_vertex_column("rank")
+            .initial_message(F.lit(1.0 / n))
+            .send_messages(
+                MessageReceiver.SUBJECT,
+                subject("rank") / subject("out_degree"),
+            )
+            .aggregate_messages(F.sum(msg()))
+            .v_prog(msg() * 0.85 + 0.15 / n)
+            .build()
+            .run()
+        )
+        ranks = {r.vertex_id: r.rank for r in res.collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+        for v in ranks.values():
+            assert v == pytest.approx(0.2, abs=1e-9)
+
+
+def test_chained_send_single_subject(spark, graph_a):
+    """F3 chained-send fixture: send (Subject, lit(1)), agg sum, v_prog
+    msg+1, init 0, 4 iters → sorted aux == [3,2,2,2,4]
+    (pregel.rs:1111-1147; the reference's second send is inert per Q1)."""
+    res = (
+        PregelBuilder(graph_a)
+        .max_iterations(4)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.SUBJECT, F.lit(1))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(msg() + 1)
+        .build()
+        .run()
+    )
+    aux = [r.aux for r in res.orderBy("vertex_id").collect()]
+    assert aux == [3, 2, 2, 2, 4]
+
+
+def test_multi_send_union_semantics(spark, graph_a):
+    """Our documented Q1 divergence: chained sends UNION (GraphFrames
+    semantics).  (Subject, lit(1)) + (Object, lit(1)), agg sum, init 0,
+    1 iter, v_prog = msg → out_degree + in_degree per vertex."""
+    res = (
+        PregelBuilder(graph_a)
+        .max_iterations(1)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.SUBJECT, F.lit(1))
+        .send_messages(MessageReceiver.OBJECT, F.lit(1))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(msg())
+        .build()
+        .run()
+    )
+    aux = {r.vertex_id: r.aux for r in res.collect()}
+    # graph A: out [2,1,1,1,3], in [0,2,3,3,0]
+    assert aux == {0: 2, 1: 3, 2: 4, 3: 4, 4: 3}
+
+
+def test_literals_smoke(spark, graph_b):
+    """F5: all-literal program runs (pregel.rs:1086-1109)."""
+    res = (
+        PregelBuilder(graph_b)
+        .max_iterations(4)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.OBJECT, F.lit(0))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(F.lit(0))
+        .build()
+        .run()
+    )
+    assert res.count() == 4
+
+
+def test_null_message_semantics(spark):
+    """F6: no-message vertices see NULL _pregel_msg_, null propagates
+    through arithmetic v_prog (pregel.rs:838-854 parity)."""
+    v = spark.createDataFrame([(0,), (1,)], "vertex_id long")
+    e = spark.createDataFrame([(0, 1)], "subject long, object long")
+    res = (
+        PregelBuilder(GraphFrame(v, e))
+        .max_iterations(1)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.OBJECT, F.lit(5))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(msg() + 1)
+        .build()
+        .run()
+    )
+    vals = {r.vertex_id: r.aux for r in res.collect()}
+    assert vals[1] == 6
+    assert vals[0] is None
+
+
+def test_iteration_dependent_closure(spark, graph_b):
+    """Closure-valued exprs re-evaluated per superstep (pregel.rs FnBox
+    parity) — payload depends on the superstep number."""
+    res = (
+        PregelBuilder(graph_b)
+        .max_iterations(3)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.OBJECT, lambda ctx: F.lit(ctx.superstep))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(msg())
+        .build()
+        .run()
+    )
+    # last superstep is 3 → every vertex with in-edges holds 3
+    vals = {r.vertex_id: r.aux for r in res.collect()}
+    assert vals == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_exact_convergence_early_stop(spark, graph_b):
+    """Q3 extension: label-style program stops before max_iterations."""
+    p = (
+        PregelBuilder(graph_b)
+        .max_iterations(20)
+        .with_vertex_column("max_value")
+        .initial_message(F.col("value"))
+        .send_messages(MessageReceiver.OBJECT, subject("max_value"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.greatest(F.col("max_value"), F.coalesce(msg(), F.lit(0))))
+        .with_exact_convergence()
+        .build()
+    )
+    res = p.run()
+    vals = {r.vertex_id: r.max_value for r in res.collect()}
+    assert vals == {0: 6, 1: 6, 2: 6, 3: 6}
+    # converged in ≤4 supersteps, far before 20
+    assert len(p.metrics) <= 4
+
+
+def test_salted_aggregation_matches_plain(spark, graph_a):
+    """Two-phase salted aggregation (hub-skew path) is semantically
+    identical to the plain path for combinable aggs."""
+    def build(salted):
+        b = (
+            PregelBuilder(graph_a)
+            .max_iterations(2)
+            .initial_message(F.lit(0))
+            .send_messages(MessageReceiver.OBJECT, F.lit(1))
+            .aggregate_messages(F.sum(msg()))
+            .v_prog(F.coalesce(msg(), F.lit(0)))
+        )
+        if salted:
+            b = b.with_salted_aggregation(4)
+        return b.build().run()
+
+    plain = {r.vertex_id: r.aux for r in build(False).collect()}
+    salted = {r.vertex_id: r.aux for r in build(True).collect()}
+    assert plain == salted
