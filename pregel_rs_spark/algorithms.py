@@ -1,0 +1,228 @@
+"""Built-in graph algorithms over the Pregel engine.
+
+The reference ships no algorithm library — PageRank and max-value exist only
+as builder configs in its examples (examples/pagerank.rs:22-41,
+examples/maximum_value.rs:27-40).  Per the north rule we provide four
+built-ins as first-class functions; all are expressed as Pregel builder
+configs except triangle counting, which is a pure join pipeline.
+
+Scale notes per algorithm are inline; the common ones:
+  * every algorithm works on ``(subject, object)`` edge tables of arbitrary
+    size — no driver-side collection of vertices or edges, ever;
+  * the only driver-side scalars are O(1) aggregates (vertex count,
+    dangling mass, convergence delta), each one Spark action per superstep,
+    executed against the in-memory checkpointed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pregel_rs_spark.columns import OBJECT, SUBJECT, VERTEX_ID, msg, subject
+from pregel_rs_spark.graphframe import GraphFrame
+from pregel_rs_spark.pregel import MessageReceiver, PregelBuilder, truncate_plan
+
+
+def pagerank(
+    graph: GraphFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    checkpoint_store=None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Standard PageRank with damping and dangling-mass redistribution.
+
+    Per-superstep dataflow: each vertex sends ``rank / out_degree`` along its
+    out-edges (receiver = Object); messages are sum-aggregated (Spark's
+    map-side partial combine collapses hub receivers before the shuffle);
+    the dangling mass ``Σ rank over out_degree==0`` is one scalar aggregate
+    on the checkpointed state, folded into the v_prog closure:
+
+        rank' = d * (msg + dangling/n) + (1-d)/n
+
+    Converges when max|rank'−rank| ≤ tol (north rule: 1e-6).
+    Oracle for tests: NumPy power iteration (FIXTURES.md F3).
+
+    Returns ``(vertex_id, …props, out_degree, rank)``.
+    """
+    g = GraphFrame(graph.out_degrees_full(), graph.edges) \
+        if "out_degree" not in graph.vertices.columns else graph
+    counts = g.vertices.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("out_degree") == 0).cast("long")).alias("n_dangling"),
+    ).collect()[0]
+    n, has_dangling = counts["n"], counts["n_dangling"] > 0
+
+    def v_prog(ctx):
+        # The dangling-mass scalar is one O(1) aggregate per superstep over
+        # the in-memory checkpointed state — skipped entirely when the graph
+        # has no zero-out-degree vertices (decided once, above).
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ctx.state.filter(F.col("out_degree") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        return (
+            F.coalesce(msg(), F.lit(0.0)) + F.lit(dangling / n)
+        ) * damping + (1.0 - damping) / n
+
+    builder = (
+        PregelBuilder(g)
+        .max_iterations(max_iterations)
+        .with_vertex_column("rank")
+        .initial_message(F.lit(1.0 / n))
+        .send_messages(
+            MessageReceiver.OBJECT, subject("rank") / subject("out_degree")
+        )
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(v_prog)
+        .with_tolerance(tol)
+    )
+    if checkpoint_store is not None:
+        builder = builder.with_checkpoint(checkpoint_store, checkpoint_every)
+    return builder.build().run()
+
+
+def connected_components(
+    graph: GraphFrame, max_iterations: int = 100, checkpoint_store=None
+) -> DataFrame:
+    """Connected components via min-label propagation (undirected).
+
+    Each vertex starts labelled with its own id; every superstep it sends its
+    label both directions (src→dst and dst→src — two SendMessage specs, a
+    union of message frames), aggregates with min, and keeps the least label
+    seen.  Exact convergence when no label changes.
+
+    Diameter-bound iterations: at 10^12-vertex web scale prefer the
+    large-star/small-star variant; min-label is the reference-faithful BSP
+    formulation and converges in O(diameter) supersteps.
+
+    Returns ``(vertex_id, …props, component)`` — component = min vertex id
+    in the component (exact, deterministic).
+    """
+    builder = (
+        PregelBuilder(graph)
+        .max_iterations(max_iterations)
+        .with_vertex_column("component")
+        .initial_message(F.col(VERTEX_ID))
+        .send_messages(MessageReceiver.OBJECT, subject("component"))
+        .send_messages(MessageReceiver.SUBJECT, F.col(f"`object.component`"))
+        .aggregate_messages(F.min(msg()))
+        .v_prog(F.least(F.col("component"), F.coalesce(msg(), F.col("component"))))
+        .with_exact_convergence()
+    )
+    if checkpoint_store is not None:
+        builder = builder.with_checkpoint(checkpoint_store, 5)
+    return builder.build().run()
+
+
+def label_propagation(
+    graph: GraphFrame, max_iterations: int = 5
+) -> DataFrame:
+    """Community detection by label propagation (synchronous, deterministic).
+
+    Each vertex adopts the most frequent label among its (undirected)
+    neighbours **plus its own** (self-inclusion prevents the classic
+    synchronous-LPA two-cycle oscillation on bipartite structures); ties
+    break to the smallest label so runs are reproducible (FIXTURES.md F7
+    requires exact results).  Not a Pregel single-value
+    aggregation — the mode needs a two-level groupBy — so it is implemented
+    directly as the same triplet dataflow with a
+    ``groupBy(dst, label).count()`` → ``max_by(label, (count, -label))``
+    reduction, iterated with per-step localCheckpoint like the engine.
+
+    Returns ``(vertex_id, label)``.
+    """
+    edges = graph.edges.select(SUBJECT, OBJECT)
+    # undirected: symmetrize once, persist (reused every iteration)
+    sym = edges.unionByName(
+        edges.select(F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT))
+    ).distinct().repartition(F.col(SUBJECT)).persist()
+
+    labels = truncate_plan(graph.vertices.select(
+        F.col(VERTEX_ID), F.col(VERTEX_ID).alias("label")
+    ))
+
+    try:
+        for _ in range(max_iterations):
+            neigh = sym.join(
+                labels, sym[SUBJECT] == labels[VERTEX_ID], "inner"
+            ).select(F.col(OBJECT).alias("dst"), F.col("label"))
+            # self-inclusion: each vertex votes for its own current label
+            neigh = neigh.unionByName(
+                labels.select(F.col(VERTEX_ID).alias("dst"), F.col("label"))
+            )
+            counts = neigh.groupBy("dst", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            # mode with deterministic min-label tie-break:
+            # max_by over struct(cnt, -label) — larger cnt wins, then
+            # smaller label (negated for max ordering).
+            new = counts.groupBy("dst").agg(
+                F.max_by(
+                    F.col("label"), F.struct(F.col("cnt"), -F.col("label"))
+                ).alias("new_label")
+            )
+            nxt = labels.join(
+                new, labels[VERTEX_ID] == new["dst"], "left"
+            ).select(
+                F.col(VERTEX_ID),
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            nxt = truncate_plan(nxt)
+            prev = labels
+            labels = nxt
+            prev.unpersist()
+    finally:
+        sym.unpersist()
+    return labels
+
+
+def triangle_count(graph: GraphFrame) -> DataFrame:
+    """Per-vertex triangle counts via neighbour-set intersection joins.
+
+    Not message passing (north rule lists it as a built-in; SURVEY §7.2.4):
+    canonicalize each undirected edge to ``a < b`` and deduplicate, then
+    count length-2 paths that close:
+
+        e1(a,b) ⋈ e2(b,c) on b  →  wedge (a,b,c) with a<b<c
+        wedge  ⋈  e3(a,c)       →  triangle
+
+    Each triangle (a<b<c) is found exactly once; each corner gets +1.
+    Scale: both joins are equi-joins on vertex ids — sort-merge/shuffled
+    hash chosen by Catalyst, AQE skew-split for hub vertices; the wedge
+    frame is the large intermediate (Σ deg²) — never collected.
+
+    Returns ``(vertex_id, triangles)`` for ALL vertices (0 for none).
+    """
+    e = graph.edges.select(
+        F.least(SUBJECT, OBJECT).alias("a"), F.greatest(SUBJECT, OBJECT).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+
+    e1 = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = e.select(F.col("a").alias("v2"), F.col("b").alias("w"))
+    wedges = e1.join(e2, e1["v"] == e2["v2"], "inner").select("u", "v", "w")
+    closing = e.select(F.col("a").alias("u2"), F.col("b").alias("w2"))
+    tris = wedges.join(
+        closing,
+        (wedges["u"] == closing["u2"]) & (wedges["w"] == closing["w2"]),
+        "inner",
+    ).select("u", "v", "w")
+
+    corners = (
+        tris.select(F.col("u").alias(VERTEX_ID))
+        .unionAll(tris.select(F.col("v")))
+        .unionAll(tris.select(F.col("w")))
+    )
+    per_vertex = corners.groupBy(VERTEX_ID).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    return (
+        graph.vertices.select(VERTEX_ID)
+        .join(per_vertex, VERTEX_ID, "left")
+        .withColumn("triangles", F.coalesce(F.col("triangles"), F.lit(0)))
+    )

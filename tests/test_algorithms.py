@@ -1,0 +1,122 @@
+"""Fixtures F3 (proper PageRank vs NumPy power-iteration oracle) and
+F7 (CC / LPA / triangle fixtures) from FIXTURES.md."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_rs_spark import GraphFrame
+from pregel_rs_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+
+EDGES_A = list(zip([0, 0, 1, 2, 3, 4, 4, 4], [1, 2, 2, 3, 3, 1, 2, 3]))
+# F7 graph C: two components, one triangle
+EDGES_C = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)]
+
+
+def numpy_pagerank(edges, n, d=0.85, tol=1e-12, iters=1000):
+    """Power-iteration oracle with dangling-mass redistribution."""
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, o in edges:
+            nxt[o] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        nxt = d * (nxt + dangling / n) + (1 - d) / n
+        if np.abs(nxt - r).max() <= tol:
+            return nxt
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    e = spark.createDataFrame(EDGES_A, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    res = pagerank(g, tol=1e-9)
+    got = {r.vertex_id: r.rank for r in res.collect()}
+    want = numpy_pagerank(EDGES_A, 5)
+    for v in range(5):
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_fixture_values(spark):
+    """FIXTURES F3: converged ranks on graph A (verified by simulation)."""
+    e = spark.createDataFrame(EDGES_A, "subject long, object long")
+    res = pagerank(GraphFrame.from_edges(e), tol=1e-9)
+    got = {r.vertex_id: r.rank for r in res.collect()}
+    want = {0: 0.03, 1: 0.05125, 2: 0.0948125, 3: 0.7939375, 4: 0.03}
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-6)
+
+
+def test_pagerank_dangling(spark):
+    """Graph with a dangling vertex: 0→1, 1 has no out-edges.
+    Mass must be redistributed, Σrank = 1."""
+    e = spark.createDataFrame([(0, 1)], "subject long, object long")
+    res = pagerank(GraphFrame.from_edges(e), tol=1e-8, max_iterations=40)
+    got = {r.vertex_id: r.rank for r in res.collect()}
+    want = numpy_pagerank([(0, 1)], 2)
+    for v in range(2):
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_connected_components(spark):
+    e = spark.createDataFrame(EDGES_C, "subject long, object long")
+    res = connected_components(GraphFrame.from_edges(e))
+    comp = {r.vertex_id: r.component for r in res.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain(spark):
+    """Long path exercises multi-superstep propagation + early stop."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "subject long, object long"
+    )
+    res = connected_components(GraphFrame.from_edges(e))
+    comp = {r.vertex_id: r.component for r in res.collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_label_propagation(spark):
+    e = spark.createDataFrame(EDGES_C, "subject long, object long")
+    res = label_propagation(GraphFrame.from_edges(e), max_iterations=5)
+    lab = {r.vertex_id: r.label for r in res.collect()}
+    # one label per component; the two components get distinct labels
+    assert len({lab[1], lab[2], lab[3]}) == 1
+    assert lab[10] == lab[11]
+    assert lab[1] != lab[10]
+
+
+def test_triangle_count(spark):
+    e = spark.createDataFrame(EDGES_C, "subject long, object long")
+    res = triangle_count(GraphFrame.from_edges(e))
+    tri = {r.vertex_id: r.triangles for r in res.collect()}
+    assert tri == {1: 1, 2: 1, 3: 1, 4: 0, 10: 0, 11: 0}
+
+
+def test_triangle_count_k4(spark):
+    """K4 has 4 triangles, each vertex in 3."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = triangle_count(GraphFrame.from_edges(e))
+    tri = {r.vertex_id: r.triangles for r in res.collect()}
+    assert tri == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_direction_insensitive(spark):
+    """Reversed/duplicated directed edges count each triangle once."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "subject long, object long"
+    )
+    res = triangle_count(GraphFrame.from_edges(e))
+    tri = {r.vertex_id: r.triangles for r in res.collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}
