@@ -1,0 +1,141 @@
+"""HTML → text and HTML → links extraction.
+
+Per BASELINE.json ``input_hint``: the input is a table of Common-Crawl-style
+pages ``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``; extraction must be **vectorized pandas/Arrow UDFs (no
+per-row Python at the Spark boundary)** and the extracted text must be
+**byte-identical per url** between the distributed run and a local
+pure-Python reference — which is guaranteed here by construction: the
+pandas UDFs call the exact same pure functions (`extract_text_bytes`,
+`extract_links_py`) that the local reference path calls, and those functions
+use only locale-independent byte/`str` operations (no pandas string methods,
+no locale-aware case mapping).
+
+Scale notes:
+  * extraction is embarrassingly parallel — one Arrow batch at a time,
+    no shuffle; Catalyst pushes the `html` column prune into the scan.
+  * edge building hashes urls to stable 64-bit ids with ``F.xxhash64``
+    (JVM-side, fixed seed 42) so downstream shuffles move longs, not urls.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+# --- pure extraction (the byte-identity contract) ----------------------------
+
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_TAG_RE = re.compile(rb"<[^>]*>")
+# fixed, ordered entity map — deliberately tiny and explicit so the
+# transformation is unambiguous and reproducible everywhere
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so "&amp;lt;" → "&lt;" (literal), not "<"
+)
+
+_HREF_RE = re.compile(rb"""href\s*=\s*["']([^"'<>\s]+)["']""", re.I)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Pure-Python reference text extractor (deterministic, locale-free).
+
+    comments → script/style blocks → tags stripped to spaces; utf-8 decode
+    with replacement; fixed entity table; whitespace collapsed via
+    ``" ".join(s.split())`` (ASCII+unicode whitespace, locale-independent).
+    """
+    if html is None:
+        return ""
+    h = _COMMENT_RE.sub(b" ", html)
+    h = _SCRIPT_RE.sub(b" ", h)
+    h = _TAG_RE.sub(b" ", h)
+    s = h.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return " ".join(s.split())
+
+
+def extract_links_py(html: bytes, base_url: str) -> list[str]:
+    """Pure-Python reference link extractor: href attributes, resolved
+    against the page url, fragments dropped, order preserved, de-duplicated.
+    """
+    if html is None:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html):
+        href = m.group(1).decode("utf-8", errors="replace")
+        if href.startswith(_SKIP_SCHEMES):
+            continue
+        absu = urljoin(base_url, href)
+        absu = absu.split("#", 1)[0]
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+# --- Spark surface (vectorized pandas UDFs over Arrow batches) ---------------
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links_py(h, u) for h, u in zip(html, url)]
+    )
+
+
+def url_id(col) -> "F.Column":
+    """Stable 64-bit vertex id for a url (JVM-side xxhash64, seed 42)."""
+    return F.xxhash64(col)
+
+
+def pages_to_edges(pages: DataFrame, closed_world: bool = True) -> DataFrame:
+    """Build the link-graph edge table from a pages table.
+
+    Returns ``(subject, object, src_url, dst_url)`` where subject/object are
+    xxhash64 ids.  With ``closed_world=True`` only links whose target is
+    itself a crawled page are kept (left-semi join against the page urls —
+    keeps PageRank mass inside the corpus; the join broadcasts when the url
+    set is small, SMJ otherwise).
+    """
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
+    ).filter(F.col("dst_url") != F.col("src_url"))
+    if closed_world:
+        urls = pages.select(F.col("url").alias("dst_url")).distinct()
+        links = links.join(urls, "dst_url", "left_semi")
+    return links.select(
+        url_id(F.col("src_url")).alias("subject"),
+        url_id(F.col("dst_url")).alias("object"),
+        "src_url",
+        "dst_url",
+    )
+
+
+def pages_to_vertices(pages: DataFrame) -> DataFrame:
+    """Vertex table ``(vertex_id, url, lang)`` from pages (ids = xxhash64)."""
+    return pages.select(
+        url_id(F.col("url")).alias("vertex_id"),
+        "url",
+        "lang",
+    ).distinct()

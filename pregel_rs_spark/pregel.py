@@ -138,6 +138,7 @@ class SuperstepMetrics:
     vertices: int
     delta: Optional[float] = None
     changed: Optional[int] = None
+    messages: Optional[int] = None
 
 
 @dataclass
@@ -255,6 +256,13 @@ class Pregel:
                     messages = messages.unionByName(f_)
 
                 # -- aggregate per receiver (pregel.rs:835-837) --
+                # __msg_cnt__ rides along so the per-superstep stats action
+                # can report total messages without a second pass.
+                collect_stats = (
+                    self.tolerance is not None
+                    or self.check_exact
+                    or self.checkpoint_store is not None
+                )
                 agg_expr = _resolve(self.aggregate_expr, ctx).alias(PREGEL_MSG)
                 if self.salted_agg_partials > 1:
                     # Explicit two-phase: partial agg on (receiver, salt),
@@ -266,12 +274,18 @@ class Pregel:
                     ).alias("__salt__")
                     partial = messages.select(
                         _q(MSG_VERTEX_ID), _q(PREGEL_MSG), salt
-                    ).groupBy(_q(MSG_VERTEX_ID), F.col("__salt__")).agg(agg_expr)
-                    aggregated = partial.groupBy(_q(MSG_VERTEX_ID)).agg(agg_expr)
+                    ).groupBy(_q(MSG_VERTEX_ID), F.col("__salt__")).agg(
+                        agg_expr, F.count(F.lit(1)).alias("__msg_cnt__")
+                    )
+                    aggregated = partial.groupBy(_q(MSG_VERTEX_ID)).agg(
+                        agg_expr, F.sum("__msg_cnt__").alias("__msg_cnt__")
+                    )
                 else:
                     # Spark's hash aggregate already does map-side partial
                     # combine before the shuffle (two-phase for free).
-                    aggregated = messages.groupBy(_q(MSG_VERTEX_ID)).agg(agg_expr)
+                    aggregated = messages.groupBy(_q(MSG_VERTEX_ID)).agg(
+                        agg_expr, F.count(F.lit(1)).alias("__msg_cnt__")
+                    )
 
                 # -- apply: state ⟕ messages, v_prog (pregel.rs:843-854) --
                 # Left join ≡ reference full join: message ids ⊆ vertex ids
@@ -285,6 +299,7 @@ class Pregel:
                 new_state = joined.select(
                     F.col(VERTEX_ID),
                     F.col(f"`{vcol}`").alias("__prev__"),
+                    F.col("__msg_cnt__"),
                     _resolve(self.v_prog, ctx).alias(vcol),
                 )
 
@@ -299,7 +314,8 @@ class Pregel:
                 delta = None
                 changed = None
                 n_vertices = -1
-                if self.tolerance is not None or self.check_exact:
+                n_messages = None
+                if collect_stats:
                     stats = nxt.agg(
                         F.count(F.lit(1)).alias("n"),
                         F.max(
@@ -311,13 +327,17 @@ class Pregel:
                             (~F.col(f"`{vcol}`").eqNullSafe(F.col("__prev__")))
                             .cast("int")
                         ).alias("changed"),
+                        F.sum(F.coalesce(F.col("__msg_cnt__"), F.lit(0))).alias(
+                            "messages"
+                        ),
                     ).collect()[0]
                     n_vertices = stats["n"]
                     delta = stats["delta"]
                     changed = stats["changed"]
+                    n_messages = stats["messages"]
 
                 prev = current
-                current = nxt.drop("__prev__")
+                current = nxt.drop("__prev__", "__msg_cnt__")
                 state_cols = current.columns
                 prev.unpersist()
 
@@ -328,6 +348,7 @@ class Pregel:
                         vertices=n_vertices,
                         delta=float(delta) if delta is not None else None,
                         changed=changed,
+                        messages=n_messages,
                     )
                 )
 

@@ -1,0 +1,130 @@
+"""Deterministic synthetic Common-Crawl-style pages generator (FIXTURES F8).
+
+Schema per BASELINE.json ``input_hint`` (exact):
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Properties:
+  * fully deterministic for a given (n, seed) — page i's content depends only
+    on (seed, i, n); generation is distributed (``spark.range → mapInPandas``)
+    and the same `gen_page` pure function serves as the local oracle, so
+    distributed output is byte-identical to the local reference per url.
+  * link structure: seeded power-law out-degree (hubs exist) and
+    quadratically low-id-biased targets (in-degree skew → exercises the
+    engine's skew handling); a mix of absolute and relative hrefs plus
+    javascript:/mailto:/fragment noise to exercise the extractor.
+  * ``text`` is pre-filled with ``extract_text_bytes(html)`` — the invariant
+    under test is that distributed re-extraction equals this column equals
+    the local pure-Python extraction, per url (sha256 compare).
+
+No randomness at query time: ``random.Random(seed*1_000_003 + i)`` (Mersenne
+Twister — platform-stable) is the only entropy source.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pregel_rs_spark.functions.extract import extract_text_bytes
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_LANGS = ["en", "en", "en", "de", "fr", "es"]  # en-weighted
+_VOCAB = {
+    "en": "the quick brown fox jumps over lazy dog web page crawl rank link "
+          "graph data spark engine query text value node edge".split(),
+    "de": "der schnelle braune fuchs springt über faulen hund netz seite "
+          "daten funke graph knoten kante wert".split(),
+    "fr": "le renard brun rapide saute par dessus chien paresseux toile page "
+          "données graphe nœud arête valeur".split(),
+    "es": "el zorro marrón rápido salta sobre perro perezoso red página "
+          "datos grafo nodo arista valor".split(),
+}
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def page_url(i: int, n: int) -> str:
+    n_sites = max(1, n // 50)
+    return f"https://site{i % n_sites}.example.com/page/{i}"
+
+
+def gen_page(i: int, n: int, seed: int = 42) -> dict:
+    """Pure deterministic page builder — also the local test oracle."""
+    rng = random.Random(seed * 1_000_003 + i)
+    lang = _LANGS[rng.randrange(len(_LANGS))]
+    vocab = _VOCAB[lang]
+    url = page_url(i, n)
+    n_sites = max(1, n // 50)
+
+    # power-law out-degree: P(deg ≥ d) ~ d^-1.25, capped
+    u = rng.random()
+    out_deg = min(int(1.0 / max(u, 1e-9) ** 0.8), 40)
+
+    anchors = []
+    for k in range(out_deg):
+        # quadratic bias toward low page ids → in-degree hubs
+        t = int(n * (rng.random() ** 2)) % n
+        if t == i:
+            continue
+        target_url = page_url(t, n)
+        if t % n_sites == i % n_sites and rng.random() < 0.5:
+            href = f"/page/{t}"            # relative, same site
+        else:
+            href = target_url              # absolute
+        word = vocab[rng.randrange(len(vocab))]
+        anchors.append(f'<a href="{href}">{word}</a>')
+    # extractor noise
+    anchors.append('<a href="javascript:void(0)">x</a>')
+    anchors.append('<a href="#frag">y</a>')
+    anchors.append('<a href="mailto:a@example.com">z</a>')
+
+    paras = []
+    for _ in range(2 + rng.randrange(4)):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(8 + rng.randrange(20))]
+        paras.append("<p>" + " ".join(words) + "</p>")
+
+    html = (
+        f"<!DOCTYPE html><html lang={lang}><head>"
+        f"<title>Page {i} &amp; friends</title>"
+        f"<style>body {{ color: red }}</style>"
+        f"<script>var x = {i}; if (x < 3) {{}}</script></head>"
+        f"<body><!-- comment {i} --><h1>Page {i}</h1>"
+        + "".join(paras)
+        + "<nav>" + "".join(anchors) + "</nav>"
+        + "&lt;escaped&gt; &quot;q&quot;</body></html>"
+    ).encode("utf-8")
+
+    ts = _EPOCH + timedelta(seconds=(i * 9973) % (365 * 86400))
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html,
+        "text": extract_text_bytes(html),
+        "lang": lang,
+    }
+
+
+def synth_pages(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic pages table: ``spark.range(n) → mapInPandas``.
+
+    Generation is per-partition streaming (no driver-side rows); at bench
+    scale pick ``partitions ≈ 2-3 × cores``.
+    """
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [gen_page(int(i), n, seed) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+            yield out
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, PAGES_SCHEMA)

@@ -1,0 +1,113 @@
+"""F8 — synthetic pages + byte-identical extraction + link graph e2e."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_rs_spark import GraphFrame
+from pregel_rs_spark.algorithms import pagerank
+from pregel_rs_spark.functions.extract import (
+    extract_links_py,
+    extract_text_bytes,
+    extract_text_udf,
+    pages_to_edges,
+    pages_to_vertices,
+)
+from pregel_rs_spark.sources.synth import gen_page, synth_pages
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N, seed=42).cache()
+
+
+def test_schema_exact(pages):
+    assert [(f.name, f.dataType.simpleString()) for f in pages.schema.fields] == [
+        ("url", "string"),
+        ("warc_ts", "timestamp"),
+        ("html", "binary"),
+        ("text", "string"),
+        ("lang", "string"),
+    ]
+    assert pages.count() == N
+
+
+def test_deterministic_generation(spark, pages):
+    """Same (n, seed) → identical bytes, independent of partitioning."""
+    again = synth_pages(spark, N, seed=42, partitions=3)
+    h1 = sorted(
+        (r.url, hashlib.sha256(bytes(r.html)).hexdigest()) for r in pages.collect()
+    )
+    h2 = sorted(
+        (r.url, hashlib.sha256(bytes(r.html)).hexdigest()) for r in again.collect()
+    )
+    assert h1 == h2
+
+
+def test_byte_identical_extraction(pages):
+    """North-rule invariant: distributed pandas-UDF extraction is
+    byte-identical per url to the local pure-Python reference."""
+    got = pages.select(
+        "url", extract_text_udf(F.col("html")).alias("extracted"), "html", "text"
+    ).collect()
+    assert len(got) == N
+    for r in got:
+        local = extract_text_bytes(bytes(r.html))
+        assert r.extracted == local, r.url
+        assert r.text == local, r.url  # pre-filled column used the same path
+        # sha256 compare as FIXTURES.md F8 specifies
+        assert (
+            hashlib.sha256(r.extracted.encode()).digest()
+            == hashlib.sha256(local.encode()).digest()
+        )
+
+
+def test_extractor_handles_noise():
+    html = (
+        b"<html><head><script>bad < worse</script><style>a{}</style></head>"
+        b"<body><!-- no --><p>Hello &amp; welcome &lt;here&gt;</p>"
+        b'<a href="javascript:void(0)">j</a></body></html>'
+    )
+    assert extract_text_bytes(html) == "Hello & welcome <here> j"
+    assert extract_links_py(html, "https://x.com/a") == []
+
+
+def test_link_extraction_resolution():
+    html = (
+        b'<a href="/page/7">rel</a>'
+        b'<a href="https://other.com/x#frag">abs</a>'
+        b'<a href="mailto:a@b.c">m</a>'
+        b'<a href="/page/7">dup</a>'
+    )
+    links = extract_links_py(html, "https://site0.example.com/page/1")
+    assert links == [
+        "https://site0.example.com/page/7",
+        "https://other.com/x",
+    ]
+
+
+def test_edges_and_skew(pages):
+    edges = pages_to_edges(pages)
+    assert edges.columns == ["subject", "object", "src_url", "dst_url"]
+    n_edges = edges.count()
+    assert n_edges > N  # dense enough
+    # in-degree skew exists (hubs): max in-degree >> median
+    ind = edges.groupBy("object").count()
+    stats = ind.agg(
+        F.max("count").alias("mx"), F.expr("percentile(count, 0.5)").alias("md")
+    ).collect()[0]
+    assert stats.mx >= 5 * stats.md
+
+
+def test_pagerank_over_synthetic_pages(spark, pages):
+    """E2E: pages → links → edge table → PageRank to 1e-6, Σ=1."""
+    edges = pages_to_edges(pages).select("subject", "object").distinct()
+    vertices = pages_to_vertices(pages)
+    g = GraphFrame(vertices, edges)
+    res = pagerank(g, tol=1e-6, max_iterations=60)
+    total = res.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert res.count() == N
