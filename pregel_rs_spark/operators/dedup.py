@@ -1,0 +1,281 @@
+"""Deduplication operators over a ``documents(doc_id, text, lang, source,
+n_chars)`` table.
+
+Design constraints:
+  * everything is expressed in built-in ``pyspark.sql.functions`` (JVM-side,
+    whole-stage-codegen) — no Python in the hot path;
+  * hash primitives are **md5** (identical output in Spark and DuckDB/ANSI
+    engines) so every operator has an exact SQL oracle;
+  * pairwise work is always blocked/bucketed first (LSH bands, lang blocks)
+    — never an unconstrained O(n²) cross join — and candidate pairs are
+    canonicalized ``a < b`` so each pair is produced once.
+
+Scale notes (100 TB corpus):
+  * exact dedup is one hash-shuffle on a 32-byte key — AQE-coalesced;
+  * MinHash signatures are computed by explode → groupBy(doc, seed) min —
+    the explode factor is ~n_chars per doc, so at full scale feed it the
+    shingle *set* (distinct) and cap document length upstream;
+  * LSH band buckets are the join key — band width controls the candidate
+    count; hot buckets (boilerplate docs) are capped with a per-bucket
+    ``row_number() <= max_bucket`` guard to bound the quadratic blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --- exact -------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): one row per distinct content,
+    ``(content_hash, keep_id, dup_count)`` with keep = min doc_id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents surviving exact dedup (min doc_id per content hash)."""
+    keep = dedup_exact(docs, text_col).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# --- shingles / n-grams ------------------------------------------------------
+
+def char_shingles(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Distinct k-character shingles per document: ``(doc_id, shingle)``.
+
+    ``explode(sequence(1, n-k+1)) → substring`` — pure Catalyst, no UDF.
+    """
+    n = F.length(F.col(text_col))
+    return (
+        docs.select("doc_id", text_col)
+        .filter(n >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n - k + 1)).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            "doc_id",
+            F.col(text_col).substr(F.col("pos"), F.lit(k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Portable MinHash: hash_i(s) = md5(i || '|' || s); the signature
+    component is the lexicographic MIN of the hex digest per (doc, seed).
+
+    A uniform hash's minimum under lexicographic order on hex is a valid
+    min-hash; using md5 keeps Spark and the SQL oracle bit-identical.
+    Returns ``(doc_id, seed, minhash)``.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingles.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs ``(doc_a, doc_b)`` with doc_a < doc_b.
+
+    shingle → minhash → band (num_hashes/bands rows per band, concatenated
+    and re-hashed to a bucket key) → self-join on the bucket.  ``max_bucket``
+    caps pathological buckets (boilerplate) to bound the quadratic join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(char_shingles(docs, k, text_col), num_hashes)
+    band = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    band = band.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
+    a = band.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = band.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    block_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold, blocked by
+    ``block_cols`` (same-language comparison only by default).
+
+    |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.  Returns
+    ``(doc_a, doc_b, jaccard)``, doc_a < doc_b.
+    """
+    sh = char_shingles(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    blocks = docs.select("doc_id", *block_cols)
+    sh = sh.join(blocks, "doc_id")
+    left = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", *[F.col(c) for c in block_cols]
+    )
+    right = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", *[F.col(c).alias(f"__r_{c}") for c in block_cols]
+    )
+    cond = [left["shingle"] == right["shingle"]] + [
+        left[c] == right[f"__r_{c}"] for c in block_cols
+    ]
+    inter = (
+        left.join(right, cond)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def _hex_nibble_value(col):
+    """Portable hex-char → 0..15: strpos over a fixed alphabet (works
+    identically in Spark and ANSI SQL — no conv())."""
+    return F.position(col, F.lit("0123456789abcdef")) - 1
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens, fully portable.
+
+    token → md5 → first bits/4 hex chars → per-bit ±1 vote weighted by token
+    multiplicity → sign → fingerprint int.  Near-dup docs land on close
+    fingerprints; group by fingerprint for cheap candidate sets.
+    Returns ``(doc_id, simhash)``.
+    """
+    nibbles = bits // 4
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    toks = toks.select("doc_id", F.md5("tok").alias("h"))
+    # expand to (doc, bit, ±1): nibble n = hex[n], bit b of nibble = n*4+b
+    expanded = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        (
+            F.floor(
+                _hex_nibble_value(
+                    F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1)
+                )
+                / F.pow(F.lit(2.0), 3 - F.col("bit") % 4)
+            ).cast("int")
+            % 2
+        ).alias("b"),
+    )
+    votes = expanded.groupBy("doc_id", "bit").agg(
+        F.sum(F.col("b") * 2 - 1).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+def cosine_expr(a, b):
+    """Cosine similarity of two float arrays, pure Catalyst
+    (zip_with dot product / norms)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs with cosine ≥ threshold, blocked by
+    ``block_col`` (an upstream coarse cluster id — at 100 TB that column
+    comes from k-means/IVF assignment, here the dataset's label).
+
+    Returns ``(vec_a, vec_b, cosine)``, vec_a < vec_b.
+    """
+    a = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_expr(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

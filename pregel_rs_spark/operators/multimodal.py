@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The actual decode libraries (Pillow, ffmpeg, torchaudio…) are NOT in this
+container, so the decode step is STUBBED: `register_decoder` lets a real
+deployment plug one in; the default is a deterministic fake that parses our
+synthetic header.  Everything Spark-side — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested.
+
+Media blob layout for the synthetic path (so the fake decoder has real
+structure to parse):  ``b"MMv1" + media_type[0:1] + width(4B BE) +
+height(4B BE) + payload``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, media binary"
+)
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int, "
+    "ok boolean, error string"
+)
+
+_MAGIC = b"MMv1"
+
+
+def encode_fake_media(doc_id: int, media_type: str, payload: bytes) -> bytes:
+    """Deterministic synthetic media blob with a parseable header."""
+    w = (doc_id * 37) % 1920 + 16
+    h = (doc_id * 53) % 1080 + 16
+    return _MAGIC + media_type[:1].encode() + struct.pack(">II", w, h) + payload
+
+
+def default_decoder(media: bytes) -> dict:
+    """Deterministic fake decode: parse the MMv1 header.
+
+    A real deployment replaces this via :func:`register_decoder` with e.g.
+    PIL.Image.open — the Spark-side plumbing is identical.
+    """
+    if media is None or len(media) < 13 or media[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library not present "
+            "in this environment; blob is not MMv1 synthetic media"
+        )
+    w, h = struct.unpack(">II", media[5:13])
+    return {"width": w, "height": h}
+
+
+_DECODER: Callable[[bytes], dict] = default_decoder
+
+
+def register_decoder(fn: Callable[[bytes], dict]) -> None:
+    global _DECODER
+    _DECODER = fn
+
+
+def documents_to_media(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from documents: the text bytes become
+    the payload of a fake image/audio blob (deterministic per doc_id)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def mk(doc_id: pd.Series, mt: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_fake_media(int(i), m, (t or "").encode("utf-8"))
+                for i, m, t in zip(doc_id, mt, text)
+            ]
+        )
+
+    mt = F.when(F.col("doc_id") % 3 == 0, "image").when(
+        F.col("doc_id") % 3 == 1, "audio"
+    ).otherwise("video")
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        mk(F.col("doc_id"), mt, F.col("text")).alias("media"),
+    )
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """Decode/feature-extract media blobs via ``mapInPandas`` (Arrow batch
+    iterator — the scale-correct shape: no per-row Python at the boundary,
+    one pandas batch per Arrow chunk, decode errors captured per row)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                try:
+                    meta = _DECODER(bytes(blob) if blob is not None else None)
+                    rows.append(
+                        dict(
+                            doc_id=doc_id,
+                            media_type=mt,
+                            n_bytes=len(blob),
+                            width=meta.get("width"),
+                            height=meta.get("height"),
+                            ok=True,
+                            error=None,
+                        )
+                    )
+                except Exception as ex:  # decode failures are data, not crashes
+                    rows.append(
+                        dict(
+                            doc_id=doc_id,
+                            media_type=mt,
+                            n_bytes=len(blob) if blob is not None else 0,
+                            width=None,
+                            height=None,
+                            ok=False,
+                            error=str(ex)[:200],
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(decode, DECODED_SCHEMA)

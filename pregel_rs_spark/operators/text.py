@@ -1,0 +1,115 @@
+"""Text-analysis operators over ``documents(doc_id, text, lang, …)``.
+
+All pure Catalyst expressions (regexp/len/split — whole-stage codegen, no
+UDFs), designed so the identical formula is expressible in ANSI SQL for the
+DuckDB oracle.  Each function returns a DataFrame keyed by ``doc_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword anchors for the n-gram/stopword heuristic;
+# deliberately small + fixed so the SQL oracle can inline them
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "dans"],
+    "es": ["el", "la", "los", "que", "es", "en"],
+}
+
+_WORD_RE = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_count(text_col, words: list[str]):
+    """Count occurrences of any marker word (word-bounded, lowercase)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), F.lit(0)))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword-ish tokens (letters / digits /
+    single punctuation — the classic pre-tokenizer regex).
+    Returns ``(doc_id, ws_tokens, bpe_tokens)``."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(_WORD_RE), F.lit(0))).alias("bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+
+      alpha_ratio     — alphabetic chars / chars
+      punct_ratio     — punctuation chars / chars
+      stopword_ratio  — english stopword hits / whitespace tokens
+      mean_word_len   — chars / tokens
+
+      score = 0.5*alpha_ratio + 0.3*min(stopword_ratio*5, 1)
+              + 0.2*(1 - min(punct_ratio*4, 1))
+
+    Returns ``(doc_id, n_chars, alpha_ratio, punct_ratio, stopword_ratio,
+    mean_word_len, score)`` — ratios rounded to 6 dp for oracle parity.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    toks = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    stop = _marker_count(t, LANG_MARKERS["en"])
+    nz = F.greatest(n, F.lit(1))
+    tz = F.greatest(toks, F.lit(1))
+    alpha_ratio = alpha / nz
+    punct_ratio = punct / nz
+    stop_ratio = stop / tz
+    score = (
+        alpha_ratio * 0.5
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n / tz, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-anchor language ID over {en, de, fr, es}.
+
+    Deterministic tie-break: en ≥ de ≥ fr ≥ es (fixed priority order).
+    Returns ``(doc_id, lang_pred)``.
+    """
+    t = F.col(text_col)
+    c = {lang: _marker_count(t, words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the canonicalized text (lowercase,
+    non-alphanumerics → space, whitespace collapsed, trimmed) — robust to
+    punctuation/casing/whitespace edits.  Returns ``(doc_id, fingerprint)``."""
+    t = F.col(text_col)
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))

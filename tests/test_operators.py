@@ -1,0 +1,187 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_rs_spark.operators.dedup import (
+    char_shingles,
+    dedup_exact,
+    dedup_exact_survivors,
+    embedding_cosine_dups,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pregel_rs_spark.operators.multimodal import (
+    decode_media,
+    documents_to_media,
+    encode_fake_media,
+)
+from pregel_rs_spark.operators.similarity import brute_force_topk, lsh_topk
+from pregel_rs_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),                      # exact dup of 1
+        (3, base.replace("lazy", "sleepy"), "en", "s", 60),   # near dup of 1
+        (4, "der schnelle braune fuchs springt und das ist nicht alles hier", "de", "s", 50),
+        (5, "le renard est dans la forêt et le chien dort dans le jardin", "fr", "s", 50),
+        (6, "completely different short text about spark engines", "en", "s", 40),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_dedup_exact(spark, docs):
+    groups = dedup_exact(docs).collect()
+    dup = [g for g in groups if g.dup_count == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 1
+    survivors = sorted(r.doc_id for r in dedup_exact_survivors(docs).collect())
+    assert survivors == [1, 3, 4, 5, 6]
+
+
+def test_char_shingles_exact(spark):
+    d = spark.createDataFrame([(1, "abcdef", "en", "s", 6)], DOCS_SCHEMA)
+    sh = sorted(r.shingle for r in char_shingles(d, k=5).collect())
+    assert sh == ["abcde", "bcdef"]
+
+
+def test_lsh_candidates_find_duplicates(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, k=5).collect()}
+    assert (1, 2) in pairs            # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares most bands
+    assert (1, 6) not in pairs        # unrelated docs don't
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 6) not in pairs
+
+
+def test_simhash(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near <= ham_far
+    assert 0 <= sh[1] < 2**16
+
+
+def test_embedding_cosine_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),    # near dup of 1
+        (3, [0.0, 1.0, 0.0], 0),       # orthogonal
+        (4, [1.0, 0.0, 0.0], 1),       # same vector, different block
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.vec_a, r.vec_b) for r in embedding_cosine_dups(emb, 0.95).collect()}
+    assert pairs == {(1, 2)}  # blocked by label: 4 never compared
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = brute_force_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(res, key=lambda r: r.rank)]
+    assert ranked == [2, 4]
+
+
+def test_lsh_topk_recall(spark):
+    """LSH ANN achieves reasonable recall@5 vs brute force on real
+    embeddings (sf0.001, 500×64-dim)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(emb, queries, k=5).collect()
+    ann = lsh_topk(emb, queries, k=5, n_planes=3, dim=64).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.4, recall
+    # candidate set actually shrank (bucketing did something)
+    assert len(ann_set) <= len(bf_set)
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello, world! 42 times", "en", "s", 10), (2, "", "en", "s", 0)],
+        DOCS_SCHEMA,
+    )
+    res = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in token_counts(d).collect()}
+    assert res[1] == (4, 6)  # Hello , world ! 42 times → 6 bpe-ish
+    assert res[2] == (0, 0)
+
+
+def test_quality_scores(spark, docs):
+    res = {r.doc_id: r for r in quality_scores(docs).collect()}
+    for r in res.values():
+        assert 0.0 <= r.score <= 1.0
+    # english prose with stopwords should out-score nothing pathological here
+    assert res[1].stopword_ratio > 0
+
+
+def test_language_id(spark, docs):
+    res = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert res[1] == "en"
+    assert res[4] == "de"
+    assert res[5] == "fr"
+
+
+def test_fingerprints(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "Hello,   World!", "en", "s", 1),
+            (2, "hello world", "en", "s", 1),
+            (3, "goodbye world", "en", "s", 1),
+        ],
+        DOCS_SCHEMA,
+    )
+    res = {r.doc_id: r.fingerprint for r in fingerprints(d).collect()}
+    assert res[1] == res[2]   # canonicalization collapses case/punct/space
+    assert res[1] != res[3]
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = documents_to_media(docs)
+    assert [f.dataType.simpleString() for f in media.schema.fields] == [
+        "bigint", "string", "binary",
+    ]
+    decoded = {r.doc_id: r for r in decode_media(media).collect()}
+    assert all(r.ok for r in decoded.values())
+    assert decoded[1].width == (1 * 37) % 1920 + 16
+    assert decoded[1].n_bytes > 13
+
+
+def test_multimodal_bad_blob(spark):
+    bad = spark.createDataFrame(
+        [(99, "image", bytearray(b"NOTMEDIA"))],
+        "doc_id long, media_type string, media binary",
+    )
+    r = decode_media(bad).collect()[0]
+    assert r.ok is False and "MMv1" in r.error
+
+
+def test_real_documents_shape(spark):
+    """Operators run over the real documents table (sf0.001)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert token_counts(docs).count() == 500
+    assert fingerprints(docs).select("fingerprint").distinct().count() == 500
+    assert quality_scores(docs).filter(F.col("score") < 0).count() == 0
