@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship PageRank over the sf0.001 lineitem-derived
+                     link graph (pure Catalyst expressions + driver loop).
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data pipeline ops), each (spark, sf_dir) → DF.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL computing the same result on
+                     the same parquet views.  Column names/types and float
+                     rounding are aligned on both sides (round 6, BIGINT
+                     casts for integer aggregates).
+
+Derived graphs (identical on both sides):
+  * ev  — lineitem link graph: DISTINCT (l_orderkey → l_suppkey).  Suppkey
+          ids ⊂ orderkey ids numerically, so the graph has no dangling
+          vertices (verified; the dangling path is pytest-covered instead).
+  * sg  — supplier graph: DISTINCT (l_suppkey → l_partkey % 97), self-loops
+          removed — small, dense, has triangles.
+  * ng  — nation graph: (n_nationkey + 100 → n_regionkey) — 30 vertices,
+          5 components, for the recursive-CTE CC oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +24,577 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pregel_rs_spark import GraphFrame, MessageReceiver, PregelBuilder, msg, subject
+from pregel_rs_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from pregel_rs_spark.operators.dedup import (
+    dedup_exact,
+    embedding_cosine_dups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    char_shingles,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pregel_rs_spark.operators.multimodal import decode_media, documents_to_media
+from pregel_rs_spark.operators.similarity import brute_force_topk
+from pregel_rs_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from pregel_rs_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# derived graphs
+# ---------------------------------------------------------------------------
+
+def _edges_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("subject"), F.col("l_suppkey").alias("object")
+    ).distinct()
+
+
+_EV_SQL = "(SELECT DISTINCT l_orderkey AS subject, l_suppkey AS object FROM lineitem)"
+
+
+def _edges_sg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_suppkey").alias("subject"),
+            (F.col("l_partkey") % 97).alias("object"),
+        )
+        .filter(F.col("subject") != F.col("object"))
+        .distinct()
+    )
+
+
+_SG_SQL = (
+    "(SELECT DISTINCT l_suppkey AS subject, l_partkey % 97 AS object "
+    "FROM lineitem WHERE l_suppkey != l_partkey % 97)"
+)
+
+
+def _edges_ng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation")
+    return na.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("subject"),
+        F.col("n_regionkey").cast("long").alias("object"),
+    ).distinct()
+
+
+_NG_SQL = (
+    "(SELECT DISTINCT CAST(n_nationkey + 100 AS BIGINT) AS subject, "
+    "CAST(n_regionkey AS BIGINT) AS object FROM nation)"
+)
+
+_DOCS_SQL = "(SELECT doc_id, text, lang, source, n_chars FROM documents)"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to 1e-6 on the sf0.001 lineitem link graph."""
+    g = GraphFrame.from_edges(_edges_li(spark, "/root/testdata/sf0.001"))
+    res = pagerank(g, tol=1e-6, max_iterations=50)
+    return res.select("vertex_id", F.round("rank", 6).alias("rank"))
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- GraphFrame operators (SURVEY §2.1 rows 2-4) --
+    def out_degrees(spark, sf):
+        return GraphFrame.from_edges(_edges_li(spark, sf)).out_degrees()
+
+    def in_degrees(spark, sf):
+        return GraphFrame.from_edges(_edges_li(spark, sf)).in_degrees()
+
+    def from_edges_vertices(spark, sf):
+        return GraphFrame.from_edges(_edges_li(spark, sf)).vertices
+
+    def degrees_full(spark, sf):
+        g = GraphFrame.from_edges(_edges_li(spark, sf))
+        return g.out_degrees_full().join(
+            g.in_degrees_full().select("vertex_id", "in_degree"), "vertex_id"
+        )
+
+    # -- triplet dataflow (SURVEY §2.1 rows 7-10) --
+    def two_hop_paths(spark, sf):
+        e = _edges_li(spark, sf)
+        e1 = e.select(F.col("subject").alias("v"), F.col("object").alias("m"))
+        e2 = e.select(F.col("subject").alias("m"), F.col("object").alias("w"))
+        return (
+            e1.join(e2, "m")
+            .groupBy(F.col("v").alias("vertex_id"))
+            .agg(F.count(F.lit(1)).alias("paths2"))
+        )
+
+    def msg_sum_superstep(spark, sf):
+        """One engine superstep: rank/out_degree → object, sum-aggregated —
+        exercises triplet join ×2, message projection, groupBy agg, outer
+        apply (operators 5-10) through the REAL Pregel engine."""
+        e = _edges_li(spark, sf)
+        g0 = GraphFrame.from_edges(e)
+        g = GraphFrame(g0.out_degrees_full(), e)
+        n = g.vertices.count()
+        res = (
+            PregelBuilder(g)
+            .max_iterations(1)
+            .with_vertex_column("msg_sum")
+            .initial_message(F.lit(1.0 / n))
+            .send_messages(
+                MessageReceiver.OBJECT, subject("msg_sum") / subject("out_degree")
+            )
+            .aggregate_messages(F.sum(msg()))
+            .v_prog(F.round(F.coalesce(msg(), F.lit(0.0)), 6))
+            .build()
+            .run()
+        )
+        return res.select("vertex_id", "msg_sum")
+
+    # -- algorithms --
+    def pagerank_k3(spark, sf):
+        g = GraphFrame.from_edges(_edges_li(spark, sf))
+        res = pagerank(g, tol=0.0, max_iterations=3)
+        return res.select("vertex_id", F.round("rank", 6).alias("rank"))
+
+    def connected_components_q(spark, sf):
+        res = connected_components(GraphFrame.from_edges(_edges_ng(spark, sf)))
+        return res.select("vertex_id", "component")
+
+    def triangle_count_q(spark, sf):
+        res = triangle_count(GraphFrame.from_edges(_edges_sg(spark, sf)))
+        return res.select("vertex_id", "triangles")
+
+    def lpa_1round(spark, sf):
+        res = label_propagation(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
+        )
+        return res.select("vertex_id", "label")
+
+    # -- dedup --
+    def dedup_exact_q(spark, sf):
+        return dedup_exact(load_table(spark, sf, "documents"))
+
+    def minhash_q(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return minhash_signatures(char_shingles(docs, k=5), num_hashes=4)
+
+    def lsh_pairs_q(spark, sf):
+        return lsh_candidate_pairs(
+            load_table(spark, sf, "documents"), k=5, num_hashes=4, bands=2,
+            max_bucket=50,
+        )
+
+    def ngram_jaccard_q(spark, sf):
+        return ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), k=5, threshold=0.4
+        )
+
+    def simhash_q(spark, sf):
+        return simhash(load_table(spark, sf, "documents"))
+
+    def embedding_dups_q(spark, sf):
+        return embedding_cosine_dups(
+            load_table(spark, sf, "embeddings"), threshold=0.3
+        )
+
+    # -- similarity search --
+    def ann_topk_q(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    # -- text analysis --
+    def token_counts_q(spark, sf):
+        t = token_counts(load_table(spark, sf, "documents"))
+        return t.select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+
+    def quality_q(spark, sf):
+        r = quality_scores(load_table(spark, sf, "documents"))
+        return r.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "alpha_ratio",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_word_len",
+            "score",
+        )
+
+    def langid_q(spark, sf):
+        return language_id(load_table(spark, sf, "documents"))
+
+    def fingerprint_q(spark, sf):
+        return fingerprints(load_table(spark, sf, "documents"))
+
+    # -- multimodal plumbing (real pandas-UDF decode path) --
+    def multimodal_q(spark, sf):
+        media = documents_to_media(load_table(spark, sf, "documents"))
+        d = decode_media(media)
+        return d.select(
+            "doc_id", "media_type",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+
+    q.update(
+        out_degrees=out_degrees,
+        in_degrees=in_degrees,
+        from_edges_vertices=from_edges_vertices,
+        degrees_full=degrees_full,
+        two_hop_paths=two_hop_paths,
+        msg_sum_superstep=msg_sum_superstep,
+        pagerank_k3=pagerank_k3,
+        connected_components=connected_components_q,
+        triangle_count=triangle_count_q,
+        lpa_1round=lpa_1round,
+        dedup_exact=dedup_exact_q,
+        minhash_signatures=minhash_q,
+        lsh_candidate_pairs=lsh_pairs_q,
+        ngram_jaccard=ngram_jaccard_q,
+        simhash=simhash_q,
+        embedding_cosine_dups=embedding_dups_q,
+        ann_topk=ann_topk_q,
+        token_counts=token_counts_q,
+        quality_scores=quality_q,
+        language_id=langid_q,
+        fingerprints=fingerprint_q,
+        multimodal_decode=multimodal_q,
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table)
+# ---------------------------------------------------------------------------
+
+# portable language-marker counters (must mirror operators/text.py exactly)
+def _mk(words: str) -> str:
+    return (
+        f"len(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+    )
+
+
+_LANG_EXPR = {
+    "en": _mk("the|and|of|to|in|is"),
+    "de": _mk("der|die|und|das|ist|nicht"),
+    "fr": _mk("le|la|les|et|est|dans"),
+    "es": _mk("el|la|los|que|es|en"),
+}
+
+_WORD_RE_SQL = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# shared doc-shingle fragment (k=5, distinct, docs with len ≥ 5)
+_SHINGLES_SQL = (
+    "SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle "
+    "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i "
+    "      FROM documents WHERE length(text) >= 5)"
+)
+
+_MINHASH_SQL = (
+    "SELECT doc_id, CAST(seed AS BIGINT) AS seed, "
+    "MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash "
+    f"FROM ({_SHINGLES_SQL}) s, generate_series(0, 3) AS gs(seed) "
+    "GROUP BY doc_id, seed"
+)
+
+# cosine mirrored exactly as dedup.cosine_expr computes it:
+# dot / (sqrt(sum a^2) * sqrt(sum b^2)), double precision, index order.
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y) / "
+        f"(sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * v), (x, y) -> x + y)) * "
+        f"sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE) * v), (x, y) -> x + y)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["out_degrees"] = (
+        f"SELECT subject AS vertex_id, COUNT(object) AS out_degree "
+        f"FROM {_EV_SQL} GROUP BY subject"
+    )
+    o["in_degrees"] = (
+        f"SELECT object, COUNT(subject) AS in_degree "
+        f"FROM {_EV_SQL} GROUP BY object"
+    )
+    o["from_edges_vertices"] = (
+        f"SELECT DISTINCT vertex_id FROM (SELECT subject AS vertex_id FROM "
+        f"{_EV_SQL} UNION ALL SELECT object FROM {_EV_SQL})"
+    )
+    o["degrees_full"] = f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_EV_SQL}
+                    UNION ALL SELECT object FROM {_EV_SQL})),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_EV_SQL} GROUP BY subject),
+             ind AS (SELECT object AS vertex_id, COUNT(*) AS in_degree
+                     FROM {_EV_SQL} GROUP BY object)
+        SELECT v.vertex_id,
+               COALESCE(od.out_degree, 0) AS out_degree,
+               COALESCE(ind.in_degree, 0) AS in_degree
+        FROM v LEFT JOIN od USING (vertex_id) LEFT JOIN ind USING (vertex_id)
     """
-    return {}
+    o["two_hop_paths"] = f"""
+        SELECT e1.subject AS vertex_id, COUNT(*) AS paths2
+        FROM {_EV_SQL} e1 JOIN {_EV_SQL} e2 ON e1.object = e2.subject
+        GROUP BY e1.subject
+    """
+    o["msg_sum_superstep"] = f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_EV_SQL}
+                    UNION ALL SELECT object FROM {_EV_SQL})),
+             n AS (SELECT COUNT(*) AS c FROM v),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_EV_SQL} GROUP BY subject),
+             m AS (SELECT e.object AS vertex_id,
+                          SUM((1.0 / n.c) / od.out_degree) AS s
+                   FROM {_EV_SQL} e
+                   JOIN od ON e.subject = od.vertex_id CROSS JOIN n
+                   GROUP BY e.object)
+        SELECT v.vertex_id, ROUND(COALESCE(m.s, 0.0), 6) AS msg_sum
+        FROM v LEFT JOIN m USING (vertex_id)
+    """
+    # 3 unrolled PageRank iterations with dangling-mass redistribution
+    pr_iter = """
+        , m{t} AS (SELECT e.object AS vertex_id,
+                         SUM(r{p}.rank / od.out_degree) AS s
+                  FROM {ev} e
+                  JOIN r{p} ON e.subject = r{p}.vertex_id
+                  JOIN od ON e.subject = od.vertex_id
+                  GROUP BY e.object)
+        , d{t} AS (SELECT COALESCE(SUM(r{p}.rank), 0.0) AS dang FROM r{p}
+                  LEFT JOIN od ON r{p}.vertex_id = od.vertex_id
+                  WHERE od.vertex_id IS NULL)
+        , r{t} AS (SELECT v.vertex_id,
+                         0.85 * (COALESCE(m{t}.s, 0.0) + d{t}.dang / n.c)
+                         + 0.15 / n.c AS rank
+                  FROM v LEFT JOIN m{t} USING (vertex_id)
+                  CROSS JOIN d{t} CROSS JOIN n)
+    """
+    o["pagerank_k3"] = (
+        f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_EV_SQL}
+                    UNION ALL SELECT object FROM {_EV_SQL})),
+             n AS (SELECT COUNT(*) AS c FROM v),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_EV_SQL} GROUP BY subject),
+             r0 AS (SELECT vertex_id, 1.0 / n.c AS rank FROM v CROSS JOIN n)
+        """
+        + pr_iter.format(t=1, p=0, ev=_EV_SQL)
+        + pr_iter.format(t=2, p=1, ev=_EV_SQL)
+        + pr_iter.format(t=3, p=2, ev=_EV_SQL)
+        + " SELECT vertex_id, ROUND(rank, 6) AS rank FROM r3"
+    )
+    o["connected_components"] = f"""
+        WITH RECURSIVE
+        sym AS (SELECT subject AS src, object AS dst FROM {_NG_SQL}
+                UNION SELECT object, subject FROM {_NG_SQL}),
+        v AS (SELECT DISTINCT src AS vertex_id FROM sym),
+        reach(v, lbl) AS (
+            SELECT vertex_id, vertex_id FROM v
+            UNION
+            SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.v
+        )
+        SELECT v AS vertex_id, MIN(lbl) AS component FROM reach GROUP BY v
+    """
+    o["triangle_count"] = f"""
+        WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                   GREATEST(subject, object) AS b
+                   FROM {_SG_SQL} WHERE subject != object),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM {_SG_SQL}
+               UNION ALL SELECT object FROM {_SG_SQL})),
+        tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM c e1 JOIN c e2 ON e1.b = e2.a
+                JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (SELECT u AS vertex_id FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri),
+        cnt AS (SELECT vertex_id, COUNT(*) AS triangles FROM corners
+                GROUP BY vertex_id)
+        SELECT v.vertex_id, COALESCE(cnt.triangles, 0) AS triangles
+        FROM v LEFT JOIN cnt USING (vertex_id)
+    """
+    o["lpa_1round"] = f"""
+        WITH sym AS (SELECT DISTINCT subject AS src, object AS dst FROM
+                     (SELECT subject, object FROM {_SG_SQL}
+                      UNION ALL
+                      SELECT object, subject FROM {_SG_SQL})),
+        v AS (SELECT DISTINCT src AS vertex_id FROM sym),
+        votes AS (SELECT dst, src AS label FROM sym
+                  UNION ALL SELECT vertex_id, vertex_id FROM v),
+        cnts AS (SELECT dst, label, COUNT(*) AS cnt FROM votes
+                 GROUP BY dst, label),
+        ranked AS (SELECT dst, label,
+                          ROW_NUMBER() OVER (PARTITION BY dst
+                              ORDER BY cnt DESC, label ASC) AS rn
+                   FROM cnts)
+        SELECT v.vertex_id, r.label
+        FROM v JOIN ranked r ON r.dst = v.vertex_id AND r.rn = 1
+    """
+    o["dedup_exact"] = """
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """
+    o["minhash_signatures"] = _MINHASH_SQL
+    o["lsh_candidate_pairs"] = f"""
+        WITH sig AS ({_MINHASH_SQL}),
+        band AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                        md5(string_agg(minhash, ',' ORDER BY minhash)) AS bucket
+                 FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+        capped AS (SELECT band, bucket, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                             ORDER BY doc_id) AS rn
+                   FROM band),
+        kept AS (SELECT band, bucket, doc_id FROM capped WHERE rn <= 50)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    o["ngram_jaccard"] = f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        shl AS (SELECT sh.doc_id, sh.shingle, d.lang FROM sh
+                JOIN documents d USING (doc_id)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS i
+                  FROM shl a JOIN shl b
+                    ON a.shingle = b.shingle AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+        j AS (SELECT doc_a, doc_b,
+                     CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+        WHERE jac >= 0.4
+    """
+    # SimHash: identical bit formula as operators/dedup.simhash
+    o["simhash"] = """
+        WITH toks AS (
+            SELECT doc_id, md5(tok) AS h
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents WHERE length(trim(text)) > 0)
+            WHERE tok != ''),
+        expanded AS (
+            SELECT doc_id, CAST(bit AS INT) AS bit,
+                   CAST(floor(
+                       (strpos('0123456789abcdef',
+                               substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                       / power(2.0, 3 - bit % 4)
+                   ) AS INT) % 2 AS b
+            FROM toks, generate_series(0, 15) AS g(bit)),
+        votes AS (SELECT doc_id, bit, SUM(b * 2 - 1) AS vote
+                  FROM expanded GROUP BY doc_id, bit)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                    THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """
+    o["embedding_cosine_dups"] = f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
+    """
+    o["ann_topk"] = f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_cos('q.embedding', 'c.embedding')}, 6) AS cosine
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 10),
+        ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+    o["token_counts"] = f"""
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_WORD_RE_SQL}'))
+                    AS BIGINT) AS bpe_tokens
+        FROM documents
+    """
+    o["quality_scores"] = f"""
+        WITH f AS (SELECT doc_id,
+            length(text) AS n,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            length(regexp_replace(text,
+                '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS punct,
+            {_LANG_EXPR['en']} AS stop
+        FROM documents)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars,
+               ROUND(alpha / GREATEST(n, 1), 6) AS alpha_ratio,
+               ROUND(punct / GREATEST(n, 1), 6) AS punct_ratio,
+               ROUND(stop / GREATEST(toks, 1), 6) AS stopword_ratio,
+               ROUND(n / GREATEST(toks, 1), 6) AS mean_word_len,
+               ROUND(alpha / GREATEST(n, 1) * 0.5
+                     + LEAST(stop / GREATEST(toks, 1) * 5, 1.0) * 0.3
+                     + (1 - LEAST(punct / GREATEST(n, 1) * 4, 1.0)) * 0.2,
+                     6) AS score
+        FROM f
+    """
+    o["language_id"] = f"""
+        WITH c AS (SELECT doc_id,
+            {_LANG_EXPR['en']} AS en, {_LANG_EXPR['de']} AS de,
+            {_LANG_EXPR['fr']} AS fr, {_LANG_EXPR['es']} AS es
+        FROM documents)
+        SELECT doc_id,
+               CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                    WHEN de >= fr AND de >= es THEN 'de'
+                    WHEN fr >= es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM c
+    """
+    o["fingerprints"] = """
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """
+    o["multimodal_decode"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(13 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST((doc_id * 37) % 1920 + 16 AS BIGINT) AS width,
+               CAST((doc_id * 53) % 1080 + 16 AS BIGINT) AS height
+        FROM documents
+    """
+    return o
