@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set (mirrors __spark_entry__.queries, run at benchmark scale):
+  * pagerank_1e6   — PageRank to 1e-6 L∞ convergence on the lineitem link
+                     graph (the BASELINE.json north metric; the JSON also
+                     reports supersteps + supersteps/hour for it)
+  * connected_components / label_propagation / triangle_count
+  * webtext_pipeline — synthetic Common-Crawl-style pages → byte-exact text
+                     extraction → link extraction → xxhash64 ids → edge table
+  * lsh_dedup      — shingle → minhash → banded LSH candidate pairs
+  * dedup_exact, token_quality (token counts + quality scores single pass),
+    ann_topk (brute-force cosine top-k)
+
+Scaling-efficiency evidence (north rule, two cluster sizes) lives in
+``tools/bench_scaling.py`` → results table in BASELINE.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from pregel_rs_spark import GraphFrame
+from pregel_rs_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from pregel_rs_spark.functions.extract import pages_to_edges
+from pregel_rs_spark.operators.dedup import dedup_exact, lsh_candidate_pairs
+from pregel_rs_spark.operators.similarity import brute_force_topk
+from pregel_rs_spark.operators.text import quality_scores, token_counts
+from pregel_rs_spark.sources.io import get_spark, load_table
+from pregel_rs_spark.sources.synth import synth_pages
+
+
+def _consume(df):
+    """Force full execution without driver-side row transfer."""
+    return df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li_edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("subject"),
+            F.col("l_suppkey").alias("object"),
+        )
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # warm the JVM + read path once so q1 isn't charged session startup
+    li_edges.count()
+
+    def _pagerank():
+        g = GraphFrame.from_edges(li_edges)
+        res = pagerank(g, tol=1e-6, max_iterations=60)
+        _consume(res)
+        return res
+
+    t0 = time.monotonic()
+    pr = bench("pagerank_1e6", _pagerank)
+    pr_wall = time.monotonic() - t0
+    n_steps = len(pr.pregel_metrics) if hasattr(pr, "pregel_metrics") else None
+    if n_steps:
+        extra["pagerank_supersteps"] = n_steps
+        extra["pagerank_supersteps_per_hour"] = round(n_steps / (pr_wall / 3600.0), 1)
+
+    bench(
+        "connected_components",
+        lambda: _consume(connected_components(GraphFrame.from_edges(li_edges))),
+    )
+    bench(
+        "label_propagation",
+        lambda: _consume(
+            label_propagation(GraphFrame.from_edges(li_edges), max_iterations=3)
+        ),
+    )
+
+    sg_edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("subject"),
+            (F.col("l_partkey") % 97).alias("object"),
+        )
+        .filter(F.col("subject") != F.col("object"))
+        .distinct()
+    )
+    bench(
+        "triangle_count",
+        lambda: _consume(triangle_count(GraphFrame.from_edges(sg_edges))),
+    )
+
+    # webtext: pages → text+link extraction → 64-bit ids → edge table
+    n_pages = max(2000, int(200_000 * sf))
+    bench(
+        "webtext_pipeline",
+        lambda: _consume(pages_to_edges(synth_pages(spark, n_pages, seed=42))),
+    )
+
+    bench(
+        "lsh_dedup",
+        lambda: _consume(
+            lsh_candidate_pairs(docs, k=5, num_hashes=8, bands=4, max_bucket=50)
+        ),
+    )
+    bench("dedup_exact", lambda: _consume(dedup_exact(docs)))
+    bench(
+        "token_quality",
+        lambda: _consume(
+            token_counts(docs).join(
+                quality_scores(docs).select("doc_id", "score"), "doc_id"
+            )
+        ),
+    )
+    bench(
+        "ann_topk",
+        lambda: _consume(
+            brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=10)
+        ),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

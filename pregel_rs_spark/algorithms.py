@@ -84,7 +84,12 @@ def pagerank(
     )
     if checkpoint_store is not None:
         builder = builder.with_checkpoint(checkpoint_store, checkpoint_every)
-    return builder.build().run()
+    engine = builder.build()
+    res = engine.run()
+    # expose per-superstep metrics to benchmarks (supersteps/hour is the
+    # BASELINE.json north metric); plain Python attribute on the DataFrame
+    res.pregel_metrics = engine.metrics
+    return res
 
 
 def connected_components(
