@@ -56,16 +56,10 @@ def pagerank(
     n, has_dangling = counts["n"], counts["n_dangling"] > 0
 
     def v_prog(ctx):
-        # The dangling-mass scalar is one O(1) aggregate per superstep over
-        # the in-memory checkpointed state — skipped entirely when the graph
-        # has no zero-out-degree vertices (decided once, above).
-        dangling = 0.0
-        if has_dangling:
-            dangling = (
-                ctx.state.filter(F.col("out_degree") == 0)
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-            )
+        # Dangling mass rides the engine's per-superstep stats action
+        # (ctx.stats, zero extra Spark jobs) — skipped entirely when the
+        # graph has no zero-out-degree vertices (decided once, above).
+        dangling = float(ctx.stats.get("dangling") or 0.0) if has_dangling else 0.0
         return (
             F.coalesce(msg(), F.lit(0.0)) + F.lit(dangling / n)
         ) * damping + (1.0 - damping) / n
@@ -82,6 +76,14 @@ def pagerank(
         .v_prog(v_prog)
         .with_tolerance(tol)
     )
+    if has_dangling:
+        builder = builder.with_state_stat(
+            "dangling",
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ),
+        )
     if checkpoint_store is not None:
         builder = builder.with_checkpoint(checkpoint_store, checkpoint_every)
     engine = builder.build()

@@ -149,6 +149,11 @@ class PregelContext:
 
     superstep: int
     state: Optional[DataFrame] = None
+    # scalar statistics computed over the *current* state by the previous
+    # superstep's stats action (or the pre-loop bootstrap) — lets vertex
+    # programs consume global aggregates (e.g. PageRank dangling mass)
+    # without issuing their own per-superstep Spark action.
+    stats: dict = field(default_factory=dict)
 
 
 def _resolve(expr: ExprLike, ctx: PregelContext) -> Column:
@@ -177,6 +182,10 @@ class Pregel:
     checkpoint_store: Optional[object] = None  # plans.checkpoint.CheckpointStore
     checkpoint_interval: int = 0            # 0 = only on finish
     salted_agg_partials: int = 0            # >0: explicit two-phase salted agg
+    # named scalar aggregates evaluated over the state in the SAME stats
+    # action that measures convergence — surfaced to the next superstep's
+    # closures via ctx.stats (no extra Spark jobs).
+    state_stats: dict[str, Column] = field(default_factory=dict)
     metrics: list[SuperstepMetrics] = field(default_factory=list)
 
     # ------------------------------------------------------------------ run --
@@ -215,14 +224,25 @@ class Pregel:
             current = vertices.select("*", init.alias(vcol))
         current = truncate_plan(current)
 
-        static_cols = [c for c in vertices.columns if c != vcol]
         state_cols = [c for c in current.columns]
+
+        # Bootstrap user state-stats over the initial state (one cheap agg on
+        # the checkpointed frame); thereafter they piggy-back on the per-
+        # superstep stats action — zero extra jobs inside the loop.
+        last_stats: dict = {}
+        if self.state_stats:
+            row = current.agg(
+                *[e.alias(f"__ss_{k}__") for k, e in self.state_stats.items()]
+            ).collect()[0]
+            last_stats = {k: row[f"__ss_{k}__"] for k in self.state_stats}
 
         iteration = start_step
         try:
             while iteration <= self.max_iterations:
                 t0 = time.monotonic()
-                ctx = PregelContext(superstep=iteration, state=current)
+                ctx = PregelContext(
+                    superstep=iteration, state=current, stats=last_stats
+                )
 
                 # -- triplets: subject ⋈ edge ⋈ object (pregel.rs:791-808) --
                 subj = current.select(
@@ -262,6 +282,7 @@ class Pregel:
                     self.tolerance is not None
                     or self.check_exact
                     or self.checkpoint_store is not None
+                    or bool(self.state_stats)
                 )
                 agg_expr = _resolve(self.aggregate_expr, ctx).alias(PREGEL_MSG)
                 if self.salted_agg_partials > 1:
@@ -296,16 +317,17 @@ class Pregel:
                     F.col(VERTEX_ID) == _q(MSG_VERTEX_ID),
                     "left",
                 )
-                new_state = joined.select(
-                    F.col(VERTEX_ID),
+                # -- update (pregel.rs:859-865): the reference re-joins the
+                # original vertices frame to re-attach static props every
+                # superstep; since only ``vcol`` evolves, carrying the props
+                # through the apply select is semantically identical and
+                # saves one shuffle join + one source re-scan per superstep.
+                carry = [c for c in state_cols if c != vcol]
+                nxt = joined.select(
+                    *[F.col(f"`{c}`") for c in carry],
                     F.col(f"`{vcol}`").alias("__prev__"),
                     F.col("__msg_cnt__"),
                     _resolve(self.v_prog, ctx).alias(vcol),
-                )
-
-                # -- update: re-attach static vertex props (pregel.rs:859-865) --
-                nxt = vertices.select(*static_cols).join(
-                    new_state, VERTEX_ID, "inner"
                 )
 
                 # -- materialize: truncate lineage (≡ collect(), pregel.rs:867) --
@@ -330,11 +352,18 @@ class Pregel:
                         F.sum(F.coalesce(F.col("__msg_cnt__"), F.lit(0))).alias(
                             "messages"
                         ),
+                        *[
+                            e.alias(f"__ss_{k}__")
+                            for k, e in self.state_stats.items()
+                        ],
                     ).collect()[0]
                     n_vertices = stats["n"]
                     delta = stats["delta"]
                     changed = stats["changed"]
                     n_messages = stats["messages"]
+                    last_stats = {
+                        k: stats[f"__ss_{k}__"] for k in self.state_stats
+                    }
 
                 prev = current
                 current = nxt.drop("__prev__", "__msg_cnt__")
@@ -426,6 +455,14 @@ class PregelBuilder:
 
     def with_salted_aggregation(self, partials: int) -> "PregelBuilder":
         self._p.salted_agg_partials = partials
+        return self
+
+    def with_state_stat(self, name: str, expr: Column) -> "PregelBuilder":
+        """Register a scalar aggregate over the vertex state, evaluated in
+        the same per-superstep stats action as convergence (no extra jobs);
+        the value is visible to closures as ``ctx.stats[name]`` — computed
+        over the state the closure's superstep starts from."""
+        self._p.state_stats[name] = expr
         return self
 
     def build(self) -> Pregel:
