@@ -47,7 +47,7 @@ def pagerank(
 
     Returns ``(vertex_id, …props, out_degree, rank)``.
     """
-    g = GraphFrame(graph.out_degrees_full(), graph.edges) \
+    g = GraphFrame(graph.out_degrees_full(), graph.edges, closed=graph.closed) \
         if "out_degree" not in graph.vertices.columns else graph
     counts = g.vertices.agg(
         F.count(F.lit(1)).alias("n"),
@@ -92,6 +92,32 @@ def pagerank(
     # BASELINE.json north metric); plain Python attribute on the DataFrame
     res.pregel_metrics = engine.metrics
     return res
+
+
+def max_value(
+    graph: GraphFrame, value_column: str = "value", max_iterations: int = 10
+) -> DataFrame:
+    """Maximum-value propagation (reference examples/maximum_value.rs:27-40).
+
+    Every vertex starts at its own ``value_column``; each superstep it sends
+    its current maximum along out-edges, aggregates with max, and keeps the
+    larger of (own, received).  With ``with_exact_convergence`` the loop
+    stops as soon as no value changes — O(diameter) supersteps.
+
+    Returns ``(vertex_id, …props, max_value)``.
+    """
+    return (
+        PregelBuilder(graph)
+        .max_iterations(max_iterations)
+        .with_vertex_column("max_value")
+        .initial_message(F.col(value_column))
+        .send_messages(MessageReceiver.OBJECT, subject("max_value"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.greatest(F.col("max_value"), F.coalesce(msg(), F.col("max_value"))))
+        .with_exact_convergence()
+        .build()
+        .run()
+    )
 
 
 def connected_components(

@@ -46,7 +46,9 @@ class MissingColumnError(ValueError):
 class GraphFrame:
     """A graph as two DataFrames (graph_frame.rs:16-22, 127-139)."""
 
-    def __init__(self, vertices: DataFrame, edges: DataFrame) -> None:
+    def __init__(
+        self, vertices: DataFrame, edges: DataFrame, *, closed: bool = False
+    ) -> None:
         if VERTEX_ID not in vertices.columns:
             raise MissingColumnError.vertex_id()
         if SUBJECT not in edges.columns:
@@ -55,6 +57,11 @@ class GraphFrame:
             raise MissingColumnError.object_()
         self.vertices = vertices
         self.edges = edges
+        # closed-world: every edge endpoint is guaranteed present in
+        # ``vertices`` (true by construction for from_edges) — lets the
+        # Pregel engine drop vertex-side triplet joins whose only remaining
+        # purpose would be endpoint filtering.
+        self.closed = closed
 
     # -- constructors ---------------------------------------------------------
 
@@ -67,7 +74,7 @@ class GraphFrame:
             .unionAll(edges.select(F.col(OBJECT).alias(VERTEX_ID)))
             .distinct()
         )
-        return cls(vertices, edges)
+        return cls(vertices, edges, closed=True)
 
     # -- degrees --------------------------------------------------------------
 

@@ -104,7 +104,20 @@ def truncate_plan(df: DataFrame) -> DataFrame:
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jrdd, jdf.schema(), False
         )
-        return DataFrame(new_jdf, spark)
+        out = DataFrame(new_jdf, spark)
+        # Handle to the materialized blocks: DataFrame.unpersist() on the
+        # rewrapped frame is a no-op (it was never cached through the
+        # CacheManager), so the loop frees the previous superstep's blocks
+        # through this RDD handle instead of waiting for the JVM GC /
+        # ContextCleaner to notice — keeps peak storage at ~2 states.
+        # ``ck``'s analyzed plan is the LogicalRDD whose .rdd() is the
+        # localCheckpoint-persisted RDD (toRdd() above is a derived
+        # projection over it, not the block holder).
+        try:
+            out._ck_rdd = jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            out._ck_rdd = None
+        return out
     except Exception:
         return ck
 
@@ -116,10 +129,13 @@ class MessageReceiver(Enum):
     OBJECT = "object"
 
     def receiver_expr(self) -> Column:
-        # Parity with pregel.rs:188-191: subject id comes from the
-        # subject-side vertex columns, object id from the edge columns.
+        # Reference (pregel.rs:188-191) reads the subject id from the
+        # subject-side vertex columns and the object id from the edge
+        # columns; the values are identical by the join equality, and using
+        # the edge-side columns for BOTH lets the engine drop an unused
+        # vertex-side join entirely (closed-world graphs).
         if self is MessageReceiver.SUBJECT:
-            return _q(alias(SUBJECT, VERTEX_ID))
+            return _q(alias("edge", SUBJECT))
         return _q(alias("edge", OBJECT))
 
 
@@ -186,6 +202,12 @@ class Pregel:
     # action that measures convergence — surfaced to the next superstep's
     # closures via ctx.stats (no extra Spark jobs).
     state_stats: dict[str, Column] = field(default_factory=dict)
+    # AQE inside the superstep loop (default off): the loop's partitioning
+    # is fixed and uniform per iteration, so adaptive re-planning only adds
+    # per-stage scheduling latency AND defeats exchange reuse; hub skew is
+    # handled by salting / map-side partial aggregation.  Opt back in for
+    # exploratory runs with wildly skewed unknown inputs.
+    adaptive: bool = False
     metrics: list[SuperstepMetrics] = field(default_factory=list)
 
     # ------------------------------------------------------------------ run --
@@ -201,13 +223,20 @@ class Pregel:
 
         vertices = self.graph.vertices
         vcol = self.vertex_column
+        spark = vertices.sparkSession
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", str(self.adaptive).lower())
 
-        # Edges: prefix once, repartition by the join key once, persist —
-        # reused by every superstep without re-shuffling.
+        # Edges: prefix once, repartition by the join key once, pre-sort
+        # within partitions (sort-merge join then skips re-sorting the edge
+        # side every superstep), persist — no edge re-shuffle per iteration.
         edges = self.graph.edges.select(
             *[F.col(c).alias(alias("edge", c)) for c in self.graph.edges.columns]
         )
-        edges = edges.repartition(_q(alias("edge", SUBJECT))).persist()
+        edge_key = _q(alias("edge", SUBJECT))
+        edges = (
+            edges.repartition(edge_key).sortWithinPartitions(edge_key).persist()
+        )
 
         start_step = 1
         current = None
@@ -244,30 +273,61 @@ class Pregel:
                     superstep=iteration, state=current, stats=last_stats
                 )
 
+                # One explicit hash-exchange of the state per superstep; the
+                # subject side of the triplet join and the apply join both
+                # consume it, and Spark's ReuseExchange rule shuffles it ONCE
+                # (identical canonical exchange subtree).  With AQE off the
+                # partition count is stable, so the aggregated-message side
+                # of the apply join also lines up with no extra exchange.
+                base = current.repartition(F.col(VERTEX_ID))
+
                 # -- triplets: subject ⋈ edge ⋈ object (pregel.rs:791-808) --
-                subj = current.select(
-                    *[F.col(f"`{c}`").alias(alias(SUBJECT, c)) for c in state_cols]
-                )
-                obj = current.select(
-                    *[F.col(f"`{c}`").alias(alias(OBJECT, c)) for c in state_cols]
-                )
-                triplets = subj.join(
-                    edges,
-                    _q(alias(SUBJECT, VERTEX_ID)) == _q(alias("edge", SUBJECT)),
-                    "inner",
-                ).join(
-                    obj,
-                    _q(alias("edge", OBJECT)) == _q(alias(OBJECT, VERTEX_ID)),
-                    "inner",
-                )
+                # Each vertex-side join serves two purposes in the reference:
+                # providing that side's columns to message expressions, and
+                # inner-join filtering of edges whose endpoint is missing
+                # from the vertex set.  When no payload references a side's
+                # columns AND the graph is closed-world (vertex set derived
+                # from the edges, so the filter is a no-op), that join is
+                # dropped — for PageRank this halves the per-superstep joins.
+                resolved = [
+                    (sm.receiver, _resolve(sm.payload, ctx))
+                    for sm in self.send_messages
+                ]
+                closed = getattr(self.graph, "closed", False)
+                need_subj = any(f"{SUBJECT}." in str(p) for _, p in resolved)
+                need_obj = any(f"{OBJECT}." in str(p) for _, p in resolved)
+                triplets = edges
+                if need_subj or not closed:
+                    subj = base.select(
+                        *[
+                            F.col(f"`{c}`").alias(alias(SUBJECT, c))
+                            for c in state_cols
+                        ]
+                    )
+                    triplets = subj.join(
+                        triplets,
+                        _q(alias(SUBJECT, VERTEX_ID)) == _q(alias("edge", SUBJECT)),
+                        "inner",
+                    )
+                if need_obj or not closed:
+                    obj = base.select(
+                        *[
+                            F.col(f"`{c}`").alias(alias(OBJECT, c))
+                            for c in state_cols
+                        ]
+                    )
+                    triplets = triplets.join(
+                        obj,
+                        _q(alias("edge", OBJECT)) == _q(alias(OBJECT, VERTEX_ID)),
+                        "inner",
+                    )
 
                 # -- messages: one frame per SendMessage, unioned (Q1 fix) --
                 frames = []
-                for sm in self.send_messages:
-                    payload = _resolve(sm.payload, ctx)
+                for receiver, payload in resolved:
                     frames.append(
                         triplets.select(
-                            sm.receiver.receiver_expr().alias(MSG_VERTEX_ID),
+                            receiver.receiver_expr().alias(MSG_VERTEX_ID),
                             payload.alias(PREGEL_MSG),
                         )
                     )
@@ -312,7 +372,7 @@ class Pregel:
                 # Left join ≡ reference full join: message ids ⊆ vertex ids
                 # because triplets are inner joins.  No-message vertices see
                 # NULL _pregel_msg_ (Q2 parity).
-                joined = current.join(
+                joined = base.join(
                     aggregated,
                     F.col(VERTEX_ID) == _q(MSG_VERTEX_ID),
                     "left",
@@ -367,8 +427,14 @@ class Pregel:
 
                 prev = current
                 current = nxt.drop("__prev__", "__msg_cnt__")
+                current._ck_rdd = getattr(nxt, "_ck_rdd", None)
                 state_cols = current.columns
-                prev.unpersist()
+                prev_rdd = getattr(prev, "_ck_rdd", None)
+                if prev_rdd is not None:
+                    try:
+                        prev_rdd.unpersist(False)
+                    except Exception:
+                        pass
 
                 self.metrics.append(
                     SuperstepMetrics(
@@ -395,6 +461,7 @@ class Pregel:
                 iteration += 1
         finally:
             edges.unpersist()
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
         if self.checkpoint_store is not None:
             self.checkpoint_store.write(
@@ -455,6 +522,12 @@ class PregelBuilder:
 
     def with_salted_aggregation(self, partials: int) -> "PregelBuilder":
         self._p.salted_agg_partials = partials
+        return self
+
+    def with_adaptive(self, on: bool = True) -> "PregelBuilder":
+        """Re-enable AQE inside the superstep loop (off by default — see
+        ``Pregel.adaptive``)."""
+        self._p.adaptive = on
         return self
 
     def with_state_stat(self, name: str, expr: Column) -> "PregelBuilder":

@@ -54,8 +54,13 @@ def page_url(i: int, n: int) -> str:
     return f"https://site{i % n_sites}.example.com/page/{i}"
 
 
-def gen_page(i: int, n: int, seed: int = 42) -> dict:
-    """Pure deterministic page builder — also the local test oracle."""
+def gen_page(i: int, n: int, seed: int = 42, link_factor: int = 1) -> dict:
+    """Pure deterministic page builder — also the local test oracle.
+
+    ``link_factor`` scales the power-law out-degree (1 → mean ≈ 3.4 links,
+    6 → mean ≈ 16) so benchmark corpora can be made message-dense without
+    touching the default fixtures.
+    """
     rng = random.Random(seed * 1_000_003 + i)
     lang = _LANGS[rng.randrange(len(_LANGS))]
     vocab = _VOCAB[lang]
@@ -64,7 +69,7 @@ def gen_page(i: int, n: int, seed: int = 42) -> dict:
 
     # power-law out-degree: P(deg ≥ d) ~ d^-1.25, capped
     u = rng.random()
-    out_deg = min(int(1.0 / max(u, 1e-9) ** 0.8), 40)
+    out_deg = min(int(link_factor / max(u, 1e-9) ** 0.8), 40 * link_factor)
 
     anchors = []
     for k in range(out_deg):
@@ -111,7 +116,11 @@ def gen_page(i: int, n: int, seed: int = 42) -> dict:
 
 
 def synth_pages(
-    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    link_factor: int = 1,
 ) -> DataFrame:
     """Distributed deterministic pages table: ``spark.range(n) → mapInPandas``.
 
@@ -122,7 +131,7 @@ def synth_pages(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_page(int(i), n, seed) for i in pdf["id"]]
+            rows = [gen_page(int(i), n, seed, link_factor) for i in pdf["id"]]
             out = pd.DataFrame(rows)
             out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
             yield out

@@ -26,8 +26,8 @@ import sys
 SCRATCH = "/tmp/spark_graft_scaling"
 
 
-def build_edges(n_pages: int) -> str:
-    path = os.path.join(SCRATCH, f"edges_n{n_pages}_seed42.parquet")
+def build_edges(n_pages: int, link_factor: int = 1) -> str:
+    path = os.path.join(SCRATCH, f"edges_n{n_pages}_lf{link_factor}_seed42.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     sys.path.insert(0, "/root/repo")
@@ -35,9 +35,11 @@ def build_edges(n_pages: int) -> str:
     from pregel_rs_spark.sources.io import get_spark
     from pregel_rs_spark.sources.synth import synth_pages
 
-    spark = get_spark("edge-build", cores=32, shuffle_partitions=64)
+    spark = get_spark("edge-build", cores=24, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = synth_pages(spark, n_pages, seed=42, partitions=96)
+    pages = synth_pages(
+        spark, n_pages, seed=42, partitions=96, link_factor=link_factor
+    )
     edges = pages_to_edges(pages).select("subject", "object").distinct()
     edges.repartition(64).write.mode("overwrite").parquet(path)
     n_edges = spark.read.parquet(path).count()
@@ -65,14 +67,16 @@ def run_level(cores: int, edges_path: str, steps: int, tol: float = 0.0) -> dict
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=1_500_000)
+    ap.add_argument("--link-factor", type=int, default=6,
+                    help="synth out-degree scale (6 -> mean ~16 links/page)")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--n-cores", type=int, default=8)
+    ap.add_argument("--n-cores", type=int, default=4)
     ap.add_argument("--out", default="/root/repo/BENCH_SCALING.json")
     ap.add_argument("--skip-convergence", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(SCRATCH, exist_ok=True)
-    edges_path = build_edges(args.pages)
+    edges_path = build_edges(args.pages, args.link_factor)
 
     n, n4 = args.n_cores, args.n_cores * 4
     lo = run_level(n, edges_path, args.steps)
