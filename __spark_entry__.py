@@ -30,6 +30,7 @@ from pregel_rs_spark import GraphFrame, MessageReceiver, PregelBuilder, msg, sub
 from pregel_rs_spark.algorithms import (
     connected_components,
     label_propagation,
+    max_value,
     pagerank,
     triangle_count,
 )
@@ -182,6 +183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = triangle_count(GraphFrame.from_edges(_edges_sg(spark, sf)))
         return res.select("vertex_id", "triangles")
 
+    def max_value_q(spark, sf):
+        """Reference example parity (examples/maximum_value.rs): value =
+        vertex_id, propagated along out-edges to exact convergence."""
+        e = _edges_sg(spark, sf)
+        g0 = GraphFrame.from_edges(e)
+        g = GraphFrame(
+            g0.vertices.withColumn("value", F.col("vertex_id")), e, closed=True
+        )
+        res = max_value(g, max_iterations=40)
+        return res.select("vertex_id", "max_value")
+
     def lpa_1round(spark, sf):
         res = label_propagation(
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
@@ -247,6 +259,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint_q(spark, sf):
         return fingerprints(load_table(spark, sf, "documents"))
 
+    # -- webtext pipeline (synth pages → link extraction → edge table);
+    #    deterministic but not SQL-expressible → rows-only driver check;
+    #    byte-identity of extraction is pytest-verified (test_webtext) --
+    def webtext_edges_q(spark, sf):
+        from pregel_rs_spark.functions.extract import pages_to_edges
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return pages_to_edges(pages).select("subject", "object").distinct()
+
     # -- multimodal plumbing (real pandas-UDF decode path) --
     def multimodal_q(spark, sf):
         media = documents_to_media(load_table(spark, sf, "documents"))
@@ -268,7 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pagerank_k3=pagerank_k3,
         connected_components=connected_components_q,
         triangle_count=triangle_count_q,
+        max_value=max_value_q,
         lpa_1round=lpa_1round,
+        webtext_edges=webtext_edges_q,
         dedup_exact=dedup_exact_q,
         minhash_signatures=minhash_q,
         lsh_candidate_pairs=lsh_pairs_q,
@@ -439,6 +463,19 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY vertex_id)
         SELECT v.vertex_id, COALESCE(cnt.triangles, 0) AS triangles
         FROM v LEFT JOIN cnt USING (vertex_id)
+    """
+    o["max_value"] = f"""
+        WITH RECURSIVE
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM {_SG_SQL}
+               UNION ALL SELECT object FROM {_SG_SQL})),
+        reach(vid, val) AS (
+            SELECT vertex_id, vertex_id FROM v
+            UNION
+            SELECT e.object, r.val FROM reach r
+            JOIN {_SG_SQL} e ON e.subject = r.vid
+        )
+        SELECT vid AS vertex_id, MAX(val) AS max_value FROM reach GROUP BY vid
     """
     o["lpa_1round"] = f"""
         WITH sym AS (SELECT DISTINCT subject AS src, object AS dst FROM

@@ -120,3 +120,39 @@ def test_triangle_count_direction_insensitive(spark):
     res = triangle_count(GraphFrame.from_edges(e))
     tri = {r.vertex_id: r.triangles for r in res.collect()}
     assert tri == {1: 1, 2: 1, 3: 1}
+
+
+def test_max_value_builtin(spark):
+    """Reference example parity (examples/maximum_value.rs): all vertices
+    converge to the global max reachable value, exact."""
+    from pregel_rs_spark.algorithms import max_value
+
+    vertices = spark.createDataFrame(
+        [(0, 3), (1, 6), (2, 2), (3, 1)], "vertex_id long, value long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 3), (2, 1), (2, 3), (3, 2)],
+        "subject long, object long",
+    )
+    res = max_value(GraphFrame(vertices, edges), max_iterations=10)
+    got = {r.vertex_id: r.max_value for r in res.collect()}
+    assert got == {0: 6, 1: 6, 2: 6, 3: 6}
+
+
+def test_pagerank_open_vs_closed_world(spark):
+    """Join pruning on closed graphs must not change results: the same
+    edge set run through a closed-world graph (object-side join dropped)
+    and an open-world graph (reference full triplet) agree to 1e-12."""
+    e = spark.createDataFrame(EDGES_A, "subject long, object long")
+    closed = pagerank(GraphFrame.from_edges(e), tol=0.0, max_iterations=5)
+    v = (
+        e.select(F.col("subject").alias("vertex_id"))
+        .unionAll(e.select("object"))
+        .distinct()
+    )
+    open_ = pagerank(GraphFrame(v, e, closed=False), tol=0.0, max_iterations=5)
+    a = {r.vertex_id: r.rank for r in closed.collect()}
+    b = {r.vertex_id: r.rank for r in open_.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
