@@ -38,7 +38,9 @@ def main() -> None:
     g.vertices.count()
 
     t0 = time.monotonic()
-    res = pagerank(g, tol=tol, max_iterations=supersteps)
+    # tol<=0 → fixed-superstep throughput mode: no convergence tolerance,
+    # so the engine skips the per-superstep stats action when it can.
+    res = pagerank(g, tol=(tol if tol > 0 else None), max_iterations=supersteps)
     res.write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
 
