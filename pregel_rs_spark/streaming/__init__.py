@@ -1,0 +1,13 @@
+from pregel_rs_spark.streaming.ingest import (
+    dedup_pages_stream,
+    run_edges_stream,
+    stream_pages,
+    stream_pages_to_edges,
+)
+
+__all__ = [
+    "stream_pages",
+    "stream_pages_to_edges",
+    "dedup_pages_stream",
+    "run_edges_stream",
+]

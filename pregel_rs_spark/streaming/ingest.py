@@ -1,0 +1,96 @@
+"""Streaming ingestion: crawled pages arrive continuously → edge table grows
+incrementally → graph algorithms run on the accumulated snapshot.
+
+The reference has no streaming surface (SURVEY §2.3); this layer is the
+Spark-native growth path for the same data model: Structured Streaming over
+the pages schema, the SAME stateless pandas-UDF extractors as the batch path
+(`functions/extract.py` — stateless projections are streaming-safe
+unchanged, so the byte-identity invariant carries over per micro-batch), a
+watermark + `dropDuplicates` stage for re-crawled urls, and an append sink.
+
+Scale notes:
+  * extraction is per-batch embarrassingly parallel — no shuffle before the
+    sink; the only stateful operator is url dedup, whose state is bounded by
+    the watermark horizon.
+  * the sink is the same TableStore contract as batch (Iceberg `writeTo` on
+    a real deployment, parquet-dir append here); PageRank & friends then run
+    on snapshots — BSP iteration itself stays batch (the superstep barrier
+    is the engine's windowing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pregel_rs_spark.functions.extract import extract_links_udf, url_id
+from pregel_rs_spark.sources.synth import PAGES_SCHEMA
+
+
+def stream_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of pages parquet (schema per BASELINE input_hint).
+
+    On a real crawl this is a Kafka/Kinesis source with the same schema; the
+    downstream plan is identical.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def dedup_pages_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop re-crawls of the same url within the watermark horizon.
+
+    Late pages beyond the watermark are dropped by the engine; state size is
+    bounded by (urls seen within horizon).
+    """
+    return pages.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url", "warc_ts"]
+    )
+
+
+def stream_pages_to_edges(pages: DataFrame) -> DataFrame:
+    """Incremental link extraction — identical expression tree to the batch
+    ``pages_to_edges`` minus the closed-world semi-join (unbounded corpus
+    membership is not decidable mid-stream; run the semi-join at snapshot
+    time instead).  Returns ``(subject, object, src_url, dst_url, warc_ts)``.
+    """
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.col("warc_ts"),
+        F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
+    ).filter(F.col("dst_url") != F.col("src_url"))
+    return links.select(
+        url_id(F.col("src_url")).alias("subject"),
+        url_id(F.col("dst_url")).alias("object"),
+        "src_url",
+        "dst_url",
+        "warc_ts",
+    )
+
+
+def run_edges_stream(
+    edges: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Append the incremental edge stream to a parquet table (Iceberg
+    ``toTable`` on a real deployment) and return the started query.
+
+    ``available_now=True`` processes everything currently in the source and
+    stops — the testing/backfill trigger; pass False for a continuous
+    micro-batch run.
+    """
+    writer = (
+        edges.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
