@@ -209,7 +209,12 @@ def label_propagation(
             nxt = truncate_plan(nxt)
             prev = labels
             labels = nxt
-            prev.unpersist()
+            prev_rdd = getattr(prev, "_ck_rdd", None)
+            if prev_rdd is not None:
+                try:
+                    prev_rdd.unpersist(False)
+                except Exception:
+                    pass
     finally:
         sym.unpersist()
     return labels

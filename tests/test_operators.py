@@ -185,3 +185,25 @@ def test_real_documents_shape(spark):
     assert token_counts(docs).count() == 500
     assert fingerprints(docs).select("fingerprint").distinct().count() == 500
     assert quality_scores(docs).filter(F.col("score") < 0).count() == 0
+
+
+def test_brute_force_topk_arrow_matches_catalyst(spark):
+    """The Arrow/BLAS top-k path agrees with the pure-Catalyst baseline
+    (identical ranking away from float-tie boundaries: ≥95% overlap and
+    cosine agreement to 1e-9 on shared pairs)."""
+    from pregel_rs_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = brute_force_topk(emb, queries, k=5).collect()
+    b = brute_force_topk_arrow(emb, queries, k=5).collect()
+    pa = {(r.query_id, r.neighbor_id): r.cosine for r in a}
+    pb = {(r.query_id, r.neighbor_id): r.cosine for r in b}
+    assert len(pb) == len(pa)
+    shared = set(pa) & set(pb)
+    assert len(shared) / len(pa) >= 0.95
+    for key in shared:
+        assert abs(pa[key] - pb[key]) < 1e-9
