@@ -55,7 +55,10 @@ def _consume(df):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default 16, not nproc: local[32] on a 32-vCPU host oversubscribes the
+    # JVM (driver + GC + Python workers share cores) and measures ~25%
+    # slower across the whole suite (see BASELINE.md §4).
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
