@@ -43,6 +43,12 @@ from pregel_rs_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pregel_rs_spark.operators.events import (
+    extract_props_key,
+    hourly_type_counts,
+    session_stats,
+    sessionize,
+)
 from pregel_rs_spark.operators.multimodal import decode_media, documents_to_media
 from pregel_rs_spark.operators.similarity import brute_force_topk
 from pregel_rs_spark.operators.text import (
@@ -259,6 +265,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint_q(spark, sf):
         return fingerprints(load_table(spark, sf, "documents"))
 
+    # -- event analytics (window functions, time rollups, JSON) --
+    def sessionize_q(spark, sf):
+        s = sessionize(load_table(spark, sf, "events"), gap_minutes=30)
+        return s.select("event_id", "user_id", "session_seq")
+
+    def session_stats_q(spark, sf):
+        r = session_stats(load_table(spark, sf, "events"), gap_minutes=30)
+        return r.select(
+            "user_id", "session_seq",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("duration_s", 6).alias("duration_s"),
+            "total_value",
+        )
+
+    def hourly_counts_q(spark, sf):
+        r = hourly_type_counts(load_table(spark, sf, "events"))
+        return r.select(
+            "hour_ts", "event_type",
+            F.col("n").cast("long").alias("n"), "total_value",
+        )
+
+    def props_extract_q(spark, sf):
+        return extract_props_key(load_table(spark, sf, "events"), "k")
+
     # -- webtext pipeline (synth pages → link extraction → edge table);
     #    deterministic but not SQL-expressible → rows-only driver check;
     #    byte-identity of extraction is pytest-verified (test_webtext) --
@@ -293,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_value=max_value_q,
         lpa_1round=lpa_1round,
         webtext_edges=webtext_edges_q,
+        sessionize=sessionize_q,
+        session_stats=session_stats_q,
+        hourly_type_counts=hourly_counts_q,
+        props_extract=props_extract_q,
         dedup_exact=dedup_exact_q,
         minhash_signatures=minhash_q,
         lsh_candidate_pairs=lsh_pairs_q,
@@ -493,6 +527,37 @@ def oracle_sql() -> dict[str, str]:
                    FROM cnts)
         SELECT v.vertex_id, r.label
         FROM v JOIN ranked r ON r.dst = v.vertex_id AND r.rn = 1
+    """
+    _SESS_SQL = """
+        SELECT event_id, user_id, ts, value,
+               SUM(CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM (SELECT event_id, user_id, ts, value,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_us
+              FROM events)
+    """
+    o["sessionize"] = f"SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq FROM ({_SESS_SQL})"
+    o["session_stats"] = f"""
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0, 6)
+                   AS duration_s,
+               ROUND(SUM(value), 6) AS total_value
+        FROM ({_SESS_SQL}) GROUP BY user_id, session_seq
+    """
+    o["hourly_type_counts"] = """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+    o["props_extract"] = """
+        SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
     """
     o["dedup_exact"] = """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

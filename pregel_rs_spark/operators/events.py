@@ -1,0 +1,81 @@
+"""Event-stream analytics over an ``events(event_id, ts, user_id,
+event_type, value, props)`` table — sessionization, windowed rollups, JSON
+property extraction.
+
+No reference counterpart (the reference has no window functions or date/json
+libraries — SURVEY §2.3); these are the standard event-pipeline operators a
+training-data stack needs, expressed as pure Catalyst window/agg plans.
+
+Scale notes:
+  * sessionization is ONE shuffle (hash by user_id) + an in-partition sort —
+    the canonical "segment by key, order by time" plan; skewed power users
+    are bounded by per-user event counts, not corpus size;
+  * gap comparisons use integer microseconds (``unix_micros``) so engine and
+    oracle agree bit-exactly — no float time math;
+  * time rollups use ``date_trunc`` (stable bucketing, partition-prunable on
+    a date-partitioned table at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions: a new session starts when the pause since the
+    user's previous event exceeds ``gap_minutes``.
+
+    Returns the events with ``session_seq`` (1-based per user, ordered by
+    ``(ts, event_id)``) — ``(user_id, session_seq)`` is the session key.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+    ).over(w)
+    boundary = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__b", boundary)
+        .withColumn("session_seq", F.sum("__b").over(w))
+        .drop("__b")
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session rollup: event count, duration (seconds), total value.
+
+    Returns ``(user_id, session_seq, n_events, duration_s, total_value)``.
+    """
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.max(F.unix_micros(F.col("ts").cast("timestamp"))) - F.min(F.unix_micros(F.col("ts").cast("timestamp"))))
+            / 1_000_000.0
+        ).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour rollup per event type:
+    ``(hour_ts epoch-seconds, event_type, n, total_value)``."""
+    return events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def extract_props_key(events: DataFrame, key: str = "k") -> DataFrame:
+    """JSON property extraction: ``(event_id, k)`` from the ``props`` JSON
+    string — `get_json_object` stays in codegen (no UDF)."""
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), f"$.{key}").cast("long").alias(key),
+    )
