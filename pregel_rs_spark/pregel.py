@@ -98,11 +98,32 @@ def truncate_plan(df: DataFrame) -> DataFrame:
     """
     ck = df.localCheckpoint(eager=True)
     try:
-        jdf = ck._jdf
-        jrdd = jdf.queryExecution().toRdd()
         spark = df.sparkSession
-        new_jdf = spark._jsparkSession.internalCreateDataFrame(
-            jrdd, jdf.schema(), False
+        jvm = spark.sparkContext._jvm
+        lr = ck._jdf.queryExecution().analyzed()  # the checkpoint LogicalRDD
+        none = getattr(jvm.scala, "None$").__getattr__("MODULE$")
+        # Re-create the LogicalRDD with originStats/originConstraints = None
+        # (kills the recursion) while KEEPING outputPartitioning and
+        # outputOrdering.  Because Dataset.localCheckpoint preserves the
+        # physical plan's partitioning, and the superstep's final join runs
+        # hash-partitioned on vertex_id, the re-wrapped state *stays*
+        # hash-partitioned on vertex_id across supersteps — the triplet
+        # subject side and the apply join then need NO state re-shuffle
+        # (LogicalRDD.newInstance remaps the partitioning expr-ids on
+        # self-join dedup, so both uses keep the property).
+        new_lr = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            lr.output(),
+            lr.rdd(),
+            lr.outputPartitioning(),
+            lr.outputOrdering(),
+            False,
+            none,
+            spark._jsparkSession,
+            none,
+            none,
+        )
+        new_jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_lr
         )
         out = DataFrame(new_jdf, spark)
         # Handle to the materialized blocks: DataFrame.unpersist() on the
@@ -110,13 +131,7 @@ def truncate_plan(df: DataFrame) -> DataFrame:
         # CacheManager), so the loop frees the previous superstep's blocks
         # through this RDD handle instead of waiting for the JVM GC /
         # ContextCleaner to notice — keeps peak storage at ~2 states.
-        # ``ck``'s analyzed plan is the LogicalRDD whose .rdd() is the
-        # localCheckpoint-persisted RDD (toRdd() above is a derived
-        # projection over it, not the block holder).
-        try:
-            out._ck_rdd = jdf.queryExecution().analyzed().rdd()
-        except Exception:
-            out._ck_rdd = None
+        out._ck_rdd = lr.rdd()
         return out
     except Exception:
         return ck
@@ -273,13 +288,14 @@ class Pregel:
                     superstep=iteration, state=current, stats=last_stats
                 )
 
-                # One explicit hash-exchange of the state per superstep; the
-                # subject side of the triplet join and the apply join both
-                # consume it, and Spark's ReuseExchange rule shuffles it ONCE
-                # (identical canonical exchange subtree).  With AQE off the
-                # partition count is stable, so the aggregated-message side
-                # of the apply join also lines up with no extra exchange.
-                base = current.repartition(F.col(VERTEX_ID))
+                # The state keeps its hash(vertex_id) partitioning across
+                # supersteps (truncate_plan preserves the checkpoint's
+                # outputPartitioning), so in steady state NEITHER the
+                # subject/object triplet sides NOR the apply join re-shuffle
+                # the state; with AQE off the partition count is stable and
+                # the aggregated-message side lines up too.  Superstep 1
+                # pays one bootstrap shuffle (source partitioning unknown).
+                base = current
 
                 # -- triplets: subject ⋈ edge ⋈ object (pregel.rs:791-808) --
                 # Each vertex-side join serves two purposes in the reference:
