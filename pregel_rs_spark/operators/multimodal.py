@@ -87,6 +87,101 @@ def documents_to_media(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "target_w int, target_h int, resized binary, ok boolean"
+)
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+)
+
+
+def resize_media(
+    media_df: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize plumbing via ``mapInPandas``: parses each blob's header,
+    computes the letterboxed target geometry, and re-emits the blob with a
+    rewritten header.  The pixel resample itself is the decoder's job — a
+    real deployment swaps :func:`register_decoder`/the body for
+    PIL/opencv; batch shape, schema, and error handling are the real,
+    tested Spark surface (per BASELINE input_hint: Arrow batches, no
+    per-row Python at the boundary).
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                try:
+                    meta = _DECODER(bytes(blob) if blob is not None else None)
+                    w, h = meta["width"], meta["height"]
+                    out = (
+                        _MAGIC
+                        + mt[:1].encode()
+                        + struct.pack(">II", target_w, target_h)
+                        + bytes(blob)[13:]
+                    )
+                    rows.append(
+                        dict(
+                            doc_id=doc_id, media_type=mt, width=w, height=h,
+                            target_w=target_w, target_h=target_h,
+                            resized=out, ok=True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        dict(
+                            doc_id=doc_id, media_type=mt, width=None,
+                            height=None, target_w=target_w,
+                            target_h=target_h, resized=None, ok=False,
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media_df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing for video blobs: one output row per sampled
+    frame ``(doc_id, frame_idx, frame_ts_ms, frame)`` — a 1→N
+    ``mapInPandas`` expansion (the distributed shape that matters: Arrow
+    batch in, multi-row batch out, no driver involvement).  The synthetic
+    "video" derives a deterministic per-frame payload slice; a real
+    deployment replaces the inner loop with an ffmpeg/pyav seek-decode.
+    """
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                if mt != "video" or blob is None or len(blob) < 13:
+                    continue
+                payload = bytes(blob)[13:]
+                n = min(max_frames, max(1, len(payload) // 16))
+                for i in range(n):
+                    rows.append(
+                        dict(
+                            doc_id=doc_id,
+                            frame_idx=i,
+                            frame_ts_ms=i * every_ms,
+                            frame=payload[i * 16 : (i + 1) * 16],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_ts_ms", "frame"],
+            )
+
+    return media_df.mapInPandas(do_sample, FRAMES_SCHEMA)
+
+
 def decode_media(media_df: DataFrame) -> DataFrame:
     """Decode/feature-extract media blobs via ``mapInPandas`` (Arrow batch
     iterator — the scale-correct shape: no per-row Python at the boundary,

@@ -207,3 +207,36 @@ def test_brute_force_topk_arrow_matches_catalyst(spark):
     assert len(shared) / len(pa) >= 0.95
     for key in shared:
         assert abs(pa[key] - pb[key]) < 1e-9
+
+
+def test_resize_media(spark, docs):
+    from pregel_rs_spark.operators.multimodal import documents_to_media, resize_media
+
+    media = documents_to_media(docs)
+    r = resize_media(media, target_w=128, target_h=96).collect()
+    assert len(r) == docs.count()
+    for row in r:
+        assert row.ok
+        assert (row.target_w, row.target_h) == (128, 96)
+        # rewritten header carries the target geometry
+        import struct
+        w, h = struct.unpack(">II", bytes(row.resized)[5:13])
+        assert (w, h) == (128, 96)
+
+
+def test_sample_frames(spark, docs):
+    from pregel_rs_spark.operators.multimodal import documents_to_media, sample_frames
+
+    media = documents_to_media(docs)
+    frames = sample_frames(media, every_ms=500, max_frames=4)
+    rows = frames.collect()
+    vids = {r.doc_id for r in media.filter(F.col("media_type") == "video").collect()}
+    assert {r.doc_id for r in rows} <= vids
+    assert len(rows) > 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fr in by_doc.items():
+        idxs = sorted(f.frame_idx for f in fr)
+        assert idxs == list(range(len(idxs)))
+        assert all(f.frame_ts_ms == f.frame_idx * 500 for f in fr)
