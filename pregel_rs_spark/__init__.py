@@ -30,7 +30,12 @@ from pregel_rs_spark.columns import (
     msg,
 )
 from pregel_rs_spark.graphframe import GraphFrame, MissingColumnError
-from pregel_rs_spark.pregel import Pregel, PregelBuilder, MessageReceiver
+from pregel_rs_spark.pregel import (
+    MessageReceiver,
+    Pregel,
+    PregelBuilder,
+    StateColumn,
+)
 
 __all__ = [
     "GraphFrame",
@@ -38,6 +43,7 @@ __all__ = [
     "Pregel",
     "PregelBuilder",
     "MessageReceiver",
+    "StateColumn",
     "VERTEX_ID",
     "SUBJECT",
     "OBJECT",

@@ -175,6 +175,20 @@ class SendMessage:
 
 
 @dataclass
+class StateColumn:
+    """An additional evolving vertex-state column (extension: the reference
+    supports exactly one, pregel.rs:859-865 / SURVEY Q4).
+
+    ``v_prog`` is evaluated against the pre-update state (all state columns
+    hold their previous values) plus ``_pregel_msg_`` — synchronous BSP
+    semantics, same as the primary column."""
+
+    name: str
+    initial: ExprLike
+    v_prog: ExprLike
+
+
+@dataclass
 class SuperstepMetrics:
     superstep: int
     wall_seconds: float
@@ -197,6 +211,19 @@ class PregelContext:
     # programs consume global aggregates (e.g. PageRank dangling mass)
     # without issuing their own per-superstep Spark action.
     stats: dict = field(default_factory=dict)
+
+    @staticmethod
+    def stat_col(name: str) -> Column:
+        """Reference a ``with_state_stat`` scalar inside v_prog as a COLUMN.
+
+        The engine injects the scalars via a broadcast one-row frame, so the
+        superstep plan is byte-identical across iterations — baking the
+        value in as ``F.lit(ctx.stats[name])`` instead changes the generated
+        code every superstep and forces a fresh whole-stage-codegen JIT
+        compile per iteration (measured ~4.7 s/superstep of pure
+        recompilation on a 60M-edge PageRank).
+        """
+        return F.col(f"`__stat_{name}__`")
 
 
 def _resolve(expr: ExprLike, ctx: PregelContext) -> Column:
@@ -229,6 +256,9 @@ class Pregel:
     # action that measures convergence — surfaced to the next superstep's
     # closures via ctx.stats (no extra Spark jobs).
     state_stats: dict[str, Column] = field(default_factory=dict)
+    # additional evolving state columns beyond ``vertex_column`` (Q4
+    # extension); each updates synchronously from the pre-update state.
+    extra_state: list[StateColumn] = field(default_factory=list)
     # AQE inside the superstep loop (default off): the loop's partitioning
     # is fixed and uniform per iteration, so adaptive re-planning only adds
     # per-stage scheduling latency AND defeats exchange reuse; hub skew is
@@ -283,10 +313,17 @@ class Pregel:
                 start_step += 1
 
         if current is None:
-            # Superstep 0: attach the initial state column (pregel.rs:769-777).
+            # Superstep 0: attach the initial state column(s) (pregel.rs:769-777).
             ctx0 = PregelContext(superstep=0, state=vertices)
             init = _resolve(self.initial_message, ctx0)
-            current = vertices.select("*", init.alias(vcol))
+            current = vertices.select(
+                "*",
+                init.alias(vcol),
+                *[
+                    _resolve(sc.initial, ctx0).alias(sc.name)
+                    for sc in self.extra_state
+                ],
+            )
         current = truncate_plan(current)
 
         state_cols = [c for c in current.columns]
@@ -414,18 +451,76 @@ class Pregel:
                     F.col(VERTEX_ID) == _q(MSG_VERTEX_ID),
                     "left",
                 )
+                if self.state_stats:
+                    # Inject the scalar stats as columns via a broadcast
+                    # one-row frame (see PregelContext.stat_col): identical
+                    # plan every superstep → codegen cache hit, only the
+                    # tiny broadcast re-executes.
+                    stat_row = spark.createDataFrame(
+                        [tuple(float(last_stats.get(k) or 0.0)
+                               for k in self.state_stats)],
+                        ", ".join(f"__stat_{k}__ double"
+                                  for k in self.state_stats),
+                    )
+                    joined = joined.crossJoin(F.broadcast(stat_row))
                 # -- update (pregel.rs:859-865): the reference re-joins the
                 # original vertices frame to re-attach static props every
                 # superstep; since only ``vcol`` evolves, carrying the props
                 # through the apply select is semantically identical and
                 # saves one shuffle join + one source re-scan per superstep.
-                carry = [c for c in state_cols if c != vcol]
+                evolving = [vcol] + [sc.name for sc in self.extra_state]
+                carry = [c for c in state_cols if c not in evolving]
+                prev_names = {c: f"__prev_{i}__" for i, c in enumerate(evolving)}
                 nxt = joined.select(
                     *[F.col(f"`{c}`") for c in carry],
-                    F.col(f"`{vcol}`").alias("__prev__"),
+                    *[
+                        F.col(f"`{c}`").alias(p)
+                        for c, p in prev_names.items()
+                    ],
                     F.col("__msg_cnt__"),
+                    # every v_prog sees the PRE-update values of all state
+                    # columns (they come from ``joined``) — synchronous BSP
                     _resolve(self.v_prog, ctx).alias(vcol),
+                    *[
+                        _resolve(sc.v_prog, ctx).alias(sc.name)
+                        for sc in self.extra_state
+                    ],
                 )
+
+                # -- stats ride the materialization pass (Observation):
+                # CollectMetrics accumulates convergence delta, change
+                # counts, message totals, and the user state-stats DURING
+                # the localCheckpoint job itself — zero extra Spark jobs
+                # per superstep (an explicit .agg() action measured
+                # ~0.6-0.9 s/superstep even over the in-memory state).
+                obs = None
+                if collect_stats:
+                    from pyspark.sql import Observation
+
+                    any_changed = None
+                    for c, p in prev_names.items():
+                        ch = ~F.col(f"`{c}`").eqNullSafe(F.col(p))
+                        any_changed = ch if any_changed is None else (any_changed | ch)
+                    obs = Observation(f"pregel_{id(self)}_{iteration}")
+                    nxt = nxt.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.max(
+                            F.abs(
+                                F.col(f"`{vcol}`") - F.col(prev_names[vcol])
+                            )
+                        ).alias("delta")
+                        if self.tolerance is not None
+                        else F.max(F.lit(None).cast("double")).alias("delta"),
+                        F.sum(any_changed.cast("int")).alias("changed"),
+                        F.sum(F.coalesce(F.col("__msg_cnt__"), F.lit(0))).alias(
+                            "messages"
+                        ),
+                        *[
+                            e.alias(f"__ss_{k}__")
+                            for k, e in self.state_stats.items()
+                        ],
+                    )
 
                 # -- materialize: truncate lineage (≡ collect(), pregel.rs:867) --
                 nxt = truncate_plan(nxt)
@@ -434,26 +529,8 @@ class Pregel:
                 changed = None
                 n_vertices = -1
                 n_messages = None
-                if collect_stats:
-                    stats = nxt.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.max(
-                            F.abs(F.col(f"`{vcol}`") - F.col("__prev__"))
-                        ).alias("delta")
-                        if self.tolerance is not None
-                        else F.lit(None).alias("delta"),
-                        F.sum(
-                            (~F.col(f"`{vcol}`").eqNullSafe(F.col("__prev__")))
-                            .cast("int")
-                        ).alias("changed"),
-                        F.sum(F.coalesce(F.col("__msg_cnt__"), F.lit(0))).alias(
-                            "messages"
-                        ),
-                        *[
-                            e.alias(f"__ss_{k}__")
-                            for k, e in self.state_stats.items()
-                        ],
-                    ).collect()[0]
+                if obs is not None:
+                    stats = obs.get  # already complete: checkpoint ran the plan
                     n_vertices = stats["n"]
                     delta = stats["delta"]
                     changed = stats["changed"]
@@ -463,7 +540,7 @@ class Pregel:
                     }
 
                 prev = current
-                current = nxt.drop("__prev__", "__msg_cnt__")
+                current = nxt.drop(*prev_names.values(), "__msg_cnt__")
                 current._ck_rdd = getattr(nxt, "_ck_rdd", None)
                 state_cols = current.columns
                 prev_rdd = getattr(prev, "_ck_rdd", None)
@@ -565,6 +642,16 @@ class PregelBuilder:
         """Re-enable AQE inside the superstep loop (off by default — see
         ``Pregel.adaptive``)."""
         self._p.adaptive = on
+        return self
+
+    def with_state_column(
+        self, name: str, initial: ExprLike, v_prog: ExprLike
+    ) -> "PregelBuilder":
+        """Add an additional evolving state column (multi-column state —
+        extension over the reference's single mutable column, SURVEY Q4).
+        All state columns update synchronously from the pre-update values;
+        exact-convergence checks consider every evolving column."""
+        self._p.extra_state.append(StateColumn(name, initial, v_prog))
         return self
 
     def with_state_stat(self, name: str, expr: Column) -> "PregelBuilder":

@@ -229,3 +229,38 @@ def test_salted_aggregation_matches_plain(spark, graph_a):
     plain = {r.vertex_id: r.aux for r in build(False).collect()}
     salted = {r.vertex_id: r.aux for r in build(True).collect()}
     assert plain == salted
+
+
+def test_multi_column_state(spark, graph_b):
+    """Two evolving state columns updated synchronously from one struct
+    message: min-label and max-label propagate together and exact
+    convergence accounts for both columns."""
+    from pregel_rs_spark import GraphFrame
+
+    g = GraphFrame.from_edges(graph_b.edges)
+    res = (
+        PregelBuilder(g)
+        .max_iterations(10)
+        .with_vertex_column("min_l")
+        .initial_message(F.col("vertex_id"))
+        .with_state_column("max_l", F.col("vertex_id"),
+                           F.greatest(F.col("max_l"),
+                                      F.coalesce(msg().getField("b"),
+                                                 F.col("max_l"))))
+        .send_messages(
+            MessageReceiver.OBJECT,
+            F.struct(subject("min_l").alias("a"), subject("max_l").alias("b")),
+        )
+        .aggregate_messages(
+            F.struct(F.min(msg().getField("a")).alias("a"),
+                     F.max(msg().getField("b")).alias("b"))
+        )
+        .v_prog(F.least(F.col("min_l"),
+                        F.coalesce(msg().getField("a"), F.col("min_l"))))
+        .with_exact_convergence()
+        .build()
+        .run()
+    )
+    rows = {r.vertex_id: (r.min_l, r.max_l) for r in res.collect()}
+    # graph B is strongly connected → every vertex sees global min 0 / max 3
+    assert rows == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (0, 3)}
