@@ -10,11 +10,13 @@ Public surface:
     Pregel, PregelBuilder — BSP superstep engine (pregel.rs parity)
     Column helpers        — subject()/object_()/edge_()/msg() naming scheme
     algorithms            — pagerank, connected_components,
-                            label_propagation, triangle_count
+                            label_propagation, triangle_count, max_value
     functions.extract     — HTML → text / links (pandas UDFs)
     sources.synth         — deterministic Common-Crawl-style pages generator
     plans.checkpoint      — CheckpointStore with resume + lineage manifests
-    operators             — dedup / similarity / text-analysis / multimodal
+    operators             — dedup / similarity / text-analysis / multimodal /
+                            event analytics (sessionize, rollups, JSON)
+    streaming             — pages file-stream → incremental edge table
 """
 
 from pregel_rs_spark.columns import (

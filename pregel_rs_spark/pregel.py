@@ -28,7 +28,7 @@ Deliberate divergences (documented in SURVEY §5.3):
     (GraphFrames semantics); the reference silently drops all but the first.
   * Q3 — optional convergence checking (tolerance-based early stop); the
     reference has none (TODO at pregel.rs:784).
-  * multi-column state via ``with_vertex_columns`` (reference supports one).
+  * multi-column state via ``with_state_column`` (reference supports one).
 
 Scale design (10^12-doc / 100 TB):
   * edges are repartitioned by ``subject`` once and persisted — superstep
@@ -49,6 +49,8 @@ Scale design (10^12-doc / 100 TB):
 from __future__ import annotations
 
 import inspect
+import os
+import sys
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -283,14 +285,20 @@ class Pregel:
         spark = vertices.sparkSession
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", str(self.adaptive).lower())
-        # NOTE on join strategy: with honest state sizes flowing through the
-        # checkpoint rewrap (truncate_plan), Catalyst's default selection
-        # (broadcast when the state fits, sort-merge otherwise — with the
-        # pre-sorted edge cache and the state's preserved ordering, SMJ
-        # needs no re-sorts) measures FLAT ~5 s/superstep on a 60M-edge
-        # corpus.  Forcing shuffled-hash was tried and rejected: building a
-        # multi-million-row hash map per superstep cost 25-30 s until JIT
-        # warmup and only converged to ~7 s.
+        # Join strategy inside the loop: every join is already co-partitioned
+        # (pre-shuffled sorted edge cache; state partitioning preserved
+        # through the checkpoint rewrap; aggregated messages come out of the
+        # groupBy hash-partitioned) — so a broadcast join can never save a
+        # shuffle here, it only adds a driver-side collect+broadcast of a
+        # join side each superstep.  Catalyst's row-count estimates for the
+        # aggregated-message side are unreliable enough that it DID pick
+        # broadcast at 120M-edge scale (6M-row broadcast per superstep,
+        # ~5× superstep blowup) — so broadcasts are disabled for the loop
+        # and restored after.  Forcing shuffled-hash was likewise tried and
+        # rejected (multi-million-row hash build per superstep + JIT churn);
+        # plain sort-merge over the pre-sorted sides wins.
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
         # Edges: prefix once, repartition by the join key once, pre-sort
         # within partitions (sort-merge join then skips re-sorting the edge
@@ -523,7 +531,9 @@ class Pregel:
                     )
 
                 # -- materialize: truncate lineage (≡ collect(), pregel.rs:867) --
+                t_plan = time.monotonic() - t0
                 nxt = truncate_plan(nxt)
+                t_ck = time.monotonic() - t0 - t_plan
 
                 delta = None
                 changed = None
@@ -560,6 +570,13 @@ class Pregel:
                         messages=n_messages,
                     )
                 )
+                if os.environ.get("PREGEL_PROF"):
+                    rest = time.monotonic() - t0 - t_plan - t_ck
+                    print(
+                        f"[pregel-prof] step {iteration}: plan={t_plan:.2f}s "
+                        f"checkpoint={t_ck:.2f}s stats+rest={rest:.2f}s",
+                        file=sys.stderr,
+                    )
 
                 if self.checkpoint_store is not None and self.checkpoint_interval \
                         and iteration % self.checkpoint_interval == 0:
@@ -576,6 +593,7 @@ class Pregel:
         finally:
             edges.unpersist()
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
         if self.checkpoint_store is not None:
             self.checkpoint_store.write(

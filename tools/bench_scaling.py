@@ -57,8 +57,12 @@ def run_level(cores: int, edges_path: str, steps: int, tol: float = 0.0) -> dict
         str(steps),
         str(tol),
     ]
+    env = dict(os.environ)
+    # local mode hosts driver + executor in one JVM; size the heap for the
+    # cached edge table + two checkpointed states at 100M+ edge scale
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
     out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3600, check=True
+        cmd, capture_output=True, text=True, timeout=3600, check=True, env=env
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
