@@ -289,9 +289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def props_extract_q(spark, sf):
         return extract_props_key(load_table(spark, sf, "events"), "k")
 
-    # -- webtext pipeline (synth pages → link extraction → edge table);
-    #    deterministic but not SQL-expressible → rows-only driver check;
-    #    byte-identity of extraction is pytest-verified (test_webtext) --
+    # -- webtext pipeline (synth pages → link extraction → edge table).
+    #    Oracle: the corpus is seed-pure, so the full expected edge list is
+    #    pre-materialized WITHOUT Spark (pure-Python gen_page →
+    #    extract_links_py → xxhash64 reimplementation, bit-identical to
+    #    F.xxhash64 — tools/gen_webtext_oracle.py) into a parquet the DuckDB
+    #    side reads; byte-identity of the extractors is pytest-verified too.
     def webtext_edges_q(spark, sf):
         from pregel_rs_spark.functions.extract import pages_to_edges
         from pregel_rs_spark.sources.synth import synth_pages
@@ -689,6 +692,10 @@ def oracle_sql() -> dict[str, str]:
                    '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     """
+    o["webtext_edges"] = (
+        "SELECT subject, object FROM read_parquet("
+        "'/root/repo/tests/data/webtext_edges_n2000_seed42.parquet')"
+    )
     o["multimodal_decode"] = """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -255,22 +255,33 @@ def embedding_cosine_dups(
     emb: DataFrame,
     threshold: float = 0.95,
     block_col: str = "label",
+    max_block: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs with cosine ≥ threshold, blocked by
     ``block_col`` (an upstream coarse cluster id — at 100 TB that column
     comes from k-means/IVF assignment, here the dataset's label).
 
+    ``max_block`` caps each block to its first ``max_block`` vectors by
+    vec_id (same ``row_number() <= cap`` guard as the LSH bucket cap): one
+    degenerate block — a boilerplate cluster, a catch-all label — would
+    otherwise make the within-block self-join O(b²) with no bound.  Vectors
+    beyond the cap are reported as dropped via the ``emb_cap_dropped``
+    accumulator-free contract: callers needing exactness must re-block
+    (finer ``block_col``) rather than raise the cap past memory.
+
     Returns ``(vec_a, vec_b, cosine)``, vec_a < vec_b.
     """
-    a = emb.select(
-        F.col(block_col).alias("blk"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
+    capped = (
+        emb.select(F.col(block_col).alias("blk"), "vec_id", "embedding")
+        .withColumn("__rn__", F.row_number().over(Window.partitionBy("blk").orderBy("vec_id")))
+        .filter(F.col("__rn__") <= max_block)
+        .drop("__rn__")
     )
-    b = emb.select(
-        F.col(block_col).alias("blk"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
+    a = capped.select(
+        "blk", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = capped.select(
+        "blk", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     return (
         a.join(b, "blk")

@@ -52,6 +52,7 @@ import inspect
 import os
 import sys
 import time
+import warnings
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Callable, Optional, Union
@@ -74,6 +75,48 @@ MSG_VERTEX_ID = alias(MSG, VERTEX_ID)  # "msg.vertex_id"
 
 def _q(name: str) -> Column:
     return F.col(f"`{name}`")
+
+
+def _agg_function_name(col: Column) -> Optional[str]:
+    """Top-level aggregate function name of a Column expression, or None.
+
+    Reads the column's internal node tree (Alias → UnresolvedFunction
+    .functionName()) — structural, not a string sniff of the repr.  Returns
+    None for forms it can't identify (e.g. ``F.expr("sum(x)")`` SQL text,
+    arithmetic over aggregates) — callers must then reject or handle."""
+    try:
+        node = col._jc.node()
+        if node.getClass().getSimpleName() == "Alias":
+            node = node.child()
+        if node.getClass().getSimpleName() == "UnresolvedFunction":
+            return str(node.functionName()).lower()
+    except Exception:
+        pass
+    return None
+
+
+# final-phase combiner per partial-aggregate function: partial counts combine
+# by SUM (count-of-counts would count salt groups, not messages); sum/min/max
+# are idempotently re-combinable.  Anything else (avg, collect_list, …) is
+# not decomposable this way and is rejected loudly.
+_SALT_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def _referenced_names(df_schema_probe: DataFrame, exprs: list[Column]) -> set[str]:
+    """Exact column names an expression list reads, via Catalyst analysis.
+
+    The expressions are resolved against ``df_schema_probe`` (an EMPTY frame
+    carrying the full triplet schema — analysis only, no job) and the
+    analyzed Project's attribute references are collected.  Robust where
+    repr-sniffing is not: wrapped UDFs, ``F.expr`` SQL text, and Column-repr
+    changes across Spark versions all resolve to real attribute references.
+    """
+    jdf = df_schema_probe.select(*exprs)._jdf
+    refs = jdf.queryExecution().analyzed().references().iterator()
+    names: set[str] = set()
+    while refs.hasNext():
+        names.add(str(refs.next().name()))
+    return names
 
 
 def truncate_plan(df: DataFrame) -> DataFrame:
@@ -147,8 +190,29 @@ def truncate_plan(df: DataFrame) -> DataFrame:
         # ContextCleaner to notice — keeps peak storage at ~2 states.
         out._ck_rdd = lr.rdd()
         return out
-    except Exception:
+    except Exception as ex:  # pragma: no cover - exercised only on Spark bumps
+        # The rewrap touches Spark-internal constructors (LogicalRDD 9-arg,
+        # classic.Dataset.ofRows) that can change on a minor bump.  Falling
+        # back to the plain checkpoint silently restores the O(3^superstep)
+        # driver-stats pathology AND loses the _ck_rdd unpersist handle —
+        # warn loudly (once) so a perf regression is diagnosable.
+        global _TRUNCATE_FALLBACK_WARNED
+        if not _TRUNCATE_FALLBACK_WARNED:
+            _TRUNCATE_FALLBACK_WARNED = True
+            warnings.warn(
+                "truncate_plan: stats-free LogicalRDD rewrap failed "
+                f"({type(ex).__name__}: {ex}); falling back to plain "
+                "localCheckpoint. Iterative jobs will slow down superstep by "
+                "superstep (lazy origin-stats recursion) and checkpoint "
+                "blocks are freed only by GC. Pin the rewrap against this "
+                "Spark version (tests/test_pregel.py::test_truncate_plan_rewrap).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
+
+
+_TRUNCATE_FALLBACK_WARNED = False
 
 
 class MessageReceiver(Enum):
@@ -272,7 +336,13 @@ class Pregel:
     # ------------------------------------------------------------------ run --
     def run(self, resume: bool = False) -> DataFrame:
         """Execute the superstep loop; returns the final vertices frame
-        ``(vertex props…, vertex_column)`` (pregel.rs:751-873)."""
+        ``(vertex props…, vertex_column)`` (pregel.rs:751-873).
+
+        Note: for the duration of the loop the SESSION-level configs
+        ``spark.sql.adaptive.enabled`` and ``autoBroadcastJoinThreshold``
+        are overridden (restored on exit) — do not run concurrent queries
+        on the same SparkSession while a Pregel loop is active; use a
+        separate session (``spark.newSession()``) for side work."""
         if self.initial_message is None or self.aggregate_expr is None \
                 or self.v_prog is None or not self.send_messages:
             raise ValueError(
@@ -336,15 +406,56 @@ class Pregel:
 
         state_cols = [c for c in current.columns]
 
+        # -- join-pruning probe frame: an EMPTY DataFrame carrying the full
+        # triplet schema (subject.* ∪ edge.* ∪ object.*).  Each superstep the
+        # resolved payloads are analyzed against it and the analyzed plan's
+        # attribute references decide which vertex-side joins the messages
+        # actually need — exact Catalyst resolution, not repr string-sniffing
+        # (a UDF-wrapped column or an F.expr payload resolves identically).
+        def _probe_frame(cols: list[str]) -> DataFrame:
+            from pyspark.sql.types import StructField, StructType
+
+            fields = [
+                StructField(alias(SUBJECT, f.name), f.dataType, True)
+                for f in current.schema.fields
+            ]
+            fields += [
+                StructField(alias("edge", f.name), f.dataType, True)
+                for f in self.graph.edges.schema.fields
+            ]
+            fields += [
+                StructField(alias(OBJECT, f.name), f.dataType, True)
+                for f in current.schema.fields
+            ]
+            return spark.createDataFrame([], StructType(fields))
+
+        probe = _probe_frame(state_cols)
+        # static (non-closure) sends reference the same columns every
+        # superstep — probe once; closure-valued sends re-probe per step.
+        static_sends = all(
+            isinstance(sm.payload, Column) for sm in self.send_messages
+        )
+        pruning_cache: Optional[tuple[bool, bool]] = None
+
         # Bootstrap user state-stats over the initial state (one cheap agg on
         # the checkpointed frame); thereafter they piggy-back on the per-
         # superstep stats action — zero extra jobs inside the loop.
         last_stats: dict = {}
+        stat_types: dict[str, str] = {}
         if self.state_stats:
             row = current.agg(
                 *[e.alias(f"__ss_{k}__") for k, e in self.state_stats.items()]
             ).collect()[0]
             last_stats = {k: row[f"__ss_{k}__"] for k in self.state_stats}
+            # one fixed injection schema per run (stable plan → codegen cache
+            # hit); integers stay bigint (exact past 2^53), everything else
+            # double, NULL stats stay NULL rather than silently becoming 0.
+            stat_types = {
+                k: "bigint"
+                if isinstance(v, int) and not isinstance(v, bool)
+                else "double"
+                for k, v in last_stats.items()
+            }
 
         iteration = start_step
         try:
@@ -376,8 +487,26 @@ class Pregel:
                     for sm in self.send_messages
                 ]
                 closed = getattr(self.graph, "closed", False)
-                need_subj = any(f"{SUBJECT}." in str(p) for _, p in resolved)
-                need_obj = any(f"{OBJECT}." in str(p) for _, p in resolved)
+                if not closed:
+                    # open-world graphs need both inner joins for their
+                    # filtering effect regardless of column usage
+                    need_subj = need_obj = True
+                elif pruning_cache is not None:
+                    need_subj, need_obj = pruning_cache
+                else:
+                    subj_names = {alias(SUBJECT, c) for c in state_cols}
+                    obj_names = {alias(OBJECT, c) for c in state_cols}
+                    try:
+                        refs = _referenced_names(probe, [p for _, p in resolved])
+                        need_subj = bool(refs & subj_names)
+                        need_obj = bool(refs & obj_names)
+                    except Exception:
+                        # unresolvable payload: keep both joins (always
+                        # correct) and let the real plan raise the user's
+                        # actual analysis error with full context
+                        need_subj = need_obj = True
+                    if static_sends:
+                        pruning_cache = (need_subj, need_obj)
                 triplets = edges
                 if need_subj or not closed:
                     subj = base.select(
@@ -429,8 +558,23 @@ class Pregel:
                 agg_expr = _resolve(self.aggregate_expr, ctx).alias(PREGEL_MSG)
                 if self.salted_agg_partials > 1:
                     # Explicit two-phase: partial agg on (receiver, salt),
-                    # final agg on receiver.  Valid for self-combinable aggs
-                    # (sum/min/max/count); documents the 100 TB hub-skew path.
+                    # then COMBINE the partials per receiver.  The combiner
+                    # is derived from the aggregate function, NOT the user
+                    # expression re-applied: re-applying `count` would count
+                    # salt groups instead of messages, and re-applying
+                    # `sum(msg * 2)` would double the partials again.
+                    # Decomposable: sum/min/max (same fn) and count (→ sum).
+                    fn = _agg_function_name(agg_expr)
+                    combine = _SALT_COMBINE.get(fn or "")
+                    if combine is None:
+                        raise ValueError(
+                            "with_salted_aggregation requires a sum/min/max/"
+                            f"count aggregate; got {fn or 'unrecognized'!s}. "
+                            "Non-decomposable aggregates (avg, collect_*, "
+                            "F.expr text) must use the unsalted path, where "
+                            "Spark's map-side partial aggregation still "
+                            "collapses hub receivers per partition."
+                        )
                     salt = F.pmod(
                         F.xxhash64(F.monotonically_increasing_id()),
                         F.lit(self.salted_agg_partials),
@@ -441,7 +585,8 @@ class Pregel:
                         agg_expr, F.count(F.lit(1)).alias("__msg_cnt__")
                     )
                     aggregated = partial.groupBy(_q(MSG_VERTEX_ID)).agg(
-                        agg_expr, F.sum("__msg_cnt__").alias("__msg_cnt__")
+                        combine(_q(PREGEL_MSG)).alias(PREGEL_MSG),
+                        F.sum("__msg_cnt__").alias("__msg_cnt__"),
                     )
                 else:
                     # Spark's hash aggregate already does map-side partial
@@ -463,11 +608,21 @@ class Pregel:
                     # Inject the scalar stats as columns via a broadcast
                     # one-row frame (see PregelContext.stat_col): identical
                     # plan every superstep → codegen cache hit, only the
-                    # tiny broadcast re-executes.
+                    # tiny broadcast re-executes.  Values keep their native
+                    # types (schema fixed at bootstrap) so ctx.stats and the
+                    # injected column never diverge.
+                    vals = []
+                    for k in self.state_stats:
+                        v = last_stats.get(k)
+                        if v is None:
+                            vals.append(None)
+                        elif stat_types[k] == "bigint":
+                            vals.append(int(v))
+                        else:
+                            vals.append(float(v))
                     stat_row = spark.createDataFrame(
-                        [tuple(float(last_stats.get(k) or 0.0)
-                               for k in self.state_stats)],
-                        ", ".join(f"__stat_{k}__ double"
+                        [tuple(vals)],
+                        ", ".join(f"__stat_{k}__ {stat_types[k]}"
                                   for k in self.state_stats),
                     )
                     joined = joined.crossJoin(F.broadcast(stat_row))
@@ -676,7 +831,10 @@ class PregelBuilder:
         """Register a scalar aggregate over the vertex state, evaluated in
         the same per-superstep stats action as convergence (no extra jobs);
         the value is visible to closures as ``ctx.stats[name]`` — computed
-        over the state the closure's superstep starts from."""
+        over the state the closure's superstep starts from.  The injected
+        ``stat_col`` column keeps the value's native type (bigint for ints,
+        double otherwise, fixed at bootstrap) and a NULL aggregate stays
+        NULL — coalesce inside the aggregate if zero-default is wanted."""
         self._p.state_stats[name] = expr
         return self
 

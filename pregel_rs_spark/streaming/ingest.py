@@ -44,11 +44,15 @@ def stream_pages(
 def dedup_pages_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Drop re-crawls of the same url within the watermark horizon.
 
-    Late pages beyond the watermark are dropped by the engine; state size is
-    bounded by (urls seen within horizon).
+    The dedup key is the **url alone** — a re-crawl of the same url carries
+    a different ``warc_ts``, so keying on (url, warc_ts) would never drop
+    anything.  ``dropDuplicatesWithinWatermark`` keeps per-url state only
+    for the watermark horizon (state is evicted once the event-time
+    watermark passes the first-seen timestamp + delay), so state size is
+    bounded by (distinct urls seen within horizon), not the whole crawl.
     """
-    return pages.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url", "warc_ts"]
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
     )
 
 

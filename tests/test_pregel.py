@@ -231,6 +231,154 @@ def test_salted_aggregation_matches_plain(spark, graph_a):
     assert plain == salted
 
 
+def test_salted_aggregation_count(spark, graph_a):
+    """Salted final phase must SUM partial counts — re-applying `count`
+    would count salt groups, not messages (VERDICT r1 #3)."""
+    def build(salted):
+        b = (
+            PregelBuilder(graph_a)
+            .max_iterations(2)
+            .initial_message(F.lit(0))
+            .send_messages(MessageReceiver.OBJECT, F.lit(1))
+            .aggregate_messages(F.count(msg()))
+            .v_prog(F.coalesce(msg(), F.lit(0)))
+        )
+        if salted:
+            b = b.with_salted_aggregation(4)
+        return b.build().run()
+
+    plain = {r.vertex_id: r.aux for r in build(False).collect()}
+    salted = {r.vertex_id: r.aux for r in build(True).collect()}
+    # graph A in-degrees: [0,2,3,3,0] → count semantics, not salt groups
+    assert plain == salted
+    assert salted[2] == 3 and salted[3] == 3
+
+
+def test_salted_aggregation_inner_expression(spark, graph_a):
+    """sum(msg * 2): the final phase must combine partials with a plain sum,
+    not re-apply the doubling to already-doubled partials."""
+    def build(salted):
+        b = (
+            PregelBuilder(graph_a)
+            .max_iterations(1)
+            .initial_message(F.lit(0))
+            .send_messages(MessageReceiver.OBJECT, F.lit(1))
+            .aggregate_messages(F.sum(msg() * 2))
+            .v_prog(F.coalesce(msg(), F.lit(0)))
+        )
+        if salted:
+            b = b.with_salted_aggregation(4)
+        return b.build().run()
+
+    plain = {r.vertex_id: r.aux for r in build(False).collect()}
+    salted = {r.vertex_id: r.aux for r in build(True).collect()}
+    assert plain == salted
+    assert salted[2] == 6  # in-degree 3 × 2
+
+
+def test_salted_aggregation_rejects_nondecomposable(spark, graph_a):
+    """avg partials cannot be combined by re-aggregation — loud error, not
+    silently wrong results."""
+    p = (
+        PregelBuilder(graph_a)
+        .max_iterations(1)
+        .initial_message(F.lit(0.0))
+        .send_messages(MessageReceiver.OBJECT, F.lit(1.0))
+        .aggregate_messages(F.avg(msg()))
+        .v_prog(F.coalesce(msg(), F.lit(0.0)))
+        .with_salted_aggregation(4)
+        .build()
+    )
+    with pytest.raises(ValueError, match="salted_aggregation"):
+        p.run()
+
+
+def test_join_pruning_expr_payloads(spark, graph_b):
+    """Join pruning is decided by Catalyst resolution, not repr sniffing:
+    an F.expr-built payload referencing subject.* keeps the subject join on
+    a closed graph; a ref-free F.expr payload prunes both and stays
+    correct."""
+    from pregel_rs_spark import GraphFrame
+
+    g = GraphFrame.from_edges(graph_b.edges)  # closed=True
+    assert getattr(g, "closed", False)
+
+    # payload via SQL text — old str(Column) sniffing cannot be trusted here
+    res = (
+        PregelBuilder(g)
+        .max_iterations(3)
+        .with_vertex_column("m")
+        .initial_message(F.col("vertex_id"))
+        .send_messages(MessageReceiver.OBJECT, F.expr("`subject.m`"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.greatest(F.col("m"), F.coalesce(msg(), F.col("m"))))
+        .build()
+        .run()
+    )
+    vals = {r.vertex_id: r.m for r in res.collect()}
+    assert vals == {0: 3, 1: 3, 2: 3, 3: 3}  # max id propagated everywhere
+
+    # ref-free SQL-text payload: both vertex joins pruned, still correct
+    res2 = (
+        PregelBuilder(g)
+        .max_iterations(1)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.OBJECT, F.expr("1"))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(F.coalesce(msg(), F.lit(0)))
+        .build()
+        .run()
+    )
+    vals2 = {r.vertex_id: r.aux for r in res2.collect()}
+    # graph B in-degrees: 0→1, 1→2, 2→1, 3→2
+    assert vals2 == {0: 1, 1: 2, 2: 1, 3: 2}
+
+
+def test_truncate_plan_rewrap(spark):
+    """The stats-free LogicalRDD rewrap must be ACTIVE on this Spark
+    version: a silent fallback reintroduces the O(3^superstep) driver
+    pathology (VERDICT r1 #7).  The rewrapped frame carries the _ck_rdd
+    unpersist handle; the fallback path warns and has none."""
+    import warnings as w
+
+    from pregel_rs_spark.pregel import truncate_plan
+
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)  # fallback warning → failure
+        out = truncate_plan(df)
+    assert getattr(out, "_ck_rdd", None) is not None
+    assert out.count() == 10
+
+
+def test_state_stat_native_types(spark, graph_b):
+    """State stats keep native types (bigint counts exact, NULL preserved)
+    instead of being coerced to nullable-to-zero doubles (ADVICE r1)."""
+    from pregel_rs_spark.pregel import PregelContext
+
+    p = (
+        PregelBuilder(graph_b)
+        .max_iterations(1)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.OBJECT, F.lit(0))
+        .aggregate_messages(F.sum(msg()))
+        # n_vertices enters as a bigint column; a NULL stat stays NULL
+        .v_prog(
+            PregelContext.stat_col("n_v")
+            + F.coalesce(PregelContext.stat_col("always_null"), F.lit(-100))
+        )
+        .with_state_stat("n_v", F.count(F.lit(1)))
+        .with_state_stat(
+            "always_null", F.max(F.when(F.lit(False), F.lit(1.0)))
+        )
+        .build()
+    )
+    res = p.run()
+    vals = {r.vertex_id: r.aux for r in res.collect()}
+    # 4 vertices → stat 4 (exact long), null stat coalesced to -100 → -96
+    assert vals == {0: -96, 1: -96, 2: -96, 3: -96}
+
+
 def test_multi_column_state(spark, graph_b):
     """Two evolving state columns updated synchronously from one struct
     message: min-label and max-label propagate together and exact

@@ -56,10 +56,24 @@ def test_stream_matches_batch_extraction(spark, staged):
     assert want.exceptAll(got).count() == 0
 
 
-def test_stream_dedup_recrawls(spark, staged):
-    root, src, pages = staged
+def test_stream_dedup_recrawls(spark, tmp_path_factory):
+    """A re-crawl of the SAME url at a LATER warc_ts must be dropped — the
+    dedup key is the url alone (keying on (url, warc_ts) would be a no-op
+    for re-crawls, which by definition have new timestamps)."""
+    root = str(tmp_path_factory.mktemp("stream_dedup"))
+    src = os.path.join(root, "pages")
     out = os.path.join(root, "dedup_out")
     ckpt = os.path.join(root, "dedup_ckpt")
+
+    pages = synth_pages(spark, 300, seed=7, partitions=2)
+    pages.write.parquet(os.path.join(src, "batch0"))
+    # re-crawl: 150 of the same urls, 1 minute later (inside the watermark)
+    recrawl = pages.filter(F.xxhash64("url") % 2 == 0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    n_recrawl = recrawl.count()
+    assert n_recrawl > 0
+    recrawl.write.parquet(os.path.join(src, "batch1"))
 
     stream = stream_pages(spark, src + "/*")
     deduped = dedup_pages_stream(stream, watermark="10 minutes")
@@ -75,5 +89,6 @@ def test_stream_dedup_recrawls(spark, staged):
     q.awaitTermination(120)
 
     got = spark.read.parquet(out)
+    # every url exactly once: the 150 within-watermark re-crawls are dropped
     assert got.count() == 300
     assert got.select("url").distinct().count() == 300

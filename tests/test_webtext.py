@@ -102,6 +102,48 @@ def test_edges_and_skew(pages):
     assert stats.mx >= 5 * stats.md
 
 
+def test_xxhash64_parity(spark, pages):
+    """Pure-Python XXH64 (oracle path) is bit-identical to F.xxhash64 on
+    every corpus url — the foundation of the Spark-free edge oracle."""
+    from pregel_rs_spark.functions.hashing import url_id_py
+
+    rows = pages.select("url", F.xxhash64("url").alias("h")).collect()
+    assert len(rows) == N
+    for r in rows:
+        assert url_id_py(r.url) == r.h, r.url
+
+
+def test_webtext_edges_oracle_parquet(spark):
+    """The committed expected-edge parquet (tests/data, driver oracle for
+    `webtext_edges`) equals both a fresh pure-Python regeneration and the
+    Spark extraction pipeline at n=2000."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_webtext_oracle import expected_edges
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "webtext_edges_n2000_seed42.parquet"
+    )
+    committed = sorted(
+        zip(*(pq.read_table(path).column(c).to_pylist() for c in ("subject", "object")))
+    )
+    fresh = expected_edges(2000, 42)
+    assert committed == fresh, "committed oracle parquet drifted — regenerate"
+
+    got = sorted(
+        (r.subject, r.object)
+        for r in pages_to_edges(synth_pages(spark, 2000, seed=42, partitions=8))
+        .select("subject", "object")
+        .distinct()
+        .collect()
+    )
+    assert got == fresh
+
+
 def test_pagerank_over_synthetic_pages(spark, pages):
     """E2E: pages → links → edge table → PageRank to 1e-6, Σ=1."""
     edges = pages_to_edges(pages).select("subject", "object").distinct()
