@@ -50,7 +50,12 @@ from pregel_rs_spark.operators.events import (
     sessionize,
 )
 from pregel_rs_spark.operators.multimodal import decode_media, documents_to_media
-from pregel_rs_spark.operators.similarity import brute_force_topk
+from pregel_rs_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+    hyperplane_weights,
+    lsh_topk,
+)
 from pregel_rs_spark.operators.text import (
     fingerprints,
     language_id,
@@ -185,6 +190,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = connected_components(GraphFrame.from_edges(_edges_ng(spark, sf)))
         return res.select("vertex_id", "component")
 
+    def connected_components_star_q(spark, sf):
+        """O(log n)-round large-star/small-star CC (the web-scale path) —
+        must produce the identical component ids as min-label."""
+        res = connected_components(
+            GraphFrame.from_edges(_edges_ng(spark, sf)), method="star"
+        )
+        return res.select("vertex_id", "component")
+
     def triangle_count_q(spark, sf):
         res = triangle_count(GraphFrame.from_edges(_edges_sg(spark, sf)))
         return res.select("vertex_id", "triangles")
@@ -205,6 +218,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
         )
         return res.select("vertex_id", "label")
+
+    def multi_send_degrees_q(spark, sf):
+        """Q1-divergence gate: chained sends UNION (GraphFrames semantics).
+        (Subject, 1) + (Object, 1) summed in one superstep = out+in degree
+        — the engine's most load-bearing semantic choice, SQL-checkable."""
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        res = (
+            PregelBuilder(g)
+            .max_iterations(1)
+            .initial_message(F.lit(0))
+            .send_messages(MessageReceiver.SUBJECT, F.lit(1))
+            .send_messages(MessageReceiver.OBJECT, F.lit(1))
+            .aggregate_messages(F.sum(msg()))
+            .v_prog(F.coalesce(msg(), F.lit(0)))
+            .build()
+            .run()
+        )
+        return res.select(
+            "vertex_id", F.col("aux").cast("long").alias("deg_sum")
+        )
+
+    def salted_msg_count_q(spark, sf):
+        """The 100 TB hub-skew path: explicit two-phase salted aggregation
+        with a COUNT aggregate (the combine-mapping case) — one superstep
+        counting in-bound messages per vertex."""
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        res = (
+            PregelBuilder(g)
+            .max_iterations(1)
+            .initial_message(F.lit(0))
+            .send_messages(MessageReceiver.OBJECT, F.lit(1))
+            .aggregate_messages(F.count(msg()))
+            .v_prog(F.coalesce(msg(), F.lit(0)))
+            .with_salted_aggregation(8)
+            .build()
+            .run()
+        )
+        return res.select(
+            "vertex_id", F.col("aux").cast("long").alias("n_msgs")
+        )
 
     # -- dedup --
     def dedup_exact_q(spark, sf):
@@ -237,6 +290,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_topk_q(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    def ann_topk_arrow_q(spark, sf):
+        """The 100 TB dense-math path: mapInPandas BLAS matmul per Arrow
+        batch + window reduce — verified against the same exact-top-k
+        oracle as the Catalyst baseline."""
+        emb = load_table(spark, sf, "embeddings")
+        return brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    def ann_topk_lsh_q(spark, sf):
+        """The 100 TB candidate-pruning path: hyperplane-bucket join +
+        exact re-rank inside the bucket.  The md5-derived dyadic weights
+        make bucket assignment engine-portable, so the oracle recomputes
+        the identical buckets in SQL."""
+        emb = load_table(spark, sf, "embeddings")
+        return lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
+        )
 
     # -- text analysis --
     def token_counts_q(spark, sf):
@@ -322,9 +392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         msg_sum_superstep=msg_sum_superstep,
         pagerank_k3=pagerank_k3,
         connected_components=connected_components_q,
+        connected_components_star=connected_components_star_q,
         triangle_count=triangle_count_q,
         max_value=max_value_q,
         lpa_1round=lpa_1round,
+        multi_send_degrees=multi_send_degrees_q,
+        salted_msg_count=salted_msg_count_q,
         webtext_edges=webtext_edges_q,
         sessionize=sessionize_q,
         session_stats=session_stats_q,
@@ -337,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash=simhash_q,
         embedding_cosine_dups=embedding_dups_q,
         ann_topk=ann_topk_q,
+        ann_topk_arrow=ann_topk_arrow_q,
+        ann_topk_lsh=ann_topk_lsh_q,
         token_counts=token_counts_q,
         quality_scores=quality_q,
         language_id=langid_q,
@@ -483,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v AS vertex_id, MIN(lbl) AS component FROM reach GROUP BY v
     """
+    # identical component contract, O(log n)-round execution path in Spark
+    o["connected_components_star"] = o["connected_components"]
     o["triangle_count"] = f"""
         WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
                                    GREATEST(subject, object) AS b
@@ -632,6 +709,67 @@ def oracle_sql() -> dict[str, str]:
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
     """
+    o["multi_send_degrees"] = f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_SG_SQL}
+                    UNION ALL SELECT object FROM {_SG_SQL})),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS d
+                    FROM {_SG_SQL} GROUP BY subject),
+             ind AS (SELECT object AS vertex_id, COUNT(*) AS d
+                     FROM {_SG_SQL} GROUP BY object)
+        SELECT v.vertex_id,
+               CAST(COALESCE(od.d, 0) + COALESCE(ind.d, 0) AS BIGINT) AS deg_sum
+        FROM v LEFT JOIN od USING (vertex_id) LEFT JOIN ind USING (vertex_id)
+    """
+    o["salted_msg_count"] = f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_SG_SQL}
+                    UNION ALL SELECT object FROM {_SG_SQL})),
+             ind AS (SELECT object AS vertex_id, COUNT(*) AS d
+                     FROM {_SG_SQL} GROUP BY object)
+        SELECT v.vertex_id, CAST(COALESCE(ind.d, 0) AS BIGINT) AS n_msgs
+        FROM v LEFT JOIN ind USING (vertex_id)
+    """
+    # LSH ANN: recompute the hyperplane buckets in SQL from the SAME
+    # md5-derived integer weights (h/2^31 - 1 is a dyadic double — exact in
+    # every IEEE-754 engine), then bucket-join + exact cosine re-rank.
+    _planes = hyperplane_weights(4, 64)
+
+    def _w_sql(p: int) -> str:
+        ints = [int((w + 1.0) * 2147483648.0) for w in _planes[p]]
+        return (
+            "["
+            + ", ".join(f"({h} / 2147483648.0 - 1.0)" for h in ints)
+            + "]"
+        )
+
+    def _dot_sql(p: int) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, {_w_sql(p)}), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b)"
+        )
+
+    _bucket_sql = " + ".join(
+        f"(CASE WHEN {_dot_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    o["ann_topk_lsh"] = f"""
+        WITH b AS (SELECT vec_id, embedding, {_bucket_sql} AS bucket
+                   FROM embeddings),
+        scored AS (
+            -- multi-probe (Hamming-1): same bucket OR exactly one plane flipped
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_cos('q.embedding', 'c.embedding')}, 6) AS cosine
+            FROM b q JOIN b c
+              ON (q.bucket = c.bucket
+                  OR xor(q.bucket, c.bucket) IN (1, 2, 4, 8))
+             AND q.vec_id != c.vec_id
+            WHERE q.vec_id < 10),
+        ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
     o["ann_topk"] = f"""
         WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -643,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
     """
+    # identical exact-top-k contract, independent execution path in Spark
+    o["ann_topk_arrow"] = o["ann_topk"]
     o["token_counts"] = f"""
         SELECT doc_id,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -42,7 +42,10 @@ from pregel_rs_spark.algorithms import (
 )
 from pregel_rs_spark.functions.extract import pages_to_edges
 from pregel_rs_spark.operators.dedup import dedup_exact, lsh_candidate_pairs
-from pregel_rs_spark.operators.similarity import brute_force_topk
+from pregel_rs_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+)
 from pregel_rs_spark.operators.text import quality_scores, token_counts
 from pregel_rs_spark.sources.io import get_spark, load_table
 from pregel_rs_spark.sources.synth import synth_pages
@@ -106,6 +109,14 @@ def main() -> None:
         lambda: _consume(connected_components(GraphFrame.from_edges(li_edges))),
     )
     bench(
+        "cc_star",
+        lambda: _consume(
+            connected_components(
+                GraphFrame.from_edges(li_edges), method="star"
+            )
+        ),
+    )
+    bench(
         "label_propagation",
         lambda: _consume(
             label_propagation(GraphFrame.from_edges(li_edges), max_iterations=3)
@@ -152,6 +163,12 @@ def main() -> None:
         "ann_topk",
         lambda: _consume(
             brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=10)
+        ),
+    )
+    bench(
+        "ann_topk_arrow",
+        lambda: _consume(
+            brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 50), k=10)
         ),
     )
 

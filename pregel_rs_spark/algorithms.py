@@ -31,6 +31,7 @@ def pagerank(
     max_iterations: int = 100,
     checkpoint_store=None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """Standard PageRank with damping and dangling-mass redistribution.
 
@@ -98,7 +99,7 @@ def pagerank(
     if checkpoint_store is not None:
         builder = builder.with_checkpoint(checkpoint_store, checkpoint_every)
     engine = builder.build()
-    res = engine.run()
+    res = engine.run(resume=resume)
     # the final state is its own checkpoint; free the materialized vertex
     # table (safe: lineage was severed at every superstep)
     vrdd = getattr(g.vertices, "_ck_rdd", None)
@@ -140,9 +141,19 @@ def max_value(
 
 
 def connected_components(
-    graph: GraphFrame, max_iterations: int = 100, checkpoint_store=None
+    graph: GraphFrame,
+    max_iterations: int = 100,
+    checkpoint_store=None,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components via min-label propagation (undirected).
+
+    ``method="label"`` (default) is the reference-faithful BSP min-label
+    loop below — O(diameter) supersteps.  ``method="star"`` dispatches to
+    :func:`connected_components_star` — the large-star/small-star
+    formulation converging in O(log n) rounds, the right choice on
+    web-scale graphs with long chains.  Both return identical components
+    (component = min vertex id, exact).
 
     Each vertex starts labelled with its own id; every superstep the minimum
     label flows across every edge in both directions, and each vertex keeps
@@ -161,6 +172,10 @@ def connected_components(
     Returns ``(vertex_id, …props, component)`` — component = min vertex id
     in the component (exact, deterministic).
     """
+    if method == "star":
+        return connected_components_star(graph, max_iterations)
+    if method != "label":
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
     e = graph.edges.select(SUBJECT, OBJECT)
     sym = e.unionByName(
         e.select(F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT))
@@ -179,6 +194,108 @@ def connected_components(
     if checkpoint_store is not None:
         builder = builder.with_checkpoint(checkpoint_store, 5)
     return builder.build().run()
+
+
+def connected_components_star(
+    graph: GraphFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star/small-star edge rewrites (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — public literature; no reference
+    counterpart, this is the scale path the min-label docstring points to).
+
+    Invariant: the edge multiset is repeatedly rewritten, preserving
+    connectivity, until it is a forest of stars — every non-minimum vertex
+    holds exactly one edge to its component's minimum id.
+
+      * large-star: each vertex attaches its LARGER neighbours to the
+        minimum of its neighbourhood (incl. itself);
+      * small-star: each vertex attaches its smaller-or-equal neighbours
+        (and itself) to that minimum.
+
+    Per round: 2 groupBy + 2 equi-joins + a distinct — all shuffle on
+    vertex ids, no driver-side data.  Convergence is detected by an O(1)
+    (count, bit_xor of row hashes) signature of the edge set — one tiny
+    action per round, O(log n) rounds total vs O(diameter) supersteps for
+    min-label (a 10^8-long chain needs ~27 rounds here, 10^8 there).
+
+    Returns ``(vertex_id, …props, component)`` — identical output contract
+    and values (component = min vertex id) as method="label".
+    """
+    # canonical undirected pairs stored as (x, c) with c < x
+    edges = (
+        graph.edges.select(
+            F.greatest(SUBJECT, OBJECT).alias("x"),
+            F.least(SUBJECT, OBJECT).alias("c"),
+        )
+        .filter(F.col("x") != F.col("c"))
+        .distinct()
+    )
+    E = truncate_plan(edges)
+    prev_sig = None
+    rounds = 0
+    while rounds < max_iterations:
+        rounds += 1
+        # -- large-star: neighbourhood over BOTH directions --------------
+        d = E.select(F.col("x").alias("u"), F.col("c").alias("v")).unionAll(
+            E.select(F.col("c").alias("u"), F.col("x").alias("v"))
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        # attach strictly-larger neighbours v to m(u); m ≤ u < v keeps the
+        # (x, c) orientation invariant
+        large = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("c"))
+            .distinct()
+        )
+        # -- small-star: already oriented x > c --------------------------
+        mins2 = large.groupBy("x").agg(F.min("c").alias("m"))
+        small = (
+            large.join(mins2, "x")
+            .select(F.col("c").alias("nx"), F.col("m").alias("nc"))
+            .unionAll(
+                mins2.select(F.col("x").alias("nx"), F.col("m").alias("nc"))
+            )
+        )
+        nxt = (
+            small.filter(F.col("nx") != F.col("nc"))
+            .select(F.col("nx").alias("x"), F.col("nc").alias("c"))
+            .distinct()
+        )
+        nxt = truncate_plan(nxt)
+        sig_row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(x, c))").alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        prev = E
+        E = nxt
+        prev_rdd = getattr(prev, "_ck_rdd", None)
+        if prev_rdd is not None:
+            try:
+                prev_rdd.unpersist(False)
+            except Exception:
+                pass
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # fixpoint: every row is (vertex, component-min); vertices with no row
+    # (isolated or the minimum itself) are their own component
+    mapping = E.groupBy(F.col("x").alias(VERTEX_ID)).agg(
+        F.min("c").alias("__comp__")
+    )
+    res = (
+        graph.vertices.join(mapping, VERTEX_ID, "left")
+        .withColumn(
+            "component", F.coalesce(F.col("__comp__"), F.col(VERTEX_ID))
+        )
+        .drop("__comp__")
+    )
+    res.cc_rounds = rounds
+    return res
 
 
 def label_propagation(

@@ -9,13 +9,17 @@ Two paths per the pipeline requirements:
     the corpus is bucketed ONCE (write-time), queries only join their probe
     buckets — candidate set shrinks by ~2^n_planes.
 
-The hyperplanes are deterministic pseudo-random values derived from
-``sin(dim * p1 + plane * p2)`` — reproducible across runs/engines without a
-stored model artifact (good enough as a coarse partitioner; quality-critical
-deployments plug in trained centroids via the same bucket-column contract).
+The hyperplanes are deterministic pseudo-random weights derived from
+md5(plane|dim) — integer-exact dyadic doubles, so any engine (Spark, DuckDB,
+NumPy) reproduces the identical bucket assignment without a stored model
+artifact or trusting a libm ``sin`` to be bit-identical across runtimes.
+Quality-critical deployments plug in trained centroids via the same
+bucket-column contract.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,6 +62,7 @@ def brute_force_topk_arrow(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Vectorized Arrow/numpy top-k — the scale path for dense math.
 
@@ -77,6 +82,15 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    # the query side is collected + broadcast by contract; enforce it so an
+    # oversized caller gets an actionable error, not a driver OOM
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk_arrow collects the query side to the driver "
+            f"({n_q} rows > max_queries={max_queries}); batch the queries or "
+            "use lsh_topk for a distributed probe side"
+        )
     q_rows = queries.select("vec_id", "embedding").collect()
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
@@ -113,31 +127,43 @@ def brute_force_topk_arrow(
     )
     return (
         candidates.filter(F.col("query_id") != F.col("neighbor_id"))
+        # rank on the ROUNDED cosine (same contract as brute_force_topk):
+        # raw float sums differ between BLAS matmul and sequential folds at
+        # ~1e-15, so ranking on rounded values keeps the result identical
+        # across the Catalyst / Arrow / SQL-oracle paths.
+        .withColumn("cosine", F.round("cosine", 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
-def _hyperplane_bucket(vec, n_planes: int, dim: int):
-    """Sign-bit bucket id from n_planes deterministic hyperplanes.
+def hyperplane_weight(plane: int, dim: int) -> float:
+    """Deterministic hyperplane weight in [-1, 1): the first 8 hex chars of
+    md5("plane|dim") as a 32-bit int, scaled by 2^-31 and shifted.  The
+    result is a dyadic rational (exactly representable as a double), so
+    ``h / 2147483648.0 - 1.0`` evaluated in ANY IEEE-754 engine — Spark,
+    DuckDB SQL, NumPy — yields the identical bit pattern, making bucket
+    assignment engine-portable (the property the SQL oracle relies on)."""
+    h = int(hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
 
-    plane p, dim d weight = sin(d * 12.9898 + p * 78.233) — the classic
-    deterministic pseudo-random generator; no stored model needed.
-    """
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Weight matrix [plane][dim] for :func:`lsh_topk` and its oracles."""
+    return [
+        [hyperplane_weight(p, d) for d in range(dim)] for p in range(n_planes)
+    ]
+
+
+def _hyperplane_bucket(vec, n_planes: int, dim: int):
+    """Sign-bit bucket id from n_planes deterministic hyperplanes (weights
+    per :func:`hyperplane_weight`; constant arrays, folded by Catalyst)."""
     bits = []
     for p in range(n_planes):
+        w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(dim)])
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: F.sin(d * 12.9898 + F.lit(p * 78.233)),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec, w, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -154,22 +180,37 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane LSH bucket join + exact re-rank.
 
-    Recall < 1.0 by construction (single-probe); tests check recall vs
-    :func:`brute_force_topk` on the fixture corpus.  At scale the corpus
-    side is bucketed once and persisted/bucketed-by on write.
+    Multi-probe: with ``probe_hamming=1`` each query also probes every
+    bucket at Hamming distance 1 from its own (one hyperplane sign flipped
+    — the most likely buckets to hide true neighbors that fell just across
+    a plane).  Candidate volume grows ×(n_planes+1) while recall rises
+    sharply vs single-probe; ``probe_hamming=0`` is the exact-bucket mode.
+    Recall < 1.0 by construction; tests check recall vs
+    :func:`brute_force_topk` on a real corpus.  At scale the corpus side is
+    bucketed once and persisted/bucketed-by on write; only the (small)
+    query side fans out to its probe buckets.
     """
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _hyperplane_bucket(F.col("embedding"), n_planes, dim).alias("bucket"),
     )
-    q = queries.select(
+    qb = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        _hyperplane_bucket(F.col("embedding"), n_planes, dim).alias("bucket"),
+        _hyperplane_bucket(F.col("embedding"), n_planes, dim).alias("__b0__"),
+    )
+    probes = [F.col("__b0__")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("__b0__").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    q = qb.select(
+        "query_id", "qe", F.explode(F.array(*probes)).alias("bucket")
     )
     scored = (
         q.join(c, "bucket")

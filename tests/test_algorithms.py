@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pregel_rs_spark import GraphFrame
 from pregel_rs_spark.algorithms import (
     connected_components,
+    connected_components_star,
     label_propagation,
     pagerank,
     triangle_count,
@@ -47,6 +48,7 @@ def test_pagerank_matches_numpy_oracle(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.smoke
 def test_pagerank_fixture_values(spark):
     """FIXTURES F3: converged ranks on graph A (verified by simulation)."""
     e = spark.createDataFrame(EDGES_A, "subject long, object long")
@@ -69,6 +71,7 @@ def test_pagerank_dangling(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.smoke
 def test_connected_components(spark):
     e = spark.createDataFrame(EDGES_C, "subject long, object long")
     res = connected_components(GraphFrame.from_edges(e))
@@ -84,6 +87,58 @@ def test_connected_components_chain(spark):
     res = connected_components(GraphFrame.from_edges(e))
     comp = {r.vertex_id: r.component for r in res.collect()}
     assert set(comp.values()) == {0}
+
+
+def test_connected_components_star_matches_label(spark):
+    """large-star/small-star returns EXACTLY the min-label components."""
+    e = spark.createDataFrame(EDGES_C, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    star = {
+        r.vertex_id: r.component
+        for r in connected_components(g, method="star").collect()
+    }
+    label = {
+        r.vertex_id: r.component for r in connected_components(g).collect()
+    }
+    assert star == label == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_chain_logarithmic(spark):
+    """A 64-vertex chain (diameter 63): star converges in O(log n) rounds
+    — strictly fewer than the O(diameter) supersteps min-label needs."""
+    n = 64
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(e)
+    res = connected_components_star(g)
+    comp = {r.vertex_id: r.component for r in res.collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n
+    assert res.cc_rounds <= 10, res.cc_rounds  # log₂64 ≈ 6 (+slack) ≪ 63
+
+
+def test_connected_components_star_isolated_and_random(spark):
+    """Random multi-component graph + isolated vertex: star == label."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    v = spark.createDataFrame(
+        [(i,) for i in range(61)], "vertex_id long"  # 60 is isolated
+    )
+    g = GraphFrame(v, e)
+    star = {
+        r.vertex_id: r.component
+        for r in connected_components(g, method="star").collect()
+    }
+    label = {
+        r.vertex_id: r.component for r in connected_components(g).collect()
+    }
+    assert star == label
+    assert star[60] == 60
 
 
 def test_label_propagation(spark):

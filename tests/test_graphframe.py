@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from pregel_rs_spark import GraphFrame, MissingColumnError
 
+pytestmark = pytest.mark.smoke
+
 
 def ring_edges(spark):
     rows = [(i, i % 10 + 1) for i in range(1, 11)]

@@ -39,6 +39,7 @@ def graph_b(spark):
     return GraphFrame(v, e)
 
 
+@pytest.mark.smoke
 def test_max_value(spark, graph_b):
     """F4: per-vertex [6,6,6,6] exact from superstep 2."""
     res = (
@@ -73,6 +74,7 @@ def test_max_value_one_step(spark, graph_b):
     assert vals == {0: 6, 1: 6, 2: 2, 3: 6}
 
 
+@pytest.mark.smoke
 def test_degenerate_pagerank_reference_parity(spark, graph_a):
     """F3: the reference's own PageRank test config (single Subject-send per
     SURVEY §5.3 Q1) is a fixed point at rank ≡ 0.2, Σ = 1 (pregel.rs:914-994).
@@ -99,6 +101,7 @@ def test_degenerate_pagerank_reference_parity(spark, graph_a):
             assert v == pytest.approx(0.2, abs=1e-9)
 
 
+@pytest.mark.smoke
 def test_chained_send_single_subject(spark, graph_a):
     """F3 chained-send fixture: send (Subject, lit(1)), agg sum, v_prog
     msg+1, init 0, 4 iters → sorted aux == [3,2,2,2,4]
@@ -117,6 +120,7 @@ def test_chained_send_single_subject(spark, graph_a):
     assert aux == [3, 2, 2, 2, 4]
 
 
+@pytest.mark.smoke
 def test_multi_send_union_semantics(spark, graph_a):
     """Our documented Q1 divergence: chained sends UNION (GraphFrames
     semantics).  (Subject, lit(1)) + (Object, lit(1)), agg sum, init 0,
@@ -152,6 +156,7 @@ def test_literals_smoke(spark, graph_b):
     assert res.count() == 4
 
 
+@pytest.mark.smoke
 def test_null_message_semantics(spark):
     """F6: no-message vertices see NULL _pregel_msg_, null propagates
     through arithmetic v_prog (pregel.rs:838-854 parity)."""
@@ -334,6 +339,7 @@ def test_join_pruning_expr_payloads(spark, graph_b):
     assert vals2 == {0: 1, 1: 2, 2: 1, 3: 2}
 
 
+@pytest.mark.smoke
 def test_truncate_plan_rewrap(spark):
     """The stats-free LogicalRDD rewrap must be ACTIVE on this Spark
     version: a silent fallback reintroduces the O(3^superstep) driver
