@@ -318,6 +318,9 @@ class Pregel:
     checkpoint_store: Optional[object] = None  # plans.checkpoint.CheckpointStore
     checkpoint_interval: int = 0            # 0 = only on finish
     salted_agg_partials: int = 0            # >0: explicit two-phase salted agg
+    message_counts: bool = False            # per-superstep message totals
+    # (metrics.messages); widens every shuffled partial-agg row by a long,
+    # so off unless requested — checkpoint manifests turn it on implicitly.
     # named scalar aggregates evaluated over the state in the SAME stats
     # action that measures convergence — surfaced to the next superstep's
     # closures via ctx.stats (no extra Spark jobs).
@@ -547,13 +550,21 @@ class Pregel:
                     messages = messages.unionByName(f_)
 
                 # -- aggregate per receiver (pregel.rs:835-837) --
-                # __msg_cnt__ rides along so the per-superstep stats action
-                # can report total messages without a second pass.
                 collect_stats = (
                     self.tolerance is not None
                     or self.check_exact
                     or self.checkpoint_store is not None
                     or bool(self.state_stats)
+                )
+                # __msg_cnt__ rides along so the stats action can report
+                # total messages without a second pass — but it widens every
+                # shuffled partial-agg row by a long (measured ~20% of the
+                # per-superstep shuffle at 16 cores), so it is only computed
+                # when something consumes it: checkpoint manifests or an
+                # explicit request.  Convergence (delta/changed) never needs
+                # it.
+                count_msgs = (
+                    self.checkpoint_store is not None or self.message_counts
                 )
                 agg_expr = _resolve(self.aggregate_expr, ctx).alias(PREGEL_MSG)
                 if self.salted_agg_partials > 1:
@@ -579,20 +590,31 @@ class Pregel:
                         F.xxhash64(F.monotonically_increasing_id()),
                         F.lit(self.salted_agg_partials),
                     ).alias("__salt__")
+                    cnt_p = (
+                        [F.count(F.lit(1)).alias("__msg_cnt__")]
+                        if count_msgs else []
+                    )
                     partial = messages.select(
                         _q(MSG_VERTEX_ID), _q(PREGEL_MSG), salt
                     ).groupBy(_q(MSG_VERTEX_ID), F.col("__salt__")).agg(
-                        agg_expr, F.count(F.lit(1)).alias("__msg_cnt__")
+                        agg_expr, *cnt_p
                     )
                     aggregated = partial.groupBy(_q(MSG_VERTEX_ID)).agg(
                         combine(_q(PREGEL_MSG)).alias(PREGEL_MSG),
-                        F.sum("__msg_cnt__").alias("__msg_cnt__"),
+                        *(
+                            [F.sum("__msg_cnt__").alias("__msg_cnt__")]
+                            if count_msgs else []
+                        ),
                     )
                 else:
                     # Spark's hash aggregate already does map-side partial
                     # combine before the shuffle (two-phase for free).
                     aggregated = messages.groupBy(_q(MSG_VERTEX_ID)).agg(
-                        agg_expr, F.count(F.lit(1)).alias("__msg_cnt__")
+                        agg_expr,
+                        *(
+                            [F.count(F.lit(1)).alias("__msg_cnt__")]
+                            if count_msgs else []
+                        ),
                     )
 
                 # -- apply: state ⟕ messages, v_prog (pregel.rs:843-854) --
@@ -640,7 +662,7 @@ class Pregel:
                         F.col(f"`{c}`").alias(p)
                         for c, p in prev_names.items()
                     ],
-                    F.col("__msg_cnt__"),
+                    *([F.col("__msg_cnt__")] if count_msgs else []),
                     # every v_prog sees the PRE-update values of all state
                     # columns (they come from ``joined``) — synchronous BSP
                     _resolve(self.v_prog, ctx).alias(vcol),
@@ -678,7 +700,9 @@ class Pregel:
                         F.sum(any_changed.cast("int")).alias("changed"),
                         F.sum(F.coalesce(F.col("__msg_cnt__"), F.lit(0))).alias(
                             "messages"
-                        ),
+                        )
+                        if count_msgs
+                        else F.max(F.lit(None).cast("long")).alias("messages"),
                         *[
                             e.alias(f"__ss_{k}__")
                             for k, e in self.state_stats.items()
@@ -809,6 +833,13 @@ class PregelBuilder:
 
     def with_salted_aggregation(self, partials: int) -> "PregelBuilder":
         self._p.salted_agg_partials = partials
+        return self
+
+    def with_message_counts(self, on: bool = True) -> "PregelBuilder":
+        """Report per-superstep message totals in ``metrics.messages``.
+        Costs one extra long per shuffled partial-agg row — off by default;
+        ``with_checkpoint`` implies it (manifests record message counts)."""
+        self._p.message_counts = on
         return self
 
     def with_adaptive(self, on: bool = True) -> "PregelBuilder":
