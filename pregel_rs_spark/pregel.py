@@ -119,9 +119,27 @@ def _referenced_names(df_schema_probe: DataFrame, exprs: list[Column]) -> set[st
     return names
 
 
-def truncate_plan(df: DataFrame) -> DataFrame:
+def truncate_plan(df: DataFrame, preserve_partitioning: bool = True) -> DataFrame:
     """Materialize ``df`` and return a DataFrame whose plan is a bare
     ``LogicalRDD`` scan — the iterative-lineage barrier.
+
+    ``preserve_partitioning`` decides whether the rewrap ADVERTISES the
+    checkpoint's hash partitioning to Catalyst:
+
+    * single-JVM (``local[n]``): True.  Every cached/checkpointed block is
+      in-process, so claiming the partitioning lets the next superstep's
+      joins run with ZERO exchange — the measured optimum.
+    * multi-executor (``local-cluster``/``spark://``/YARN/K8s): False.
+      Claiming the partitioning suppresses the exchange, which forces each
+      join task to read its state partition from whichever executor
+      localCheckpointed it — a per-superstep remote fetch of whole
+      DESERIALIZED blocks through Java serialization (measured ~8× step
+      blowup at 4 executors vs single).  Letting Catalyst re-exchange the
+      state instead streams it through the netty shuffle path (compact
+      UnsafeRow binary), and the reduce tasks — whose only remaining
+      locality preference is the sorted edge cache — get scheduled AT the
+      edge blocks.  This is exactly the GraphX/GraphFrames layout: edges
+      stay put, vertex state flows over the shuffle each superstep.
 
     Why not plain ``localCheckpoint``: since Spark 3.4 (SPARK-39748) the
     ``LogicalRDD`` produced by ``Dataset.checkpoint`` carries ``originStats``
@@ -141,7 +159,17 @@ def truncate_plan(df: DataFrame) -> DataFrame:
     result.  Falls back to the plain checkpointed frame if the internal
     constructor is unavailable (e.g. Spark Connect).
     """
-    ck = df.localCheckpoint(eager=True)
+    # SERIALIZED block storage (python StorageLevel.MEMORY_AND_DISK has
+    # deserialized=False; the Spark-default MEMORY_AND_DISK_DESER stores one
+    # Java object per row — millions of heap objects churned per superstep,
+    # measured as 30-60% GC time in 20g executors).  UnsafeRow serializes as
+    # a flat byte copy, so the write is cheap and the per-superstep state
+    # lives as a handful of big byte buffers instead.
+    from pyspark.storagelevel import StorageLevel
+
+    ck = df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     try:
         spark = df.sparkSession
         jvm = spark.sparkContext._jvm
@@ -168,11 +196,22 @@ def truncate_plan(df: DataFrame) -> DataFrame:
         # subject side and the apply join then need NO state re-shuffle
         # (LogicalRDD.newInstance remaps the partitioning expr-ids on
         # self-join dedup, so both uses keep the property).
+        if preserve_partitioning:
+            out_part = lr.outputPartitioning()
+            out_ord = lr.outputOrdering()
+        else:
+            out_part = (
+                jvm.org.apache.spark.sql.catalyst.plans.physical
+                .UnknownPartitioning(0)
+            )
+            out_ord = getattr(
+                jvm.scala.collection.immutable, "Nil$"
+            ).__getattr__("MODULE$")
         new_lr = jvm.org.apache.spark.sql.execution.LogicalRDD(
             lr.output(),
             lr.rdd(),
-            lr.outputPartitioning(),
-            lr.outputOrdering(),
+            out_part,
+            out_ord,
             False,
             none,
             spark._jsparkSession,
@@ -356,6 +395,10 @@ class Pregel:
         vertices = self.graph.vertices
         vcol = self.vertex_column
         spark = vertices.sparkSession
+        # Single-JVM runs keep state partitioning across supersteps (zero
+        # exchange); multi-executor runs re-exchange state each superstep
+        # instead of remote-fetching checkpoint blocks — see truncate_plan.
+        single_jvm = spark.sparkContext.master.startswith("local[")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", str(self.adaptive).lower())
         # Join strategy inside the loop: every join is already co-partitioned
@@ -405,7 +448,7 @@ class Pregel:
                     for sc in self.extra_state
                 ],
             )
-        current = truncate_plan(current)
+        current = truncate_plan(current, preserve_partitioning=single_jvm)
 
         state_cols = [c for c in current.columns]
 
@@ -711,7 +754,7 @@ class Pregel:
 
                 # -- materialize: truncate lineage (≡ collect(), pregel.rs:867) --
                 t_plan = time.monotonic() - t0
-                nxt = truncate_plan(nxt)
+                nxt = truncate_plan(nxt, preserve_partitioning=single_jvm)
                 t_ck = time.monotonic() - t0 - t_plan
 
                 delta = None

@@ -25,6 +25,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build a local session with scale-appropriate defaults.
 
@@ -32,12 +33,17 @@ def get_spark(
     ``master`` changes.  Shuffle partitions default to the core count —
     right-sized for local runs; at 100 TB you set this (or let AQE coalesce
     from a high initial count) to keep post-shuffle partitions ≲ 200 MB.
+
+    ``master`` overrides the default ``local[cores]`` — the scaling protocol
+    passes ``local-cluster[E, C, memMB]`` to run E real executor JVMs (the
+    in-sandbox analogue of an E-executor cluster: separate heaps, separate
+    GCs, netty shuffle between processes).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -50,6 +56,19 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Cluster-size emulation (scaling protocol, BASELINE.md §3): when set,
+    # the JVM is told it owns exactly this many cores so GC / compiler /
+    # shuffle thread pools are sized for the emulated cluster instead of the
+    # whole host.  Pair with `taskset -c` on the launching process so the
+    # threads are actually confined — otherwise a local[4] "cluster" borrows
+    # the host's idle cores for GC and IO and the N-level measurement flatters
+    # small clusters (which understates N→4N scaling efficiency).
+    jvm_cores = os.environ.get("SPARK_GRAFT_JVM_CORES")
+    if jvm_cores:
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={int(jvm_cores)}",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

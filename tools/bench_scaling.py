@@ -6,18 +6,21 @@ efficiency ≥ 0.8 from N to 4N executors; sandbox protocol per BASELINE.md §3)
    table: synth_pages(n, seed=42) → pages_to_edges (href extraction via
    pandas UDFs, xxhash64 ids) → (subject, object) parquet.
 2. Run the IDENTICAL PageRank job (fixed superstep count — same work at both
-   levels) via tools/scaling_run.py in a fresh JVM at local[N] and local[4N],
-   shuffle partitions matched to the core count.  Levels ALTERNATE across
-   repeats so slow-host windows hit both evenly; the reported number is the
-   MEDIAN sec/superstep per level (robust to noisy-neighbor outliers in
-   either direction; the min/max spread is reported alongside).
+   levels) via tools/scaling_run.py at local-cluster[N,4,20g] and
+   local-cluster[4N,4,20g]: real executor JVMs of identical shape, each
+   pinned to its own 4-core block, driver JVM on a separate fixed block
+   (see scaling_run.py for the affinity protocol).  Shuffle partitions
+   match the total executor core count.  Levels ALTERNATE across repeats so
+   slow-host windows hit both evenly; the gate number is the MEDIAN
+   steady-state sec/superstep per level (per-step median within a run ×
+   median across runs; spreads reported).
 3. Report supersteps/hour at both + efficiency = (thr_4N / thr_N) / 4, a
    to-1e-6 convergence run at 4N, and (unless --skip-resume) a mid-run
    RESUME leg at 4N: full run vs (interrupted-at-k, fresh-process resume)
    with CheckpointStore snapshots — final ranks must agree to 1e-6.
 
-Usage: python tools/bench_scaling.py [--pages 3000000] [--steps 10]
-       [--n-cores 4] [--repeats 5] [--out /root/repo/BENCH_SCALING.json]
+Usage: python tools/bench_scaling.py [--pages 3000000] [--steps 12]
+       [--n-executors 1] [--repeats 5] [--out /root/repo/BENCH_SCALING.json]
 """
 
 from __future__ import annotations
@@ -55,20 +58,29 @@ def build_edges(n_pages: int, link_factor: int = 1) -> str:
     return path
 
 
-def run_level(cores: int, edges_path: str, steps: int, tol: float = 0.0,
+MODE = "local"  # set from --mode; forwarded to every scaling_run call
+
+
+def run_level(units: int, edges_path: str, steps: int, tol: float = 0.0,
               extra: list[str] | None = None) -> dict:
+    # Honest cluster-size emulation (see tools/scaling_run.py): the
+    # subprocess does its own whole-tree thread pinning — taskset on the
+    # parent would starve the driver/master JVM into executor heartbeat
+    # loss in local-cluster mode.
     cmd = [
         sys.executable,
         "/root/repo/tools/scaling_run.py",
-        str(cores),
+        str(units),
         edges_path,
         str(steps),
         str(tol),
+        "--master-mode", MODE,
     ] + (extra or [])
     env = dict(os.environ)
-    # local mode hosts driver + executor in one JVM; size the heap for the
-    # cached edge table + two checkpointed states at 100M+ edge scale
-    env.setdefault("SPARK_DRIVER_MEM", "48g")
+    # local mode: the one JVM hosts driver + executor + the cached edge
+    # table + two serialized state snapshots — heap is the storage pool
+    # (execution memory is off-heap, sized by scaling_run)
+    env.setdefault("SPARK_DRIVER_MEM", "24g")
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, check=True, env=env
     )
@@ -77,22 +89,23 @@ def run_level(cores: int, edges_path: str, steps: int, tol: float = 0.0,
 
 
 def pick(runs: list[dict]) -> dict:
-    """Median run by sec/superstep (robust gate number), annotated with the
-    level's full spread."""
-    srt = sorted(runs, key=lambda r: r["sec_per_superstep"])
-    med = srt[len(srt) // 2]
-    med = dict(med)
-    med["sec_per_superstep_all"] = [r["sec_per_superstep"] for r in runs]
-    med["sec_per_superstep_median"] = round(
-        statistics.median(r["sec_per_superstep"] for r in runs), 3
-    )
-    med["sec_per_superstep_min"] = min(r["sec_per_superstep"] for r in runs)
-    med["sec_per_superstep_max"] = max(r["sec_per_superstep"] for r in runs)
+    """Median run by steady-state sec/superstep (per-run per-step median),
+    annotated with the level's full spread.  Two medians deep: the per-step
+    median inside a run absorbs transient slow windows of this shared host;
+    the across-runs median absorbs whole runs landing in a bad window."""
+    key = "sec_per_superstep_median_step"
+    srt = sorted(runs, key=lambda r: r[key])
+    med = dict(srt[len(srt) // 2])
+    med["steady_all"] = [r[key] for r in runs]
+    med["steady_median"] = round(statistics.median(r[key] for r in runs), 3)
+    med["steady_min"] = min(r[key] for r in runs)
+    med["steady_max"] = max(r[key] for r in runs)
+    med["mean_all"] = [r["sec_per_superstep"] for r in runs]
     return med
 
 
-def resume_check(cores: int, edges_path: str, steps: int, interrupt_at: int,
-                 ckpt_every: int) -> dict:
+def resume_check(executors: int, edges_path: str, steps: int,
+                 interrupt_at: int, ckpt_every: int) -> dict:
     """Mid-run resume equivalence at bench scale, each leg a fresh process:
     full run vs (run interrupted at k) + (resume k→steps); final ranks
     must agree within 1e-6 L∞."""
@@ -105,13 +118,13 @@ def resume_check(cores: int, edges_path: str, steps: int, interrupt_at: int,
     ck_full = os.path.join(root, "ck_full")
     ck_int = os.path.join(root, "ck_interrupted")
 
-    full = run_level(cores, edges_path, steps,
+    full = run_level(executors, edges_path, steps,
                      extra=["--ckpt-root", ck_full, "--ckpt-every",
                             str(ckpt_every), "--ranks-out", full_ranks])
-    interrupted = run_level(cores, edges_path, interrupt_at,
+    interrupted = run_level(executors, edges_path, interrupt_at,
                             extra=["--ckpt-root", ck_int, "--ckpt-every",
                                    str(ckpt_every)])
-    resumed = run_level(cores, edges_path, steps,
+    resumed = run_level(executors, edges_path, steps,
                         extra=["--ckpt-root", ck_int, "--ckpt-every",
                                str(ckpt_every), "--resume",
                                "--ranks-out", res_ranks])
@@ -126,7 +139,7 @@ def resume_check(cores: int, edges_path: str, steps: int, interrupt_at: int,
     ).fetchone()
     max_diff, joined, na, nb = float(row[0]), int(row[1]), int(row[2]), int(row[3])
     return {
-        "cores": cores,
+        "executors": executors,
         "supersteps": steps,
         "interrupted_at": interrupt_at,
         "ckpt_every": ckpt_every,
@@ -147,8 +160,13 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=3_000_000)
     ap.add_argument("--link-factor", type=int, default=6,
                     help="synth out-degree scale (6 -> mean ~16 links/page)")
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--n-cores", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--mode", choices=["local", "local-cluster"],
+                    default="local",
+                    help="cluster emulation (see tools/scaling_run.py)")
+    ap.add_argument("--n-units", type=int, default=2,
+                    help="N level parallelism (cores in local mode, "
+                         "executors in local-cluster mode); 4N level is 4x")
     ap.add_argument("--repeats", type=int, default=5,
                     help="alternating repeats per level; MEDIAN taken "
                          "(this shared host shows 2-3x noisy-neighbor drift)")
@@ -157,23 +175,26 @@ def main() -> None:
     ap.add_argument("--skip-resume", action="store_true")
     args = ap.parse_args()
 
+    global MODE
+    MODE = args.mode
     os.makedirs(SCRATCH, exist_ok=True)
     edges_path = build_edges(args.pages, args.link_factor)
 
-    n, n4 = args.n_cores, args.n_cores * 4
+    n, n4 = args.n_units, args.n_units * 4
     lo_runs, hi_runs = [], []
     for r in range(args.repeats):
         lo_runs.append(run_level(n, edges_path, args.steps))
         hi_runs.append(run_level(n4, edges_path, args.steps))
         print(
-            f"repeat {r}: N={lo_runs[-1]['sec_per_superstep']}s/step "
-            f"4N={hi_runs[-1]['sec_per_superstep']}s/step",
+            f"repeat {r}: "
+            f"N={lo_runs[-1]['sec_per_superstep_median_step']}s/step "
+            f"4N={hi_runs[-1]['sec_per_superstep_median_step']}s/step",
             file=sys.stderr,
         )
     lo = pick(lo_runs)
     hi = pick(hi_runs)
-    thr_lo = args.steps / (lo["sec_per_superstep_median"] * args.steps / 3600.0)
-    thr_hi = args.steps / (hi["sec_per_superstep_median"] * args.steps / 3600.0)
+    thr_lo = 3600.0 / lo["steady_median"]
+    thr_hi = 3600.0 / hi["steady_median"]
     eff = (thr_hi / thr_lo) / 4.0
 
     conv = None
@@ -189,10 +210,20 @@ def main() -> None:
         print(f"resume check: {json.dumps({k: resume[k] for k in ('resumed_from', 'max_abs_rank_diff', 'allclose_1e6')})}",
               file=sys.stderr)
 
+    level_desc = (
+        f"local[{n}] vs local[{n4}], whole job (driver python + JVM, every "
+        "thread) pinned to exactly that many cores"
+        if args.mode == "local" else
+        f"local-cluster[{n},4,8g] vs local-cluster[{n4},4,8g], real "
+        "executor JVMs each pinned to its own 4-core block, driver JVM on "
+        "a separate fixed block"
+    )
     result = {
-        "protocol": "BASELINE.md §3 (same job, same input, local[N] vs "
-                    "local[4N]); MEDIAN sec/superstep over alternating "
-                    "repeats per level (spread reported)",
+        "protocol": f"BASELINE.md §3: same job, same input, {level_desc}. "
+                    "Gate number = median steady-state sec/superstep "
+                    "(per-step median within a run, median across "
+                    "alternating repeats; spread reported)",
+        "mode": args.mode,
         "input": {"pages": args.pages, "link_factor": args.link_factor,
                   "seed": 42, "edges_parquet": edges_path},
         "fixed_supersteps": args.steps,
@@ -202,8 +233,10 @@ def main() -> None:
         "throughput_N_supersteps_per_hour": round(thr_lo, 1),
         "throughput_4N_supersteps_per_hour": round(thr_hi, 1),
         "all_runs": {
-            "N_sec_per_superstep": [r["sec_per_superstep"] for r in lo_runs],
-            "4N_sec_per_superstep": [r["sec_per_superstep"] for r in hi_runs],
+            "N_steady_sec_per_superstep":
+                [r["sec_per_superstep_median_step"] for r in lo_runs],
+            "4N_steady_sec_per_superstep":
+                [r["sec_per_superstep_median_step"] for r in hi_runs],
         },
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
