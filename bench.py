@@ -64,7 +64,18 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
-    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        "bench", cores=cores, shuffle_partitions=cores,
+        extra_conf={
+            # Tungsten pages off-heap: keeps GB-sized sort/agg buffers out
+            # of the GC (measured up to 3x flatter supersteps at 16 threads,
+            # see tools/scaling_run.py); ParallelGC for batch throughput.
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": f"{max(2 * cores, 8)}g",
+            "spark.driver.extraJavaOptions":
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     li_edges = (
