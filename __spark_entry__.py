@@ -32,6 +32,7 @@ from pregel_rs_spark.algorithms import (
     label_propagation,
     max_value,
     pagerank,
+    sssp,
     triangle_count,
 )
 from pregel_rs_spark.operators.dedup import (
@@ -212,6 +213,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         res = max_value(g, max_iterations=40)
         return res.select("vertex_id", "max_value")
+
+    def sssp_hops_q(spark, sf):
+        """Single-source shortest paths (unit weights) from vertex 1 on
+        the supplier graph; reached vertices only, exact hop counts —
+        verified against a DuckDB recursive-CTE BFS oracle."""
+        res = sssp(GraphFrame.from_edges(_edges_sg(spark, sf)), source=1,
+                   max_iterations=50)
+        return res.filter(~F.isnan("distance") & (F.col("distance") != float("inf"))) \
+            .select("vertex_id", F.col("distance").cast("long").alias("hops"))
 
     def lpa_1round(spark, sf):
         res = label_propagation(
@@ -395,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         connected_components_star=connected_components_star_q,
         triangle_count=triangle_count_q,
         max_value=max_value_q,
+        sssp_hops=sssp_hops_q,
         lpa_1round=lpa_1round,
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
@@ -590,6 +601,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_SG_SQL} e ON e.subject = r.vid
         )
         SELECT vid AS vertex_id, MAX(val) AS max_value FROM reach GROUP BY vid
+    """
+    o["sssp_hops"] = f"""
+        WITH RECURSIVE
+        reach(vid, d) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.object, r.d + 1 FROM reach r
+            JOIN {_SG_SQL} e ON e.subject = r.vid
+            WHERE r.d < 300
+        )
+        SELECT vid AS vertex_id, MIN(d) AS hops FROM reach GROUP BY vid
     """
     o["lpa_1round"] = f"""
         WITH sym AS (SELECT DISTINCT subject AS src, object AS dst FROM

@@ -443,3 +443,59 @@ def triangle_count(graph: GraphFrame) -> DataFrame:
         .join(per_vertex, VERTEX_ID, "left")
         .withColumn("triangles", F.coalesce(F.col("triangles"), F.lit(0)))
     )
+
+
+def sssp(
+    graph: GraphFrame,
+    source: int,
+    weight_column: str | None = None,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Single-source shortest paths — the canonical Pregel algorithm
+    (Malewicz et al., SIGMOD'10 §5.2; not shipped by the reference, which
+    stops at max-value propagation — examples/maximum_value.rs).
+
+    Every vertex starts at distance 0 (the source) or +inf; each superstep
+    a vertex sends ``own_distance + edge_weight`` along its out-edges,
+    aggregates received offers with ``min``, and keeps the smaller of
+    (own, best offer).  ``with_exact_convergence`` stops the loop the first
+    superstep in which no distance improves — O(diameter) supersteps for
+    unit weights (Bellman-Ford rounds for weighted graphs).
+
+    ``weight_column``: optional edge column with non-negative weights;
+    default = unit weights (hop count).
+
+    Scale shape: identical to PageRank's superstep — one co-partitioned
+    triplet join + one message shuffle per superstep.  Offers from
+    still-unreached vertices are NULL (the ``F.when`` has no ``otherwise``),
+    so the min-aggregation ignores them and map-side partial aggregation
+    collapses them to at most one NULL partial per (receiver, partition)
+    before the shuffle — early-superstep shuffles stay near-empty on
+    high-diameter graphs.
+
+    Returns ``(vertex_id, …props, distance)`` with unreached vertices at
+    +inf (DOUBLE) — exact-equal semantics for hop counts.
+    """
+    from pregel_rs_spark.columns import edge_
+
+    INF = float("inf")
+    w = edge_(weight_column) if weight_column else F.lit(1.0)
+    offer = F.when(
+        subject("distance") != F.lit(INF), subject("distance") + w
+    )  # NULL (dropped by min-agg) when the sender is still unreached
+    return (
+        PregelBuilder(graph)
+        .max_iterations(max_iterations)
+        .with_vertex_column("distance")
+        .initial_message(
+            F.when(F.col(VERTEX_ID) == F.lit(source), F.lit(0.0)).otherwise(
+                F.lit(INF)
+            )
+        )
+        .send_messages(MessageReceiver.OBJECT, offer)
+        .aggregate_messages(F.min(msg()))
+        .v_prog(F.least(F.col("distance"), F.coalesce(msg(), F.col("distance"))))
+        .with_exact_convergence()
+        .build()
+        .run()
+    )

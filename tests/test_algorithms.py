@@ -211,3 +211,33 @@ def test_pagerank_open_vs_closed_world(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_sssp_unit_weights(spark):
+    """BFS hop counts on a small DAG-with-cycle; unreached stays +inf."""
+    from pregel_rs_spark.algorithms import sssp
+
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (9, 1)]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = sssp(GraphFrame.from_edges(e), source=1, max_iterations=20)
+    got = {r.vertex_id: r.distance for r in res.collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    assert got[4] == 2.0
+    assert got[5] == 3.0
+    assert got[9] == float("inf")  # no in-path from 1
+
+
+def test_sssp_weighted(spark):
+    """Weighted relaxations: the longer-hop cheaper path must win."""
+    from pregel_rs_spark.algorithms import sssp
+
+    edges = [(1, 2, 10.0), (1, 3, 1.0), (3, 4, 1.0), (4, 2, 1.0)]
+    e = spark.createDataFrame(edges, "subject long, object long, w double")
+    res = sssp(GraphFrame.from_edges(e), source=1, weight_column="w",
+               max_iterations=20)
+    got = {r.vertex_id: r.distance for r in res.collect()}
+    assert got[2] == 3.0  # 1->3->4->2, not the direct 10.0 edge
+    assert got[3] == 1.0
+    assert got[4] == 2.0
