@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 from pregel_rs_spark import GraphFrame, MessageReceiver, PregelBuilder, msg, subject
 from pregel_rs_spark.algorithms import (
     connected_components,
+    hits,
     label_propagation,
     max_value,
     pagerank,
+    personalized_pagerank,
     sssp,
     triangle_count,
 )
@@ -223,6 +225,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.filter(~F.isnan("distance") & (F.col("distance") != float("inf"))) \
             .select("vertex_id", F.col("distance").cast("long").alias("hops"))
 
+    def hits_k3_q(spark, sf):
+        """HITS hubs & authorities, 3 synchronous (Jacobi) iterations,
+        unnormalized — exactly reproducible by SQL unrolling."""
+        res = hits(GraphFrame.from_edges(_edges_sg(spark, sf)),
+                   iterations=3, normalize=False)
+        return res.select(
+            "vertex_id",
+            F.round("auth", 6).alias("auth"),
+            F.round("hub", 6).alias("hub"),
+        )
+
+    def ppr_k3_q(spark, sf):
+        """Personalized PageRank from seed vertex 1, 3 fixed iterations —
+        teleport AND dangling mass both land on the seed only."""
+        res = personalized_pagerank(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), sources=[1],
+            tol=None, max_iterations=3,
+        )
+        return res.select("vertex_id", F.round("rank", 6).alias("rank"))
+
     def lpa_1round(spark, sf):
         res = label_propagation(
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
@@ -406,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         triangle_count=triangle_count_q,
         max_value=max_value_q,
         sssp_hops=sssp_hops_q,
+        hits_k3=hits_k3_q,
+        ppr_k3=ppr_k3_q,
         lpa_1round=lpa_1round,
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
@@ -602,6 +626,72 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vid AS vertex_id, MAX(val) AS max_value FROM reach GROUP BY vid
     """
+    # HITS Jacobi iteration (auth' = Σ_in hub, hub' = Σ_out auth, both from
+    # the PRE-update values), unrolled; vertices with no in/out edges get 0.
+    hits_iter = """
+        , s{t} AS (
+            SELECT v.vertex_id,
+                   COALESCE(ain.s, 0.0) AS auth,
+                   COALESCE(hout.s, 0.0) AS hub
+            FROM v
+            LEFT JOIN (SELECT e.object AS vertex_id, SUM(s{p}.hub) AS s
+                       FROM {ev} e JOIN s{p} ON e.subject = s{p}.vertex_id
+                       GROUP BY e.object) ain USING (vertex_id)
+            LEFT JOIN (SELECT e.subject AS vertex_id, SUM(s{p}.auth) AS s
+                       FROM {ev} e JOIN s{p} ON e.object = s{p}.vertex_id
+                       GROUP BY e.subject) hout USING (vertex_id)
+        )
+    """
+    o["hits_k3"] = (
+        f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_SG_SQL}
+                    UNION ALL SELECT object FROM {_SG_SQL})),
+             s0 AS (SELECT vertex_id, 1.0 AS auth, 1.0 AS hub FROM v)
+        """
+        + hits_iter.format(t=1, p=0, ev=_SG_SQL)
+        + hits_iter.format(t=2, p=1, ev=_SG_SQL)
+        + hits_iter.format(t=3, p=2, ev=_SG_SQL)
+        + " SELECT vertex_id, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub"
+          " FROM s3"
+    )
+    # Personalized PageRank from seed 1: teleport vector p = e_seed; both
+    # the (1-d) restart and the dangling mass re-enter at the seed only.
+    ppr_iter = """
+        , m{t} AS (SELECT e.object AS vertex_id,
+                         SUM(r{p}.rank / od.out_degree) AS s
+                  FROM {ev} e
+                  JOIN r{p} ON e.subject = r{p}.vertex_id
+                  JOIN od ON e.subject = od.vertex_id
+                  GROUP BY e.object)
+        , d{t} AS (SELECT COALESCE(SUM(r{p}.rank), 0.0) AS dang FROM r{p}
+                  LEFT JOIN od ON r{p}.vertex_id = od.vertex_id
+                  WHERE od.vertex_id IS NULL)
+        , r{t} AS (SELECT v.vertex_id,
+                         0.85 * (COALESCE(m{t}.s, 0.0)
+                                 + d{t}.dang * (CASE WHEN v.vertex_id = 1
+                                                THEN 1.0 ELSE 0.0 END))
+                         + 0.15 * (CASE WHEN v.vertex_id = 1
+                                   THEN 1.0 ELSE 0.0 END) AS rank
+                  FROM v LEFT JOIN m{t} USING (vertex_id)
+                  CROSS JOIN d{t})
+    """
+    o["ppr_k3"] = (
+        f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_SG_SQL}
+                    UNION ALL SELECT object FROM {_SG_SQL})),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_SG_SQL} GROUP BY subject),
+             r0 AS (SELECT vertex_id,
+                           CASE WHEN vertex_id = 1 THEN 1.0 ELSE 0.0 END
+                           AS rank FROM v)
+        """
+        + ppr_iter.format(t=1, p=0, ev=_SG_SQL)
+        + ppr_iter.format(t=2, p=1, ev=_SG_SQL)
+        + ppr_iter.format(t=3, p=2, ev=_SG_SQL)
+        + " SELECT vertex_id, ROUND(rank, 6) AS rank FROM r3"
+    )
     o["sssp_hops"] = f"""
         WITH RECURSIVE
         reach(vid, d) AS (

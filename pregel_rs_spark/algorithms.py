@@ -445,6 +445,153 @@ def triangle_count(graph: GraphFrame) -> DataFrame:
     )
 
 
+def hits(
+    graph: GraphFrame,
+    iterations: int = 10,
+    normalize: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) — synchronous BSP
+    variant (no reference counterpart; extension like :func:`sssp`):
+
+        auth_{k+1}(v) = Σ_{u→v} hub_k(u)
+        hub_{k+1}(v)  = Σ_{v→w} auth_k(w)
+
+    Both updates read the PRE-update values (the engine's synchronous
+    state contract), i.e. Jacobi rather than the textbook Gauss-Seidel
+    ordering — the two interleave the same power iterations on AᵀA and
+    AAᵀ one step apart, converge to the same principal directions, and
+    (the point here) are exactly reproducible by SQL unrolling, which the
+    driver oracle does.
+
+    One superstep per iteration: both directions ship in the SAME message
+    shuffle as a two-field struct — to the object ``(h=hub, a=NULL)``,
+    to the subject ``(h=NULL, a=auth)`` — aggregated field-wise with sum
+    (NULLs drop out; map-side partial aggregation collapses hub receivers
+    before the shuffle exactly as in PageRank).
+
+    ``normalize=True`` L1-normalizes each score vector once at the end
+    (two scalar aggregates, one action) instead of per-iteration — the
+    iterates are scale-free, and skipping k normalization barriers keeps
+    the superstep plan byte-identical across iterations.  With the
+    default double precision, unnormalized scores stay finite for
+    iterations ≲ 300/log10(d_max); pass ``normalize=False`` to get raw
+    sums for small k.
+
+    Returns ``(vertex_id, …props, auth, hub)``.
+    """
+    from pregel_rs_spark.columns import object_
+
+    null_d = F.lit(None).cast("double")
+
+    def pair(h, a):
+        return F.struct(h.alias("h"), a.alias("a"))
+
+    res = (
+        PregelBuilder(graph)
+        .max_iterations(iterations)
+        .with_vertex_column("auth")
+        .initial_message(F.lit(1.0))
+        .with_state_column(
+            "hub", F.lit(1.0), F.coalesce(msg()["a"], F.lit(0.0))
+        )
+        .send_messages(MessageReceiver.OBJECT, pair(subject("hub"), null_d))
+        .send_messages(MessageReceiver.SUBJECT, pair(null_d, object_("auth")))
+        .aggregate_messages(pair(F.sum(msg()["h"]), F.sum(msg()["a"])))
+        .v_prog(F.coalesce(msg()["h"], F.lit(0.0)))
+        .build()
+        .run()
+    )
+    if normalize:
+        s = res.agg(
+            F.sum("auth").alias("sa"), F.sum("hub").alias("sh")
+        ).collect()[0]
+        sa = s["sa"] or 1.0
+        sh = s["sh"] or 1.0
+        res = res.withColumn(
+            "auth", F.col("auth") / F.lit(float(sa))
+        ).withColumn("hub", F.col("hub") / F.lit(float(sh)))
+    return res
+
+
+def personalized_pagerank(
+    graph: GraphFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at ``sources`` instead
+    of uniformly (Jeh & Widom, WWW'03; extension — the reference ships
+    only global PageRank in examples/pagerank.rs).
+
+        rank' = d·(msg + dangling·p(v)) + (1−d)·p(v)
+
+    where p is uniform over ``sources`` and zero elsewhere; dangling mass
+    re-enters through the teleport distribution (the walk restarts), so
+    Σ rank = 1 every superstep exactly as in the global variant.
+
+    ``sources`` is a driver-side literal (`isin`) — the intended use is a
+    handful of seed pages; for million-seed personalization build the
+    teleport column by a join instead.  Superstep plan, checkpointing and
+    the broadcast dangling-stat column are identical to :func:`pagerank`
+    — same single message shuffle per superstep at any scale.
+
+    Returns ``(vertex_id, …props, out_degree, rank)``.
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank needs ≥1 source vertex")
+    g = GraphFrame(
+        truncate_plan(graph.out_degrees_full()), graph.edges, closed=graph.closed
+    ) if "out_degree" not in graph.vertices.columns else graph
+    n_dangling = g.vertices.agg(
+        F.sum((F.col("out_degree") == 0).cast("long")).alias("nd")
+    ).collect()[0]["nd"]
+    has_dangling = (n_dangling or 0) > 0
+
+    from pregel_rs_spark.pregel import PregelContext
+
+    p_v = F.when(
+        F.col(VERTEX_ID).isin([int(s) for s in sources]),
+        F.lit(1.0 / len(sources)),
+    ).otherwise(F.lit(0.0))
+    dangling_col = (
+        PregelContext.stat_col("dangling") if has_dangling else F.lit(0.0)
+    )
+    v_prog = (
+        F.coalesce(msg(), F.lit(0.0)) + dangling_col * p_v
+    ) * damping + (1.0 - damping) * p_v
+
+    builder = (
+        PregelBuilder(g)
+        .max_iterations(max_iterations)
+        .with_vertex_column("rank")
+        .initial_message(p_v)
+        .send_messages(
+            MessageReceiver.OBJECT, subject("rank") / subject("out_degree")
+        )
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(v_prog)
+    )
+    if tol is not None and tol > 0:
+        builder = builder.with_tolerance(tol)
+    if has_dangling:
+        builder = builder.with_state_stat(
+            "dangling",
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ),
+        )
+    res = builder.build().run()
+    vrdd = getattr(g.vertices, "_ck_rdd", None)
+    if vrdd is not None:
+        try:
+            vrdd.unpersist(False)
+        except Exception:
+            pass
+    return res
+
+
 def sssp(
     graph: GraphFrame,
     source: int,

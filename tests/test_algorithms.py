@@ -241,3 +241,92 @@ def test_sssp_weighted(spark):
     assert got[2] == 3.0  # 1->3->4->2, not the direct 10.0 edge
     assert got[3] == 1.0
     assert got[4] == 2.0
+
+
+def test_hits_vs_numpy(spark):
+    """Jacobi HITS (synchronous BSP) must match the NumPy recurrence
+    a' = Aᵀh, h' = Aa from all-ones, then L1 normalization."""
+    import numpy as np
+
+    from pregel_rs_spark.algorithms import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4)]
+    ids = [1, 2, 3, 4]
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((4, 4))
+    for s, o in edges:
+        A[idx[s], idx[o]] = 1.0
+    a = np.ones(4)
+    h = np.ones(4)
+    for _ in range(3):
+        a, h = A.T @ h, A @ a
+    a /= a.sum()
+    h /= h.sum()
+
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = hits(GraphFrame.from_edges(e), iterations=3)
+    got = {r.vertex_id: (r.auth, r.hub) for r in res.collect()}
+    for v in ids:
+        assert abs(got[v][0] - a[idx[v]]) < 1e-9, (v, got[v], a[idx[v]])
+        assert abs(got[v][1] - h[idx[v]]) < 1e-9, (v, got[v], h[idx[v]])
+
+
+def test_hits_unnormalized_exact(spark):
+    """normalize=False returns the raw sums: after 1 iteration auth =
+    in-degree and hub = out-degree exactly."""
+    from pregel_rs_spark.algorithms import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = hits(GraphFrame.from_edges(e), iterations=1, normalize=False)
+    got = {r.vertex_id: (r.auth, r.hub) for r in res.collect()}
+    assert got == {
+        1: (1.0, 2.0),  # in {3}, out {2,3}
+        2: (1.0, 1.0),
+        3: (2.0, 1.0),
+    }
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """PPR with a single seed: restart mass (teleport + dangling) lands on
+    the seed only; Σ rank stays 1; values match power iteration at 1e-8."""
+    import numpy as np
+
+    from pregel_rs_spark.algorithms import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1)]  # 4 dangling
+    ids = [1, 2, 3, 4, 5]
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    p = np.zeros(n)
+    p[idx[1]] = 1.0
+    r = p.copy()
+    d = 0.85
+    for _ in range(60):
+        msgs = np.zeros(n)
+        for s, o in edges:
+            msgs[idx[o]] += r[idx[s]] / out_deg[idx[s]]
+        dang = r[out_deg == 0].sum()
+        r = d * (msgs + dang * p) + (1 - d) * p
+
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = personalized_pagerank(
+        GraphFrame.from_edges(e), sources=[1], tol=1e-12, max_iterations=60
+    )
+    got = {row.vertex_id: row.rank for row in res.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-8, (v, got[v], r[idx[v]])
+
+
+def test_personalized_pagerank_rejects_empty_sources(spark):
+    import pytest
+
+    from pregel_rs_spark.algorithms import personalized_pagerank
+
+    e = spark.createDataFrame([(1, 2)], "subject long, object long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(GraphFrame.from_edges(e), sources=[])
