@@ -404,6 +404,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = synth_pages(spark, 2000, seed=42, partitions=8)
         return pages_to_edges(pages).select("subject", "object").distinct()
 
+    def domain_edges_q(spark, sf):
+        """Host-level link graph rolled up from page links (distinct page
+        pairs per host pair; intra-host links dropped).  Oracle: the same
+        regexp domain extraction + rollup in DuckDB over the
+        pre-materialized pure-Python link list."""
+        from pregel_rs_spark.functions.extract import domain_edges
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return domain_edges(pages).select(
+            "src_domain", "dst_domain", "weight"
+        )
+
+    def domain_stats_q(spark, sf):
+        """Per-host corpus stats (pages, chars, langs) over the synth
+        corpus; text lengths verified against pure-Python len() via the
+        pre-materialized page-metadata parquet."""
+        from pregel_rs_spark.functions.extract import domain_stats
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return domain_stats(pages).select(
+            "domain",
+            "n_pages",
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "mean_chars",
+            "n_langs",
+        )
+
     # -- multimodal plumbing (real pandas-UDF decode path) --
     def multimodal_q(spark, sf):
         media = documents_to_media(load_table(spark, sf, "documents"))
@@ -434,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
         webtext_edges=webtext_edges_q,
+        domain_edges=domain_edges_q,
+        domain_stats=domain_stats_q,
         sessionize=sessionize_q,
         session_stats=session_stats_q,
         hourly_type_counts=hourly_counts_q,
@@ -948,6 +979,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT subject, object FROM read_parquet("
         "'/root/repo/tests/data/webtext_edges_n2000_seed42.parquet')"
     )
+    # same pattern as functions/extract.py::_DOMAIN_PATTERN, verbatim
+    _dom = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)'"
+    o["domain_edges"] = f"""
+        WITH l AS (SELECT regexp_extract(src_url, {_dom}, 1) AS src_domain,
+                          regexp_extract(dst_url, {_dom}, 1) AS dst_domain
+                   FROM read_parquet(
+                     '/root/repo/tests/data/webtext_links_n2000_seed42.parquet'))
+        SELECT src_domain, dst_domain, COUNT(*) AS weight
+        FROM l WHERE src_domain != dst_domain
+        GROUP BY src_domain, dst_domain
+    """
+    o["domain_stats"] = f"""
+        SELECT regexp_extract(url, {_dom}, 1) AS domain,
+               COUNT(*) AS n_pages,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(n_chars), 6) AS mean_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM read_parquet(
+          '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
+        GROUP BY domain
+    """
     o["multimodal_decode"] = """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -153,3 +153,87 @@ def test_pagerank_over_synthetic_pages(spark, pages):
     total = res.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-6)
     assert res.count() == N
+
+
+def test_domain_rollup_matches_pure_python(spark, pages):
+    """domain_edges/domain_stats equal a pure-Python rollup of the same
+    corpus (domains from the same regexp, weights = distinct page links)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from pregel_rs_spark.functions.extract import (
+        domain_edges,
+        domain_stats,
+        extract_links_py,
+    )
+    from pregel_rs_spark.sources.synth import gen_page, page_url
+
+    dom_re = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)")
+
+    def dom(u):
+        m = dom_re.match(u)
+        return m.group(1) if m else ""
+
+    urls = {page_url(i, N) for i in range(N)}
+    w = Counter()
+    for i in range(N):
+        p = gen_page(i, N, 42)
+        for dst in extract_links_py(p["html"], p["url"]):
+            if dst == p["url"] or dst not in urls:
+                continue
+            a, b = dom(p["url"]), dom(dst)
+            if a != b:
+                w[(a, b)] += 1
+
+    got = {
+        (r.src_domain, r.dst_domain): r.weight
+        for r in domain_edges(pages).collect()
+    }
+    assert got == dict(w)
+    # ids are xxhash64 of the domain strings (pluggable into GraphFrame)
+    one = domain_edges(pages).limit(1).collect()[0]
+    from pregel_rs_spark.functions.hashing import url_id_py
+
+    assert one.subject == url_id_py(one.src_domain)
+
+    st = defaultdict(lambda: [0, 0, set()])
+    for i in range(N):
+        p = gen_page(i, N, 42)
+        d = st[dom(p["url"])]
+        d[0] += 1
+        d[1] += len(p["text"])
+        d[2].add(p["lang"])
+    got_stats = {
+        r.domain: (r.n_pages, r.total_chars, r.n_langs)
+        for r in domain_stats(pages).collect()
+    }
+    assert got_stats == {
+        k: (v[0], v[1], len(v[2])) for k, v in st.items()
+    }
+
+
+def test_domain_oracle_parquets_fresh(spark):
+    """The committed links/pages oracle parquets equal fresh pure-Python
+    regenerations (drift guard, like the edge parquet)."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_webtext_oracle import expected_links, expected_pages
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    lp = os.path.join(data, "webtext_links_n2000_seed42.parquet")
+    committed = sorted(
+        zip(*(pq.read_table(lp).column(c).to_pylist()
+              for c in ("src_url", "dst_url")))
+    )
+    assert committed == expected_links(2000, 42)
+
+    pp = os.path.join(data, "webtext_pages_n2000_seed42.parquet")
+    committed_p = list(
+        zip(*(pq.read_table(pp).column(c).to_pylist()
+              for c in ("url", "lang", "n_chars")))
+    )
+    assert committed_p == expected_pages(2000, 42)

@@ -47,6 +47,31 @@ def expected_edges(n: int, seed: int = 42) -> list[tuple[int, int]]:
     return sorted(pairs)
 
 
+def expected_links(n: int, seed: int = 42) -> list[tuple[str, str]]:
+    """Distinct (src_url, dst_url) pairs, closed-world, no self-links —
+    the raw-url view of ``expected_edges`` (for domain-rollup oracles)."""
+    urls = {page_url(i, n) for i in range(n)}
+    pairs: set[tuple[str, str]] = set()
+    for i in range(n):
+        p = gen_page(i, n, seed)
+        src = p["url"]
+        for dst in extract_links_py(p["html"], src):
+            if dst != src and dst in urls:
+                pairs.add((src, dst))
+    return sorted(pairs)
+
+
+def expected_pages(n: int, seed: int = 42) -> list[tuple[str, str, int]]:
+    """(url, lang, n_chars) per page — n_chars is len() of the pure-Python
+    extracted text, the same value Spark's F.length(text) sees (the synth
+    text column IS the pure extraction, character counts in code points)."""
+    out = []
+    for i in range(n):
+        p = gen_page(i, n, seed)
+        out.append((p["url"], p["lang"], len(p["text"])))
+    return out
+
+
 def write(n: int, seed: int = 42) -> str:
     pairs = expected_edges(n, seed)
     path = os.path.abspath(
@@ -61,6 +86,37 @@ def write(n: int, seed: int = 42) -> str:
     )
     pq.write_table(table, path)
     print(f"{len(pairs)} expected edges -> {path}")
+
+    links = expected_links(n, seed)
+    lpath = os.path.abspath(
+        os.path.join(OUT_DIR, f"webtext_links_n{n}_seed{seed}.parquet")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "src_url": pa.array([a for a, _ in links], pa.string()),
+                "dst_url": pa.array([b for _, b in links], pa.string()),
+            }
+        ),
+        lpath,
+    )
+    print(f"{len(links)} expected links -> {lpath}")
+
+    pages = expected_pages(n, seed)
+    ppath = os.path.abspath(
+        os.path.join(OUT_DIR, f"webtext_pages_n{n}_seed{seed}.parquet")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([u for u, _, _ in pages], pa.string()),
+                "lang": pa.array([l for _, l, _ in pages], pa.string()),
+                "n_chars": pa.array([c for _, _, c in pages], pa.int64()),
+            }
+        ),
+        ppath,
+    )
+    print(f"{len(pages)} expected pages -> {ppath}")
     return path
 
 
