@@ -35,6 +35,7 @@ from pregel_rs_spark.algorithms import (
     pagerank,
     personalized_pagerank,
     sssp,
+    strongly_connected_components,
     triangle_count,
 )
 from pregel_rs_spark.operators.dedup import (
@@ -225,6 +226,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.filter(~F.isnan("distance") & (F.col("distance") != float("inf"))) \
             .select("vertex_id", F.col("distance").cast("long").alias("hops"))
 
+    def scc_q(spark, sf):
+        """Strongly connected components (coloring + backward flag) on the
+        directed supplier graph — component = MAX member id, checked
+        against a mutual-reachability transitive-closure oracle."""
+        res = strongly_connected_components(
+            GraphFrame.from_edges(_edges_sg(spark, sf))
+        )
+        return res.select("vertex_id", "component")
+
     def hits_k3_q(spark, sf):
         """HITS hubs & authorities, 3 synchronous (Jacobi) iterations,
         unnormalized — exactly reproducible by SQL unrolling."""
@@ -404,6 +414,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = synth_pages(spark, 2000, seed=42, partitions=8)
         return pages_to_edges(pages).select("subject", "object").distinct()
 
+    def anchor_edges_q(spark, sf):
+        """Link graph annotated with anchor text (pandas-UDF extraction,
+        first anchor per (src, dst)); oracle = pre-materialized pure-Python
+        anchors parquet (same extractor, bit-identical strings)."""
+        from pregel_rs_spark.functions.extract import pages_to_anchor_edges
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return pages_to_anchor_edges(pages).select(
+            "src_url", "dst_url", "anchor"
+        )
+
+    def anchor_rollup_q(spark, sf):
+        """Per-target anchor-text counts — the 'what the web calls this
+        page' training signal."""
+        from pregel_rs_spark.functions.extract import anchor_text_rollup
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return anchor_text_rollup(pages)
+
     def domain_edges_q(spark, sf):
         """Host-level link graph rolled up from page links (distinct page
         pairs per host pair; intra-host links dropped).  Oracle: the same
@@ -459,12 +490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sssp_hops=sssp_hops_q,
         hits_k3=hits_k3_q,
         ppr_k3=ppr_k3_q,
+        scc=scc_q,
         lpa_1round=lpa_1round,
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
         webtext_edges=webtext_edges_q,
         domain_edges=domain_edges_q,
         domain_stats=domain_stats_q,
+        anchor_edges=anchor_edges_q,
+        anchor_rollup=anchor_rollup_q,
         sessionize=sessionize_q,
         session_stats=session_stats_q,
         hourly_type_counts=hourly_counts_q,
@@ -656,6 +690,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_SG_SQL} e ON e.subject = r.vid
         )
         SELECT vid AS vertex_id, MAX(val) AS max_value FROM reach GROUP BY vid
+    """
+    o["scc"] = f"""
+        WITH RECURSIVE
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM {_SG_SQL}
+               UNION ALL SELECT object FROM {_SG_SQL})),
+        reach(s, d) AS (
+            SELECT vertex_id, vertex_id FROM v
+            UNION
+            SELECT r.s, e.object FROM reach r
+            JOIN {_SG_SQL} e ON e.subject = r.d
+        )
+        SELECT r1.s AS vertex_id, MAX(r1.d) AS component
+        FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+        GROUP BY r1.s
     """
     # HITS Jacobi iteration (auth' = Σ_in hub, hub' = Σ_out auth, both from
     # the PRE-update values), unrolled; vertices with no in/out edges get 0.
@@ -978,6 +1027,15 @@ def oracle_sql() -> dict[str, str]:
     o["webtext_edges"] = (
         "SELECT subject, object FROM read_parquet("
         "'/root/repo/tests/data/webtext_edges_n2000_seed42.parquet')"
+    )
+    o["anchor_edges"] = (
+        "SELECT src_url, dst_url, anchor FROM read_parquet("
+        "'/root/repo/tests/data/webtext_anchors_n2000_seed42.parquet')"
+    )
+    o["anchor_rollup"] = (
+        "SELECT dst_url, anchor, COUNT(*) AS n FROM read_parquet("
+        "'/root/repo/tests/data/webtext_anchors_n2000_seed42.parquet') "
+        "GROUP BY dst_url, anchor"
     )
     # same pattern as functions/extract.py::_DOMAIN_PATTERN, verbatim
     _dom = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)'"

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 # --- pure extraction (the byte-identity contract) ----------------------------
 
@@ -89,6 +89,37 @@ def extract_links_py(html: bytes, base_url: str) -> list[str]:
     return out
 
 
+_A_TAG_RE = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*["']([^"'<>\s]+)["'][^>]*>(.*?)</a\s*>""",
+    re.I | re.S,
+)
+
+
+def extract_anchors_py(html: bytes, base_url: str) -> list[tuple[str, str]]:
+    """Pure-Python reference anchor extractor: ``(dst_url, anchor_text)``
+    pairs with the SAME url resolution/filter rules as
+    :func:`extract_links_py` (so dst_url sets agree), anchor text cleaned
+    through :func:`extract_text_bytes` (tags stripped, entities mapped,
+    whitespace collapsed).  First occurrence per dst_url wins — order
+    preserved, deterministic."""
+    if html is None:
+        return []
+    seen: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for m in _A_TAG_RE.finditer(html):
+        href = m.group(1).decode("utf-8", errors="replace")
+        if href.startswith(_SKIP_SCHEMES):
+            continue
+        absu = urljoin(base_url, href)
+        absu = absu.split("#", 1)[0]
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append((absu, extract_text_bytes(m.group(2))))
+    return out
+
+
 # --- Spark surface (vectorized pandas UDFs over Arrow batches) ---------------
 
 @pandas_udf(StringType())
@@ -100,6 +131,16 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_links_py(h, u) for h, u in zip(html, url)]
+    )
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("dst_url", StringType()),
+    StructField("anchor", StringType()),
+])))
+def extract_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_anchors_py(h, u) for h, u in zip(html, url)]
     )
 
 
@@ -139,6 +180,50 @@ def pages_to_vertices(pages: DataFrame) -> DataFrame:
         "url",
         "lang",
     ).distinct()
+
+
+def pages_to_anchor_edges(pages: DataFrame, closed_world: bool = True) -> DataFrame:
+    """Anchor-text edge table ``(subject, object, src_url, dst_url,
+    anchor)`` — the link graph annotated with each link's first anchor
+    text (the classic relevance signal: anchor text describes the TARGET
+    page; used for query–document training pairs and snippet labels).
+
+    Same closed-world semantics and xxhash64 ids as :func:`pages_to_edges`;
+    the dst_url set per page is identical by construction (same resolution
+    rules), only the anchor column is added.
+    """
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(
+            extract_anchors_udf(F.col("html"), F.col("url"))
+        ).alias("a"),
+    ).select(
+        "src_url",
+        F.col("a.dst_url").alias("dst_url"),
+        F.col("a.anchor").alias("anchor"),
+    ).filter(F.col("dst_url") != F.col("src_url"))
+    if closed_world:
+        urls = pages.select(F.col("url").alias("dst_url")).distinct()
+        links = links.join(urls, "dst_url", "left_semi")
+    return links.select(
+        url_id(F.col("src_url")).alias("subject"),
+        url_id(F.col("dst_url")).alias("object"),
+        "src_url",
+        "dst_url",
+        "anchor",
+    )
+
+
+def anchor_text_rollup(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text aggregation ``(dst_url, anchor, n)`` — how
+    many distinct source pages describe ``dst_url`` with each anchor
+    string.  One hash aggregation over the anchor edges (map-side
+    combined); the training-data view of "what the web calls this page"."""
+    return (
+        pages_to_anchor_edges(pages)
+        .groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 # --- domain (host) rollups ---------------------------------------------------

@@ -330,3 +330,74 @@ def test_personalized_pagerank_rejects_empty_sources(spark):
     e = spark.createDataFrame([(1, 2)], "subject long, object long")
     with pytest.raises(ValueError):
         personalized_pagerank(GraphFrame.from_edges(e), sources=[])
+
+
+def _scc_oracle(vertices, edges):
+    """Brute-force mutual-reachability SCC: label = MAX member id."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, o in edges:
+        adj[s].add(o)
+
+    def reach(v):
+        seen = {v}
+        st = [v]
+        while st:
+            u = st.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    st.append(w)
+        return seen
+
+    r = {v: reach(v) for v in vertices}
+    return {v: max(w for w in r[v] if v in r[w]) for v in vertices}
+
+
+def test_scc_two_cycles_bridge(spark):
+    """Two cycles joined by a one-way bridge stay separate SCCs; a tail
+    vertex is a singleton."""
+    from pregel_rs_spark.algorithms import strongly_connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)]
+    vs = [1, 2, 3, 4, 5, 6]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = strongly_connected_components(GraphFrame.from_edges(e))
+    got = {r.vertex_id: r.component for r in res.collect()}
+    assert got == _scc_oracle(vs, edges)
+    assert got[1] == got[2] == got[3] == 3
+    assert got[4] == got[5] == 5
+    assert got[6] == 6
+
+
+def test_scc_decreasing_chain_multi_round(spark):
+    """Monotone-decreasing chain: every vertex is a singleton SCC and the
+    coloring algorithm needs multiple rounds (one color class, one root
+    peeled per round) — exercises the round loop, not just round 1."""
+    from pregel_rs_spark.algorithms import strongly_connected_components
+
+    edges = [(5, 4), (4, 3), (3, 2), (2, 1)]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    res = strongly_connected_components(GraphFrame.from_edges(e))
+    got = {r.vertex_id: r.component for r in res.collect()}
+    assert got == {v: v for v in [1, 2, 3, 4, 5]}
+
+
+def test_scc_mixed_vs_oracle(spark):
+    """Denser mixed graph vs the brute-force oracle."""
+    import random
+
+    from pregel_rs_spark.algorithms import strongly_connected_components
+
+    rng = random.Random(7)
+    vs = list(range(1, 21))
+    edges = sorted({(rng.choice(vs), rng.choice(vs)) for _ in range(60)})
+    edges = [(s, o) for s, o in edges if s != o]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame(
+        spark.createDataFrame([(v,) for v in vs], "vertex_id long"), e
+    )
+    res = strongly_connected_components(g)
+    got = {r.vertex_id: r.component for r in res.collect()}
+    assert got == _scc_oracle(vs, edges)

@@ -237,3 +237,54 @@ def test_domain_oracle_parquets_fresh(spark):
               for c in ("url", "lang", "n_chars")))
     )
     assert committed_p == expected_pages(2000, 42)
+
+
+def test_anchor_extraction_matches_pure_python(spark, pages):
+    """Distributed anchor edges equal the pure-Python reference per url;
+    dst_url sets agree with the link extractor exactly."""
+    from pregel_rs_spark.functions.extract import (
+        extract_anchors_py,
+        pages_to_anchor_edges,
+    )
+    from pregel_rs_spark.sources.synth import gen_page, page_url
+
+    urls = {page_url(i, N) for i in range(N)}
+    expected = set()
+    for i in range(N):
+        p = gen_page(i, N, 42)
+        for dst, anchor in extract_anchors_py(p["html"], p["url"]):
+            if dst != p["url"] and dst in urls:
+                expected.add((p["url"], dst, anchor))
+        # dst alignment with the plain link extractor
+        from pregel_rs_spark.functions.extract import extract_links_py
+
+        assert [d for d, _ in extract_anchors_py(p["html"], p["url"])] == \
+            extract_links_py(p["html"], p["url"])
+
+    got = {
+        (r.src_url, r.dst_url, r.anchor)
+        for r in pages_to_anchor_edges(pages).collect()
+    }
+    assert got == expected
+    # anchors are cleaned text: non-empty for the synth corpus vocab words
+    assert all(a and "<" not in a for _, _, a in got)
+
+
+def test_anchor_oracle_parquet_fresh():
+    """Committed anchors parquet equals a fresh pure-Python regeneration."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_webtext_oracle import expected_anchors
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "webtext_anchors_n2000_seed42.parquet"
+    )
+    committed = sorted(
+        zip(*(pq.read_table(path).column(c).to_pylist()
+              for c in ("src_url", "dst_url", "anchor")))
+    )
+    assert committed == expected_anchors(2000, 42)

@@ -26,7 +26,7 @@ sys.path.insert(0, "/root/repo")
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from pregel_rs_spark.functions.extract import extract_links_py
+from pregel_rs_spark.functions.extract import extract_anchors_py, extract_links_py
 from pregel_rs_spark.functions.hashing import url_id_py
 from pregel_rs_spark.sources.synth import gen_page, page_url
 
@@ -72,6 +72,20 @@ def expected_pages(n: int, seed: int = 42) -> list[tuple[str, str, int]]:
     return out
 
 
+def expected_anchors(n: int, seed: int = 42) -> list[tuple[str, str, str]]:
+    """(src_url, dst_url, anchor) rows, closed-world, no self-links —
+    mirrors functions.extract.pages_to_anchor_edges exactly."""
+    urls = {page_url(i, n) for i in range(n)}
+    rows: list[tuple[str, str, str]] = []
+    for i in range(n):
+        p = gen_page(i, n, seed)
+        src = p["url"]
+        for dst, anchor in extract_anchors_py(p["html"], src):
+            if dst != src and dst in urls:
+                rows.append((src, dst, anchor))
+    return sorted(rows)
+
+
 def write(n: int, seed: int = 42) -> str:
     pairs = expected_edges(n, seed)
     path = os.path.abspath(
@@ -101,6 +115,22 @@ def write(n: int, seed: int = 42) -> str:
         lpath,
     )
     print(f"{len(links)} expected links -> {lpath}")
+
+    anchors = expected_anchors(n, seed)
+    apath = os.path.abspath(
+        os.path.join(OUT_DIR, f"webtext_anchors_n{n}_seed{seed}.parquet")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "src_url": pa.array([a for a, _, _ in anchors], pa.string()),
+                "dst_url": pa.array([b for _, b, _ in anchors], pa.string()),
+                "anchor": pa.array([c for _, _, c in anchors], pa.string()),
+            }
+        ),
+        apath,
+    )
+    print(f"{len(anchors)} expected anchors -> {apath}")
 
     pages = expected_pages(n, seed)
     ppath = os.path.abspath(
