@@ -255,6 +255,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("vertex_id", F.round("rank", 6).alias("rank"))
 
+    def kcore3_r2_q(spark, sf):
+        """2 peeling rounds of the 3-core on the lineitem link graph
+        (fixed round budget so the DuckDB oracle can unroll it; production
+        runs ``max_rounds=None`` to the fixpoint)."""
+        from pregel_rs_spark.algorithms import k_core
+
+        res = k_core(
+            GraphFrame.from_edges(_edges_li(spark, sf)), k=3, max_rounds=2
+        )
+        return res.select("vertex_id", "degree")
+
     def lpa_1round(spark, sf):
         res = label_propagation(
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
@@ -448,6 +459,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src_domain", "dst_domain", "weight"
         )
 
+    def host_rank_k3_q(spark, sf):
+        """Weighted PageRank over the host graph (the standard web-scale
+        reduction: rank hosts, not pages).  Each host sends
+        ``rank * w / out_weight`` where w counts distinct page links to the
+        target host; 3 fixed iterations.  Oracle: the identical weighted
+        power iteration unrolled in SQL over the pre-materialized link
+        list."""
+        from pregel_rs_spark.functions.extract import domain_edges
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        hedges = domain_edges(pages)
+        g = GraphFrame.from_edges(hedges.select("subject", "object", "weight"))
+        res = pagerank(g, tol=0.0, max_iterations=3, weight="weight")
+        names = (
+            hedges.select(
+                F.col("subject").alias("vertex_id"),
+                F.col("src_domain").alias("host"),
+            )
+            .union(
+                hedges.select(
+                    F.col("object").alias("vertex_id"),
+                    F.col("dst_domain").alias("host"),
+                )
+            )
+            .distinct()
+        )
+        return res.join(names, "vertex_id").select(
+            "host", F.round("rank", 6).alias("rank")
+        )
+
     def domain_stats_q(spark, sf):
         """Per-host corpus stats (pages, chars, langs) over the synth
         corpus; text lengths verified against pure-Python len() via the
@@ -491,12 +533,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits_k3=hits_k3_q,
         ppr_k3=ppr_k3_q,
         scc=scc_q,
+        kcore3_r2=kcore3_r2_q,
         lpa_1round=lpa_1round,
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
         webtext_edges=webtext_edges_q,
         domain_edges=domain_edges_q,
         domain_stats=domain_stats_q,
+        host_rank_k3=host_rank_k3_q,
         anchor_edges=anchor_edges_q,
         anchor_rollup=anchor_rollup_q,
         sessionize=sessionize_q,
@@ -1058,6 +1102,65 @@ def oracle_sql() -> dict[str, str]:
           '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
         GROUP BY domain
     """
+    o["kcore3_r2"] = f"""
+        WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                            GREATEST(subject, object) AS b
+                     FROM {_EV_SQL} WHERE subject != object),
+             d1 AS (SELECT v, COUNT(*) AS degree FROM
+                    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY v),
+             k1 AS (SELECT v FROM d1 WHERE degree >= 3),
+             e1 AS (SELECT und.a, und.b FROM und
+                    JOIN k1 x ON und.a = x.v JOIN k1 y ON und.b = y.v),
+             d2 AS (SELECT v, COUNT(*) AS degree FROM
+                    (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                    GROUP BY v),
+             k2 AS (SELECT v FROM d2 WHERE degree >= 3),
+             e2 AS (SELECT e1.a, e1.b FROM e1
+                    JOIN k2 x ON e1.a = x.v JOIN k2 y ON e1.b = y.v)
+        SELECT v AS vertex_id, COUNT(*) AS degree FROM
+               (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+        GROUP BY v HAVING COUNT(*) >= 3
+    """
+    wpr_iter = """
+        , m{t} AS (SELECT e.dst_domain AS vertex_id,
+                         SUM(r{p}.rank * e.weight / ow.out_weight) AS s
+                  FROM he e
+                  JOIN r{p} ON e.src_domain = r{p}.vertex_id
+                  JOIN ow ON e.src_domain = ow.vertex_id
+                  GROUP BY e.dst_domain)
+        , d{t} AS (SELECT COALESCE(SUM(r{p}.rank), 0.0) AS dang FROM r{p}
+                  LEFT JOIN ow ON r{p}.vertex_id = ow.vertex_id
+                  WHERE ow.vertex_id IS NULL)
+        , r{t} AS (SELECT v.vertex_id,
+                         0.85 * (COALESCE(m{t}.s, 0.0) + d{t}.dang / n.c)
+                         + 0.15 / n.c AS rank
+                  FROM v LEFT JOIN m{t} USING (vertex_id)
+                  CROSS JOIN d{t} CROSS JOIN n)
+    """
+    o["host_rank_k3"] = (
+        f"""
+        WITH l AS (SELECT regexp_extract(src_url, {_dom}, 1) AS src_domain,
+                          regexp_extract(dst_url, {_dom}, 1) AS dst_domain
+                   FROM read_parquet(
+                     '/root/repo/tests/data/webtext_links_n2000_seed42.parquet')),
+             he AS (SELECT src_domain, dst_domain, COUNT(*) AS weight
+                    FROM l WHERE src_domain != dst_domain
+                    GROUP BY src_domain, dst_domain),
+             v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT src_domain AS vertex_id FROM he
+                    UNION ALL SELECT dst_domain FROM he)),
+             n AS (SELECT COUNT(*) AS c FROM v),
+             ow AS (SELECT src_domain AS vertex_id,
+                           CAST(SUM(weight) AS DOUBLE) AS out_weight
+                    FROM he GROUP BY src_domain),
+             r0 AS (SELECT vertex_id, 1.0 / n.c AS rank FROM v CROSS JOIN n)
+        """
+        + wpr_iter.format(t=1, p=0)
+        + wpr_iter.format(t=2, p=1)
+        + wpr_iter.format(t=3, p=2)
+        + " SELECT vertex_id AS host, ROUND(rank, 6) AS rank FROM r3"
+    )
     o["multimodal_decode"] = """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'

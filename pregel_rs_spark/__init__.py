@@ -9,8 +9,11 @@ Public surface:
     GraphFrame            — vertices/edges data model (graph_frame.rs parity)
     Pregel, PregelBuilder — BSP superstep engine (pregel.rs parity)
     Column helpers        — subject()/object_()/edge_()/msg() naming scheme
-    algorithms            — pagerank, connected_components,
-                            label_propagation, triangle_count, max_value
+    algorithms            — pagerank (optionally edge-weighted),
+                            connected_components (min-label / star),
+                            label_propagation, triangle_count, max_value,
+                            hits, personalized_pagerank, sssp,
+                            strongly_connected_components, k_core
     functions.extract     — HTML → text / links (pandas UDFs)
     sources.synth         — deterministic Common-Crawl-style pages generator
     plans.checkpoint      — CheckpointStore with resume + lineage manifests

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pregel_rs_spark.columns import OBJECT, SUBJECT, VERTEX_ID, msg, subject
+from pregel_rs_spark.columns import (
+    OBJECT,
+    SUBJECT,
+    VERTEX_ID,
+    edge_,
+    msg,
+    subject,
+)
 from pregel_rs_spark.graphframe import GraphFrame
 from pregel_rs_spark.pregel import MessageReceiver, PregelBuilder, truncate_plan
 
@@ -32,6 +39,7 @@ def pagerank(
     checkpoint_store=None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Standard PageRank with damping and dangling-mass redistribution.
 
@@ -43,6 +51,12 @@ def pagerank(
 
         rank' = d * (msg + dangling/n) + (1-d)/n
 
+    With ``weight=<edge column>`` (weighted PageRank — e.g. the host graph,
+    where an edge carries the count of page-level links) each vertex instead
+    sends ``rank * w(e) / out_weight`` where ``out_weight = Σ w`` over its
+    out-edges — mass still sums to 1 per superstep, so the unweighted path
+    is the special case w≡1.  Weights must be positive.
+
     Converges when max|rank'−rank| ≤ tol (north rule: 1e-6).
     Oracle for tests: NumPy power iteration (FIXTURES.md F3).
 
@@ -53,9 +67,25 @@ def pagerank(
     # the in-memory copy instead of re-deriving distinct(src ∪ dst) ⋈
     # degrees per consumer (that double derivation measured ~3 s/superstep
     # equivalent on a 60M-edge 10-step run).
-    g = GraphFrame(
-        truncate_plan(graph.out_degrees_full()), graph.edges, closed=graph.closed
-    ) if "out_degree" not in graph.vertices.columns else graph
+    if weight is not None:
+        # Degree-annotated + total outgoing weight (the weighted fan-out
+        # denominator).  One extra hash agg + join, once, before the loop.
+        out_w = graph.edges.groupBy(F.col(SUBJECT).alias(VERTEX_ID)).agg(
+            F.sum(F.col(weight)).cast("double").alias("out_weight")
+        )
+        verts = (
+            graph.out_degrees_full()
+            .join(out_w, VERTEX_ID, "left")
+            .withColumn(
+                "out_weight", F.coalesce(F.col("out_weight"), F.lit(0.0))
+            )
+        )
+        g = GraphFrame(truncate_plan(verts), graph.edges, closed=graph.closed)
+    else:
+        g = GraphFrame(
+            truncate_plan(graph.out_degrees_full()), graph.edges,
+            closed=graph.closed,
+        ) if "out_degree" not in graph.vertices.columns else graph
     counts = g.vertices.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("out_degree") == 0).cast("long")).alias("n_dangling"),
@@ -82,7 +112,10 @@ def pagerank(
         .with_vertex_column("rank")
         .initial_message(F.lit(1.0 / n))
         .send_messages(
-            MessageReceiver.OBJECT, subject("rank") / subject("out_degree")
+            MessageReceiver.OBJECT,
+            subject("rank") * edge_(weight) / subject("out_weight")
+            if weight is not None
+            else subject("rank") / subject("out_degree"),
         )
         .aggregate_messages(F.sum(msg()))
         .v_prog(v_prog)
@@ -780,4 +813,85 @@ def strongly_connected_components(
         ).limit(0)
     res = graph.vertices.join(assigned, VERTEX_ID, "inner")
     _free(active_v)
+    return res
+
+
+def k_core(
+    graph: GraphFrame,
+    k: int,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    undirected degree ≥ k (boilerplate/link-farm filtering and crawl-
+    frontier pruning on web graphs; no reference counterpart — extension).
+
+    Iterative peeling: drop every vertex with degree < k, recompute degrees
+    on the induced subgraph, repeat to fixpoint (``max_rounds=None``) or
+    for a fixed round budget (deterministic prefix — what the driver-gate
+    query uses so a DuckDB oracle can unroll it).
+
+    Scale shape: each round is one hash aggregation (degree) + two
+    semi-joins (induced subgraph) on the shrinking edge set — O(E_t)
+    shuffle per round, no driver-side data, lineage truncated per round
+    (the surviving-edge frame is checkpointed so round t+1's plan does not
+    re-derive rounds 1..t).  Rounds = peeling depth of the graph, typically
+    ≪ diameter on web graphs for small k.
+
+    Returns ``(vertex_id, degree)`` — the surviving vertices with their
+    degree in the (possibly partially peeled) subgraph.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = truncate_plan(und)
+
+    def _free(df) -> None:
+        rdd = getattr(df, "_ck_rdd", None)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias(VERTEX_ID))
+            .unionAll(e.select(F.col("b")))
+            .groupBy(VERTEX_ID)
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        deg = _degrees(und)
+        keep = deg.filter(F.col("degree") >= k).select(VERTEX_ID)
+        nxt = (
+            und.join(
+                keep.select(F.col(VERTEX_ID).alias("a")), "a", "left_semi"
+            ).join(
+                keep.select(F.col(VERTEX_ID).alias("b")), "b", "left_semi"
+            )
+        )
+        nxt = truncate_plan(nxt)
+        # one O(1) scalar per round; fixpoint when no edge was peeled
+        n_prev, n_now = und.count(), nxt.count()
+        _free(und)
+        und = nxt
+        if n_now == n_prev:
+            break
+        if n_now == 0:
+            break
+
+    # materialize the (small, O(V)) result BEFORE freeing the edge blocks it
+    # reads — the returned frame is lazy and must not depend on them
+    res = truncate_plan(_degrees(und).filter(F.col("degree") >= k))
+    _free(und)
     return res

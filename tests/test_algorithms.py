@@ -48,6 +48,74 @@ def test_pagerank_matches_numpy_oracle(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_k_core_fixpoint_and_prefix(spark):
+    from pregel_rs_spark.algorithms import k_core
+
+    # triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the triangle,
+    # reached after two peels (5 first, then 4)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(e)
+    full = {r.vertex_id: r.degree for r in k_core(g, k=2).collect()}
+    assert full == {1: 2, 2: 2, 3: 2}
+    # fixed 1-round prefix: only 5 has been peeled, 3 still sees 4
+    one = {r.vertex_id: r.degree for r in
+           k_core(g, k=2, max_rounds=1).collect()}
+    assert one == {1: 2, 2: 2, 3: 3}
+    # k above the max core: empty
+    assert k_core(g, k=3).count() == 0
+
+
+def numpy_pagerank_weighted(edges, n, d=0.85, tol=1e-12, iters=1000):
+    """Weighted power-iteration oracle: send rank * w / out_weight."""
+    out_w = np.zeros(n)
+    for s, _, w in edges:
+        out_w[s] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, o, w in edges:
+            nxt[o] += r[s] * w / out_w[s]
+        dangling = r[out_w == 0].sum()
+        nxt = d * (nxt + dangling / n) + (1 - d) / n
+        if np.abs(nxt - r).max() <= tol:
+            return nxt
+        r = nxt
+    return r
+
+
+def test_pagerank_weighted_matches_numpy_oracle(spark):
+    # weighted graph with a dangling vertex (3) and a heavy 0→1 edge
+    wedges = [(0, 1, 5.0), (0, 2, 1.0), (1, 2, 2.0), (2, 3, 1.0),
+              (4, 0, 1.0), (4, 3, 3.0)]
+    e = spark.createDataFrame(
+        wedges, "subject long, object long, weight double"
+    )
+    g = GraphFrame.from_edges(e)
+    res = pagerank(g, tol=1e-9, weight="weight")
+    got = {r.vertex_id: r.rank for r in res.collect()}
+    want = numpy_pagerank_weighted(wedges, 5)
+    for v in range(5):
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_weighted_unit_weights_match_unweighted(spark):
+    # w ≡ 1 must reproduce the unweighted ranks exactly (same fan-out)
+    e = spark.createDataFrame(EDGES_A, "subject long, object long")
+    ew = e.withColumn("weight", F.lit(1.0))
+    r_u = pagerank(GraphFrame.from_edges(e), tol=0.0, max_iterations=4)
+    r_w = pagerank(
+        GraphFrame.from_edges(ew), tol=0.0, max_iterations=4, weight="weight"
+    )
+    u = {r.vertex_id: r.rank for r in r_u.collect()}
+    w = {r.vertex_id: r.rank for r in r_w.collect()}
+    assert u.keys() == w.keys()
+    for v in u:
+        assert w[v] == pytest.approx(u[v], abs=1e-12)
+
+
 @pytest.mark.smoke
 def test_pagerank_fixture_values(spark):
     """FIXTURES F3: converged ranks on graph A (verified by simulation)."""

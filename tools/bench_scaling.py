@@ -59,6 +59,7 @@ def build_edges(n_pages: int, link_factor: int = 1) -> str:
 
 
 MODE = "local"  # set from --mode; forwarded to every scaling_run call
+FIXED_PARTITIONS = None  # set from --fixed-partitions; forwarded to every leg
 
 
 def run_level(units: int, edges_path: str, steps: int, tol: float = 0.0,
@@ -75,7 +76,8 @@ def run_level(units: int, edges_path: str, steps: int, tol: float = 0.0,
         str(steps),
         str(tol),
         "--master-mode", MODE,
-    ] + (extra or [])
+    ] + (["--fixed-partitions", str(FIXED_PARTITIONS)]
+         if FIXED_PARTITIONS else []) + (extra or [])
     env = dict(os.environ)
     # local mode: the one JVM hosts driver + executor + the cached edge
     # table + two serialized state snapshots — heap is the storage pool
@@ -173,10 +175,19 @@ def main() -> None:
     ap.add_argument("--out", default="/root/repo/BENCH_SCALING.json")
     ap.add_argument("--skip-convergence", action="store_true")
     ap.add_argument("--skip-resume", action="store_true")
+    ap.add_argument("--fixed-partitions", type=int, default=None,
+                    help="fix partition count (identical at both levels) "
+                         "to the DATA size instead of cores — the "
+                         "production rule (partitions follow data; "
+                         "executors scale, partitions don't).  Without it, "
+                         "partitions=cores changes the map-side partial-"
+                         "aggregation compression regime between levels "
+                         "(see tools/scaling_run.py --fixed-partitions).")
     args = ap.parse_args()
 
-    global MODE
+    global MODE, FIXED_PARTITIONS
     MODE = args.mode
+    FIXED_PARTITIONS = args.fixed_partitions
     os.makedirs(SCRATCH, exist_ok=True)
     edges_path = build_edges(args.pages, args.link_factor)
 
@@ -210,9 +221,15 @@ def main() -> None:
         print(f"resume check: {json.dumps({k: resume[k] for k in ('resumed_from', 'max_abs_rank_diff', 'allclose_1e6')})}",
               file=sys.stderr)
 
+    part_desc = (
+        f"; shuffle/edge partitions fixed at {args.fixed_partitions} at "
+        "BOTH levels (data-sized, as on a real cluster — executors scale, "
+        "partitions don't; the small level works through them in waves)"
+        if args.fixed_partitions else ""
+    )
     level_desc = (
         f"local[{n}] vs local[{n4}], whole job (driver python + JVM, every "
-        "thread) pinned to exactly that many cores"
+        "thread) pinned to exactly that many cores" + part_desc
         if args.mode == "local" else
         f"local-cluster[{n},4,8g] vs local-cluster[{n4},4,8g], real "
         "executor JVMs each pinned to its own 4-core block, driver JVM on "
@@ -227,6 +244,7 @@ def main() -> None:
         "input": {"pages": args.pages, "link_factor": args.link_factor,
                   "seed": 42, "edges_parquet": edges_path},
         "fixed_supersteps": args.steps,
+        "fixed_partitions": args.fixed_partitions,
         "repeats": args.repeats,
         "level_N": lo,
         "level_4N": hi,

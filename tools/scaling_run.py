@@ -134,6 +134,26 @@ def main() -> None:
                          "cluster size; 1/core measured fastest here — the "
                          "keys are unskewed xxhash64 ids, so extra task "
                          "waves only add scheduling overhead)")
+    ap.add_argument("--fixed-partitions", type=int, default=None,
+                    help="partition count fixed by DATA size, identical at "
+                         "every cluster size (production rule: partitions "
+                         "follow the data; executors scale, partitions "
+                         "don't — the cluster works through them in waves). "
+                         "Overrides --shuffle-mult.  Without it, partitions "
+                         "= cores×mult, which changes the map-side "
+                         "partial-aggregation compression regime between "
+                         "levels: more map partitions emit ~one partial per "
+                         "distinct receiver EACH, so shuffle rows grow with "
+                         "parallelism (measured 199 MB at 2 parts vs 658 MB "
+                         "at 8 on 120 M edges — ~37 extra task-s/step that "
+                         "reads as false scaling loss).")
+    ap.add_argument("--event-log", default=None,
+                    help="directory for the Spark event log (diagnostic "
+                         "legs only: per-stage task/GC/shuffle accounting "
+                         "via tools/analyze_eventlog.py)")
+    ap.add_argument("--extra-conf", action="append", default=[],
+                    help="extra spark conf KEY=VALUE (repeatable; applied "
+                         "identically at every level — protocol experiments)")
     args = ap.parse_args()
 
     from pregel_rs_spark.sources.io import get_spark
@@ -150,6 +170,15 @@ def main() -> None:
         "spark.local.dir": "/dev/shm/spark_local",
         "spark.memory.offHeap.enabled": "true",
     }
+    if args.event_log:
+        os.makedirs(args.event_log, exist_ok=True)
+        common_conf.update({
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": args.event_log,
+        })
+    for kv in args.extra_conf:
+        k, _, v = kv.partition("=")
+        common_conf[k] = v
     if args.master_mode == "local":
         total_cores = args.units
         common_conf.update({
@@ -178,10 +207,12 @@ def main() -> None:
         master = (f"local-cluster[{args.units}, "
                   f"{args.cores_per_executor}, {args.executor_mem_mb}]")
 
+    n_part = (args.fixed_partitions if args.fixed_partitions
+              else total_cores * args.shuffle_mult)
     spark = get_spark(
         f"scaling-{args.master_mode}-{args.units}",
         cores=total_cores,
-        shuffle_partitions=total_cores * args.shuffle_mult,
+        shuffle_partitions=n_part,
         master=master,
         extra_conf=common_conf,
     )
