@@ -266,6 +266,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("vertex_id", "degree")
 
+    def walks_k3_q(spark, sf):
+        """3-step deterministic pseudo-random walks from every vertex of
+        the lineitem link graph (DeepWalk/node2vec corpus generator).  The
+        picker is pure 64-bit arithmetic, so the DuckDB oracle replays the
+        identical walks step by step."""
+        from pregel_rs_spark.algorithms import random_walks
+
+        res = random_walks(
+            GraphFrame.from_edges(_edges_li(spark, sf)), length=3, seed=42
+        )
+        return res.select("walk_id", "step", "vertex_id")
+
+    def neighborhood_k2_q(spark, sf):
+        """Exact 2-hop neighborhood function on the supplier graph — the
+        verification baseline for the HyperBall scale path."""
+        from pregel_rs_spark.algorithms import neighborhood_sizes
+
+        return neighborhood_sizes(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), k=2
+        )
+
+    def hyperball_regs_q(spark, sf):
+        """HyperBall HLL register table after 2 rounds (portable arithmetic
+        hash) — integer-exact, so DuckDB replays the full sketch-union
+        pipeline bit-for-bit.  The float estimator on top is
+        pytest-verified against the exact neighborhood function."""
+        from pregel_rs_spark.algorithms import hyperball_registers
+
+        return hyperball_registers(
+            GraphFrame.from_edges(_edges_sg(spark, sf)),
+            k=2, log2m=5, portable=True,
+        )
+
     def lpa_1round(spark, sf):
         res = label_propagation(
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
@@ -534,6 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ppr_k3=ppr_k3_q,
         scc=scc_q,
         kcore3_r2=kcore3_r2_q,
+        walks_k3=walks_k3_q,
+        neighborhood_k2=neighborhood_k2_q,
+        hyperball_regs_k2=hyperball_regs_q,
         lpa_1round=lpa_1round,
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
@@ -1121,6 +1157,91 @@ def oracle_sql() -> dict[str, str]:
         SELECT v AS vertex_id, COUNT(*) AS degree FROM
                (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
         GROUP BY v HAVING COUNT(*) >= 3
+    """
+    walk_step = """
+        , s{t} AS (SELECT s{p}.walk_id, nbr.object AS vertex_id,
+                          {t} AS step
+                   FROM s{p}
+                   JOIN deg ON s{p}.vertex_id = deg.subject
+                   JOIN nbr ON nbr.subject = s{p}.vertex_id
+                    AND nbr.idx = ((s{p}.walk_id % 1000003) * 7919
+                                   + (s{p}.vertex_id % 999983) * 104729
+                                   + {t} * 7919 + 42) % deg.d)
+    """
+    o["walks_k3"] = (
+        f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+             nbr AS (SELECT subject, object,
+                            ROW_NUMBER() OVER (PARTITION BY subject
+                                               ORDER BY object) - 1 AS idx
+                     FROM e),
+             deg AS (SELECT subject, COUNT(*) AS d FROM e GROUP BY subject),
+             v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM e
+                    UNION ALL SELECT object FROM e)),
+             s0 AS (SELECT vertex_id AS walk_id, vertex_id, 0 AS step FROM v)
+        """
+        + walk_step.format(t=1, p=0)
+        + walk_step.format(t=2, p=1)
+        + walk_step.format(t=3, p=2)
+        + """ SELECT walk_id, step, vertex_id FROM
+              (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
+    )
+    o["neighborhood_k2"] = f"""
+        WITH e AS (SELECT subject, object FROM {_SG_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        r0 AS (SELECT vertex_id AS src, vertex_id AS member FROM v),
+        r1 AS (SELECT DISTINCT src, member FROM (
+                 SELECT * FROM r0
+                 UNION ALL
+                 SELECT r0.src, e.object AS member
+                 FROM r0 JOIN e ON e.subject = r0.member)),
+        r2 AS (SELECT DISTINCT src, member FROM (
+                 SELECT * FROM r1
+                 UNION ALL
+                 SELECT r1.src, e.object AS member
+                 FROM r1 JOIN e ON e.subject = r1.member))
+        SELECT src AS vertex_id, COUNT(*) AS ball_size FROM r2 GROUP BY src
+    """
+    # portable-hash HyperBall registers: 59-bit Lehmer-chain hash, m=32
+    # (reg = h % 32, w = h // 32, val = 55 - bitlen(w), w=0 -> 55);
+    # 2 rounds of sketch-union = groupwise MAX per (vertex, reg)
+    o["hyperball_regs_k2"] = f"""
+        WITH e AS (SELECT subject, object FROM {_SG_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        hx AS (SELECT vertex_id,
+                      ((((vertex_id % 2147483647 + vertex_id % 2147483629)
+                         % 2147483647) * 48271 + 13) % 2147483647) AS x1
+               FROM v),
+        hy AS (SELECT vertex_id, (x1 * 69621) % 2147483647 AS x2 FROM hx),
+        h AS (SELECT vertex_id,
+                     x2 * 268435456
+                     + ((x2 * 40692) % 2147483647) % 268435456 AS h
+              FROM hy),
+        s0 AS (SELECT vertex_id, h % 32 AS reg,
+                      CASE WHEN h // 32 = 0 THEN 55
+                           ELSE 55 - length(bin(h // 32)) END AS val
+               FROM h),
+        s1 AS (SELECT vertex_id, reg, MAX(val) AS val FROM (
+                 SELECT * FROM s0
+                 UNION ALL
+                 SELECT e.subject AS vertex_id, s0.reg, s0.val
+                 FROM e JOIN s0 ON e.object = s0.vertex_id)
+               GROUP BY vertex_id, reg),
+        s2 AS (SELECT vertex_id, reg, MAX(val) AS val FROM (
+                 SELECT * FROM s1
+                 UNION ALL
+                 SELECT e.subject AS vertex_id, s1.reg, s1.val
+                 FROM e JOIN s1 ON e.object = s1.vertex_id)
+               GROUP BY vertex_id, reg)
+        SELECT vertex_id, CAST(reg AS BIGINT) AS reg,
+               CAST(val AS BIGINT) AS val
+        FROM s2
     """
     wpr_iter = """
         , m{t} AS (SELECT e.dst_domain AS vertex_id,

@@ -16,7 +16,8 @@ Headline set (mirrors __spark_entry__.queries, run at benchmark scale):
                      extraction → link extraction → xxhash64 ids → edge table
   * lsh_dedup      — shingle → minhash → banded LSH candidate pairs
   * dedup_exact, token_quality (token counts + quality scores single pass),
-    ann_topk (brute-force cosine top-k)
+    ann_topk / ann_topk_arrow (brute-force cosine top-k, Catalyst + Arrow)
+  * k_core_3 (bounded peeling), random_walks_k5 (embedding-corpus walks)
 
 Scaling-efficiency evidence (north rule, two cluster sizes) lives in
 ``tools/bench_scaling.py`` → results table in BASELINE.md §4.
@@ -180,6 +181,21 @@ def main() -> None:
         "ann_topk_arrow",
         lambda: _consume(
             brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 50), k=10)
+        ),
+    )
+
+    from pregel_rs_spark.algorithms import k_core, random_walks
+
+    bench(
+        "k_core_3",
+        lambda: _consume(
+            k_core(GraphFrame.from_edges(li_edges), k=3, max_rounds=4)
+        ),
+    )
+    bench(
+        "random_walks_k5",
+        lambda: _consume(
+            random_walks(GraphFrame.from_edges(li_edges), length=5, seed=42)
         ),
     )
 

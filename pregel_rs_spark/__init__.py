@@ -13,7 +13,9 @@ Public surface:
                             connected_components (min-label / star),
                             label_propagation, triangle_count, max_value,
                             hits, personalized_pagerank, sssp,
-                            strongly_connected_components, k_core
+                            strongly_connected_components, k_core,
+                            random_walks, neighborhood_sizes,
+                            hyperball (+ hyperball_registers)
     functions.extract     — HTML → text / links (pandas UDFs)
     sources.synth         — deterministic Common-Crawl-style pages generator
     plans.checkpoint      — CheckpointStore with resume + lineage manifests

@@ -895,3 +895,329 @@ def k_core(
     res = truncate_plan(_degrees(und).filter(F.col("degree") >= k))
     _free(und)
     return res
+
+
+def random_walks(
+    graph: GraphFrame,
+    length: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic pseudo-random walk sampling — one ``length``-step walk
+    per vertex, the standard corpus generator for skip-gram graph
+    embeddings (DeepWalk/node2vec family; no reference counterpart —
+    extension).
+
+    The "randomness" is a pure arithmetic hash of (walk id, current
+    vertex, step) so the result is reproducible across engines and
+    cluster sizes AND expressible in plain SQL for the driver oracle:
+
+        idx_t = ((walk_id % 1000003)·7919 + (cur % 999983)·104729
+                 + t·7919 + seed) mod out_degree(cur)
+
+    picks the ``idx_t``-th neighbour in (object-id order).  All operands
+    stay < 2^40 so the arithmetic is exact in any 64-bit engine.  Walks
+    stop early at dangling vertices (inner join against the degree table
+    drops them).
+
+    Scale shape: the neighbour index (row_number per subject — one
+    window shuffle) and the degree table are built ONCE and checkpointed;
+    each step is two co-partitionable equi-joins on the current vertex,
+    state is O(walks) rows, lineage truncated per step.  Walk steps and
+    start-set size are the knobs: for a corpus over a 10^12-edge graph
+    you seed walks from a vertex sample, not every vertex.
+
+    Returns ``(walk_id, step, vertex_id)`` — step 0 is the start vertex.
+    """
+    from pyspark.sql.window import Window
+
+    if length < 0:
+        raise ValueError(f"length must be >= 0, got {length}")
+    edges = graph.edges.select(SUBJECT, OBJECT).distinct()
+    wspec = Window.partitionBy(SUBJECT).orderBy(OBJECT)
+    nbr = truncate_plan(
+        edges.select(
+            F.col(SUBJECT).alias("nbr_subject"),
+            F.col(OBJECT).alias("nbr_object"),
+            (F.row_number().over(wspec) - 1).cast("long").alias("nbr_idx"),
+        )
+    )
+    deg = truncate_plan(
+        edges.groupBy(F.col(SUBJECT).alias("deg_subject")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+    )
+
+    state = graph.vertices.select(
+        F.col(VERTEX_ID).alias("walk_id"),
+        F.col(VERTEX_ID).alias("vertex_id"),
+        F.lit(0).alias("step"),
+    )
+    frames = [state]
+    for t in range(1, length + 1):
+        j = state.join(
+            deg, state["vertex_id"] == deg["deg_subject"], "inner"
+        )
+        pick = (
+            (F.col("walk_id").cast("long") % F.lit(1000003)) * F.lit(7919)
+            + (F.col("vertex_id").cast("long") % F.lit(999983))
+            * F.lit(104729)
+            + F.lit(t * 7919 + seed)
+        ) % F.col("out_degree")
+        j = j.select(
+            "walk_id",
+            F.col("vertex_id").alias("cur"),
+            pick.alias("pick_idx"),
+        )
+        state = truncate_plan(
+            j.join(
+                nbr,
+                (j["cur"] == nbr["nbr_subject"])
+                & (j["pick_idx"] == nbr["nbr_idx"]),
+                "inner",
+            ).select(
+                "walk_id",
+                F.col("nbr_object").alias("vertex_id"),
+                F.lit(t).alias("step"),
+            )
+        )
+        frames.append(state)
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.select("walk_id", "step", "vertex_id")
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function / HyperBall (effective-diameter & centrality toolkit)
+# ---------------------------------------------------------------------------
+
+def neighborhood_sizes(graph: GraphFrame, k: int) -> DataFrame:
+    """EXACT k-hop neighborhood function: for every vertex v, the number of
+    distinct vertices reachable from v in ≤ ``k`` out-hops, v included
+    (no reference counterpart — extension; the exact baseline for
+    :func:`hyperball`).
+
+    Materializes the full reach set ``(src, member)`` — O(Σ|ball_k(v)|)
+    rows, which explodes on well-connected graphs.  This is the
+    ORACLE/baseline path for small k and verification scale only; at
+    100 TB use :func:`hyperball`, whose state is O(V·m) regardless of
+    ball size.
+
+    Returns ``(vertex_id, ball_size)``.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    edges = graph.edges.select(SUBJECT, OBJECT).distinct()
+    reach = graph.vertices.select(
+        F.col(VERTEX_ID).alias("src"), F.col(VERTEX_ID).alias("member")
+    )
+    reach = truncate_plan(reach)
+    for _ in range(k):
+        step = reach.join(
+            edges, reach["member"] == edges[SUBJECT], "inner"
+        ).select("src", F.col(OBJECT).alias("member"))
+        reach = truncate_plan(reach.unionAll(step).distinct())
+    return reach.groupBy(F.col("src").alias(VERTEX_ID)).agg(
+        F.count(F.lit(1)).alias("ball_size")
+    )
+
+
+_HLL_BITS = 59  # usable hash bits: keeps the PORTABLE hash overflow-free
+                # in any signed-64 SQL engine (DuckDB raises on overflow)
+
+
+def _hyperball_hash(col, portable: bool):
+    """Uniform non-negative hash of a vertex id, < 2**59.
+
+    ``portable=False`` (production): xxhash64 masked to 59 bits — the
+    well-mixed default.  ``portable=True``: a chain of Lehmer
+    multiply-mod-(2^31-1) rounds (MINSTD/L'Ecuyer multipliers) whose every
+    intermediate stays < 2**47, so a SQL oracle (DuckDB) replays it
+    bit-identically.  Two chained states form the 59-bit output: the
+    register index comes from the deeper round's low bits, the
+    leading-zero geometry from the earlier round's full 31-bit value —
+    measured all-32/32 register occupancy and textbook-geometric rho on
+    dense, strided, and 62-bit id domains.
+    """
+    col = col.cast("long")  # int32 ids would overflow mid-product
+    if portable:
+        p = F.lit(2147483647)  # 2^31 - 1 (prime)
+        x0 = (col % p + col % F.lit(2147483629)) % p  # fold, div-free
+        x1 = (x0 * F.lit(48271) + F.lit(13)) % p
+        x2 = (x1 * F.lit(69621)) % p
+        x3 = (x2 * F.lit(40692)) % p
+        return x2 * F.lit(1 << 28) + x3 % F.lit(1 << 28)
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << _HLL_BITS) - 1))
+
+
+def hyperball_registers(
+    graph: GraphFrame,
+    k: int,
+    log2m: int = 6,
+    portable: bool = False,
+) -> DataFrame:
+    """HyperBall register table after ``k`` rounds (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall", 2013;
+    no reference counterpart — extension).
+
+    Per-vertex HyperLogLog sketch of the ≤k-hop out-ball, kept SPARSE and
+    EXPLODED as ``(vertex_id, reg, val)`` rows — registers never touched
+    are implicitly 0.  Round t unions each vertex's rows with its
+    out-neighbors' rows and takes ``max(val)`` per (vertex, reg): HLL
+    union IS element-wise register max, so the whole algorithm is one
+    hash aggregation per round — map-side partial max combines hub
+    fan-in, shuffle is O(E·m_touched) worst case but O(V·m) state, no
+    UDFs, no arrays, no skew concentration (a hub's rows spread over m
+    register keys).  This is the 100 TB path for neighborhood functions /
+    effective diameter / closeness, where :func:`neighborhood_sizes`'
+    exact reach sets explode.
+
+    ``val`` = (leading zeros of the hash's top ``59-log2m`` bits) + 1,
+    computed exactly via the length of the binary string — no floating
+    log2 edge cases.  Integer-exact end-to-end, so a SQL oracle can
+    verify the full pipeline bit-for-bit (``portable=True``).
+    """
+    sketch = None
+    for sketch in _hyperball_rounds(graph, k, log2m, portable):
+        pass
+    return sketch
+
+
+def _hyperball_rounds(graph, k, log2m, portable):
+    """Yield the (materialized) register table after round 0..k."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if not 4 <= log2m <= 16:
+        raise ValueError(f"log2m must be in [4,16], got {log2m}")
+    m = 1 << log2m
+    w_bits = _HLL_BITS - log2m
+
+    edges = graph.edges.select(SUBJECT, OBJECT).distinct()
+    h = _hyperball_hash(F.col(VERTEX_ID), portable)
+    w = F.shiftrightunsigned(h, log2m)
+    sketch = graph.vertices.select(
+        F.col(VERTEX_ID),
+        h.bitwiseAND(F.lit(m - 1)).cast("long").alias("reg"),
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("val"),
+    )
+    sketch = truncate_plan(sketch)
+    yield sketch
+
+    def _free(df) -> None:
+        rdd = getattr(df, "_ck_rdd", None)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+
+    for _ in range(k):
+        inc = edges.join(
+            sketch, edges[OBJECT] == sketch[VERTEX_ID], "inner"
+        ).select(edges[SUBJECT].alias(VERTEX_ID), "reg", "val")
+        prev = sketch
+        sketch = truncate_plan(
+            sketch.unionAll(inc)
+            .groupBy(VERTEX_ID, "reg")
+            .agg(F.max("val").alias("val"))
+        )
+        # the new table is materialized; the previous round's checkpoint
+        # blocks are dead weight (consumers only ever read the latest)
+        _free(prev)
+        yield sketch
+
+
+def hyperball(
+    graph: GraphFrame,
+    k: int,
+    log2m: int = 6,
+    portable: bool = False,
+) -> DataFrame:
+    """Approximate k-hop neighborhood function: HLL estimate of
+    ``|ball_k(v)|`` per vertex from :func:`hyperball_registers`.
+
+    Standard HLL estimator with small-range (linear-counting) correction;
+    no large-range correction is needed at 59 hash bits.  One
+    aggregation over the register table — O(V) result.
+
+    Returns ``(vertex_id, ball_size_est)`` (double).
+    """
+    regs = hyperball_registers(graph, k, log2m, portable)
+    return _hll_estimates(regs, log2m)
+
+
+def _hll_estimates(regs: DataFrame, log2m: int) -> DataFrame:
+    """Per-vertex HLL cardinality estimates from a sparse register table."""
+    m = 1 << log2m
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+        log2m, 0.7213 / (1 + 1.079 / m)
+    )
+    per_v = regs.groupBy(VERTEX_ID).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("present_sum"),
+    )
+    # absent registers contribute 2^-0 = 1 each; zeros = absent registers
+    # (present rows always have val >= 1)
+    s = F.col("present_sum") + (F.lit(float(m)) - F.col("n_present"))
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(float(m)) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_v.select(VERTEX_ID, est.alias("ball_size_est"))
+
+
+def effective_diameter(
+    graph: GraphFrame,
+    q: float = 0.9,
+    max_k: int = 64,
+    log2m: int = 7,
+    portable: bool = False,
+    rel_stop: float = 1e-3,
+) -> dict:
+    """Effective diameter via HyperBall (Boldi & Vigna 2013; Palmer et
+    al.'s ANF definition): the interpolated hop count x at which the
+    neighborhood function N(x) — the number of reachable (source, target)
+    pairs within ≤x hops — first reaches ``q`` of its final value.
+
+    Runs HyperBall rounds, summing the per-vertex ball estimates after
+    each (ONE scalar aggregation action per round — the register table is
+    already materialized for the next round, so this adds no extra
+    shuffle), and stops when N grows by < ``rel_stop`` relative or
+    ``max_k`` is hit.  Driver state is one float per round.
+
+    Returns ``{"effective_diameter": x, "rounds": r, "nf": [N(0)..N(r)]}``
+    — an O(1) summary statistic, computed distributed.
+    """
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0,1], got {q}")
+    totals: list[float] = []
+    for sketch in _hyperball_rounds(graph, max_k, log2m, portable):
+        tot = (
+            _hll_estimates(sketch, log2m)
+            .agg(F.sum("ball_size_est").alias("s"))
+            .collect()[0]["s"]
+        )
+        totals.append(float(tot))
+        if len(totals) >= 2 and totals[-1] <= totals[-2] * (1.0 + rel_stop):
+            break
+    target = q * totals[-1]
+    x = float(len(totals) - 1)
+    for t, n in enumerate(totals):
+        if n >= target:
+            if t == 0:
+                x = 0.0
+            else:
+                lo, hi = totals[t - 1], totals[t]
+                x = (t - 1) + (target - lo) / (hi - lo)
+            break
+    return {
+        "effective_diameter": x,
+        "rounds": len(totals) - 1,
+        "nf": totals,
+    }

@@ -373,6 +373,12 @@ class Pregel:
     # handled by salting / map-side partial aggregation.  Opt back in for
     # exploratory runs with wildly skewed unknown inputs.
     adaptive: bool = False
+    # reference Q1 emulation (pregel.rs:825-834): the reference aliases every
+    # chained send to the same two output names, so only the FIRST send's
+    # messages survive the select — opt in to reproduce that exactly.
+    # Default (False) = union semantics (GraphFrames-style, documented
+    # divergence SURVEY §5.3).
+    first_send_only: bool = False
     metrics: list[SuperstepMetrics] = field(default_factory=list)
 
     # ------------------------------------------------------------------ run --
@@ -528,9 +534,13 @@ class Pregel:
                 # columns AND the graph is closed-world (vertex set derived
                 # from the edges, so the filter is a no-op), that join is
                 # dropped — for PageRank this halves the per-superstep joins.
+                sends = (
+                    self.send_messages[:1]
+                    if self.first_send_only
+                    else self.send_messages
+                )
                 resolved = [
-                    (sm.receiver, _resolve(sm.payload, ctx))
-                    for sm in self.send_messages
+                    (sm.receiver, _resolve(sm.payload, ctx)) for sm in sends
                 ]
                 closed = getattr(self.graph, "closed", False)
                 if not closed:
@@ -883,6 +893,14 @@ class PregelBuilder:
         Costs one extra long per shuffled partial-agg row — off by default;
         ``with_checkpoint`` implies it (manifests record message counts)."""
         self._p.message_counts = on
+        return self
+
+    def with_reference_send_semantics(self, on: bool = True) -> "PregelBuilder":
+        """Reference Q1 parity: chained ``send_messages`` beyond the first
+        are inert (the reference's same-alias select keeps only the first,
+        pregel.rs:825-834).  Off by default — the default is union
+        semantics, the documented divergence (SURVEY §5.3)."""
+        self._p.first_send_only = on
         return self
 
     def with_adaptive(self, on: bool = True) -> "PregelBuilder":

@@ -67,6 +67,41 @@ def test_k_core_fixpoint_and_prefix(spark):
     assert k_core(g, k=3).count() == 0
 
 
+def test_random_walks_deterministic_with_python_replay(spark):
+    from pregel_rs_spark.algorithms import random_walks
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(e)
+    got = {
+        (r.walk_id, r.step, r.vertex_id)
+        for r in random_walks(g, length=2, seed=7).collect()
+    }
+    # pure-python replay of the documented picker; 4 is dangling (walk ends)
+    adj = {1: [2, 3], 2: [3], 3: [4], 4: []}
+    want = set()
+    for v in adj:
+        want.add((v, 0, v))
+        cur = v
+        for t in (1, 2):
+            nbrs = sorted(adj[cur])
+            if not nbrs:
+                break
+            idx = (
+                (v % 1000003) * 7919 + (cur % 999983) * 104729 + t * 7919 + 7
+            ) % len(nbrs)
+            cur = nbrs[idx]
+            want.add((v, t, cur))
+    assert got == want
+    # deterministic: a second run is identical
+    again = {
+        (r.walk_id, r.step, r.vertex_id)
+        for r in random_walks(g, length=2, seed=7).collect()
+    }
+    assert again == got
+
+
 def numpy_pagerank_weighted(edges, n, d=0.85, tol=1e-12, iters=1000):
     """Weighted power-iteration oracle: send rank * w / out_weight."""
     out_w = np.zeros(n)
@@ -469,3 +504,113 @@ def test_scc_mixed_vs_oracle(spark):
     res = strongly_connected_components(g)
     got = {r.vertex_id: r.component for r in res.collect()}
     assert got == _scc_oracle(vs, edges)
+
+
+def _ball(adj, v, k):
+    cur = {v}
+    for _ in range(k):
+        cur = cur | {w for u in cur for w in adj.get(u, ())}
+    return cur
+
+
+def test_neighborhood_sizes_exact_small(spark):
+    from pregel_rs_spark.algorithms import neighborhood_sizes
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(e)
+    adj = {1: [2], 2: [3], 3: [1, 4]}
+    for k in (0, 1, 2, 3):
+        got = {
+            r.vertex_id: r.ball_size
+            for r in neighborhood_sizes(g, k).collect()
+        }
+        want = {v: len(_ball(adj, v, k)) for v in (1, 2, 3, 4)}
+        assert got == want, (k, got, want)
+
+
+def _portable_reg_val(v, log2m):
+    p = 2147483647
+    x0 = (v % p + v % 2147483629) % p
+    x1 = (x0 * 48271 + 13) % p
+    x2 = (x1 * 69621) % p
+    x3 = (x2 * 40692) % p
+    h = x2 * (1 << 28) + x3 % (1 << 28)
+    m = 1 << log2m
+    w = h >> log2m
+    wb = 59 - log2m
+    return h % m, (wb + 1) if w == 0 else (wb + 1 - w.bit_length())
+
+
+def test_hyperball_registers_match_python_replay(spark):
+    from pregel_rs_spark.algorithms import hyperball_registers
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1)]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, []).append(o)
+    got = {
+        (r.vertex_id, r.reg, r.val)
+        for r in hyperball_registers(g, k=2, log2m=5, portable=True).collect()
+    }
+    want = set()
+    for v in (1, 2, 3, 4, 5):
+        per_reg = {}
+        for u in _ball(adj, v, 2):
+            reg, val = _portable_reg_val(u, 5)
+            per_reg[reg] = max(per_reg.get(reg, 0), val)
+        want |= {(v, reg, val) for reg, val in per_reg.items()}
+    assert got == want
+
+
+@pytest.mark.smoke
+def test_hyperball_estimate_tracks_exact(spark):
+    """HLL estimate vs exact ball sizes on a 200-vertex random digraph
+    (deterministic: xxhash64 + fixed edge set). m=128 -> ~9% std error."""
+    from pregel_rs_spark.algorithms import hyperball, neighborhood_sizes
+
+    n = 200
+    edges = [
+        (v, (v * 17 + j * 31 + 7) % n)
+        for v in range(n)
+        for j in range(4)
+        if (v * 17 + j * 31 + 7) % n != v
+    ]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    exact = {
+        r.vertex_id: r.ball_size for r in neighborhood_sizes(g, 2).collect()
+    }
+    est = {
+        r.vertex_id: r.ball_size_est
+        for r in hyperball(g, 2, log2m=7).collect()
+    }
+    assert set(est) == set(exact)
+    rel = [abs(est[v] - exact[v]) / exact[v] for v in exact]
+    mean_rel = sum(rel) / len(rel)
+    assert mean_rel < 0.15, mean_rel
+    # aggregate (sum of ball sizes ~ avg reachability) within 5%
+    tot_err = abs(sum(est.values()) - sum(exact.values())) / sum(exact.values())
+    assert tot_err < 0.05, tot_err
+
+
+def test_effective_diameter_cycle(spark):
+    """Directed 25-cycle: N(k) = 25(k+1) up to k=24, then flat 625.
+    q=0.9 -> target 562.5, exact interpolated x = 21.5; HLL (m=128) sum
+    noise averages out over 25 vertices, so the estimate lands within
+    ~1.5 hops.  Also pins that the growth-based stop fires well before
+    max_k."""
+    from pregel_rs_spark.algorithms import effective_diameter
+
+    n = 25
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(e)
+    res = effective_diameter(g, q=0.9, max_k=60, log2m=7)
+    assert 24 <= res["rounds"] <= 30, res["rounds"]
+    assert 20.0 <= res["effective_diameter"] <= 23.0, res
+    assert res["nf"][0] < res["nf"][-1]

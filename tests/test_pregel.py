@@ -120,6 +120,28 @@ def test_chained_send_single_subject(spark, graph_a):
     assert aux == [3, 2, 2, 2, 4]
 
 
+def test_reference_send_semantics_chained_parity(spark, graph_a):
+    """Q1 parity MODE: the reference's ACTUAL chained config
+    (Subject, lit(1)) + (Object, lit(-1)) with
+    with_reference_send_semantics() reproduces pregel.rs:1111-1147's
+    [3,2,2,2,4] exactly — the second send is inert, as in the reference's
+    same-alias select (pregel.rs:825-834)."""
+    res = (
+        PregelBuilder(graph_a)
+        .max_iterations(4)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.SUBJECT, F.lit(1))
+        .send_messages(MessageReceiver.OBJECT, F.lit(-1))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(msg() + 1)
+        .with_reference_send_semantics()
+        .build()
+        .run()
+    )
+    aux = [r.aux for r in res.orderBy("vertex_id").collect()]
+    assert aux == [3, 2, 2, 2, 4]
+
+
 @pytest.mark.smoke
 def test_multi_send_union_semantics(spark, graph_a):
     """Our documented Q1 divergence: chained sends UNION (GraphFrames
