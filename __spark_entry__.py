@@ -372,6 +372,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), threshold=0.3
         )
 
+    def dedup_clusters_q(spark, sf):
+        """End-to-end near-dup dedup: banded LSH pairs → star-CC over the
+        pair graph → cluster = min doc_id, survivor flag per document.
+        Oracle: recursive-CTE transitive closure over the identical
+        (capped) pair set."""
+        from pregel_rs_spark.operators.dedup import dedup_clusters
+
+        return dedup_clusters(
+            load_table(spark, sf, "documents"),
+            k=5, num_hashes=4, bands=2, max_bucket=50,
+        )
+
+    def corpus_filter_q(spark, sf):
+        """Training-corpus assembly verdicts: exact-dedup survivorship →
+        token bounds → quality floor, first failing rule wins."""
+        from pregel_rs_spark.operators.pipeline import corpus_filter
+
+        return corpus_filter(
+            load_table(spark, sf, "documents"),
+            min_tokens=20, max_tokens=100_000, min_score=0.65,
+        )
+
+    def top_terms_q(spark, sf):
+        """Per-doc distinctive terms, integer-exact (tf DESC, df ASC,
+        term ASC) ranking — the tf-idf ordering without float rank keys."""
+        from pregel_rs_spark.operators.text import top_terms
+
+        return top_terms(load_table(spark, sf, "documents"), top_k=3)
+
+    def hyperball_est_q(spark, sf):
+        """HyperBall ball-size ESTIMATES (k=2, m=32) — the scaled-integer
+        register sum makes the HLL estimator bit-deterministic, so the
+        float estimate itself is oracle-checkable (not just the integer
+        register table)."""
+        from pregel_rs_spark.algorithms import hyperball
+
+        res = hyperball(
+            GraphFrame.from_edges(_edges_sg(spark, sf)),
+            k=2, log2m=5, portable=True,
+        )
+        return res.select(
+            "vertex_id", F.round("ball_size_est", 4).alias("ball_est")
+        )
+
     # -- similarity search --
     def ann_topk_q(spark, sf):
         emb = load_table(spark, sf, "embeddings")
@@ -589,6 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ngram_jaccard=ngram_jaccard_q,
         simhash=simhash_q,
         embedding_cosine_dups=embedding_dups_q,
+        dedup_clusters=dedup_clusters_q,
+        corpus_filter=corpus_filter_q,
+        top_terms=top_terms_q,
+        hyperball_est_k2=hyperball_est_q,
         ann_topk=ann_topk_q,
         ann_topk_arrow=ann_topk_arrow_q,
         ann_topk_lsh=ann_topk_lsh_q,
@@ -974,6 +1022,71 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
     """
+    o_lsh_pairs = o["lsh_candidate_pairs"]
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE
+        pairs AS (SELECT * FROM ({o_lsh_pairs})),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(v, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.v
+        )
+        SELECT v AS doc_id, MIN(lbl) AS cluster_id,
+               CAST(v = MIN(lbl) AS BIGINT) AS survivor
+        FROM reach GROUP BY v
+    """
+    o["corpus_filter"] = f"""
+        WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS ws_tokens FROM documents),
+        f AS (SELECT doc_id,
+            length(text) AS n,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            length(regexp_replace(text,
+                '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS punct,
+            {_LANG_EXPR['en']} AS stop
+        FROM documents),
+        q AS (SELECT doc_id,
+               ROUND(alpha / GREATEST(n, 1) * 0.5
+                     + LEAST(stop / GREATEST(toks, 1) * 5, 1.0) * 0.3
+                     + (1 - LEAST(punct / GREATEST(n, 1) * 4, 1.0)) * 0.2,
+                     6) AS score
+        FROM f),
+        k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        v AS (SELECT d.doc_id,
+                 CASE WHEN k.doc_id IS NULL THEN 'dup'
+                      WHEN t.ws_tokens < 20 THEN 'short'
+                      WHEN t.ws_tokens > 100000 THEN 'long'
+                      WHEN q.score < 0.65 THEN 'low_quality'
+                      ELSE 'keep' END AS verdict
+              FROM documents d
+              JOIN t USING (doc_id) JOIN q USING (doc_id)
+              LEFT JOIN k ON k.doc_id = d.doc_id)
+        SELECT doc_id, verdict,
+               CAST(verdict = 'keep' AS BIGINT) AS keep
+        FROM v
+    """
+    o["top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)),
+                          '[^a-z0-9]+')) AS term
+            FROM documents),
+        t AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE length(term) >= 3 GROUP BY doc_id, term),
+        d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                     ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                         ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+              FROM t JOIN d USING (term))
+        SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+    """
     o["embedding_cosine_dups"] = f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
@@ -1242,6 +1355,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT vertex_id, CAST(reg AS BIGINT) AS reg,
                CAST(val AS BIGINT) AS val
         FROM s2
+    """
+    # HLL estimator on top of the integer-exact register table: the
+    # register sum is a SCALED INTEGER (Σ 2^(55-val)) so the double math
+    # below starts from identical values in both engines; alpha·m² =
+    # 0.697·1024 = 713.728 (exact: ×1024 is a power-of-two scale).
+    _hb_regs = o["hyperball_regs_k2"]
+    o["hyperball_est_k2"] = f"""
+        WITH regs AS (SELECT * FROM ({_hb_regs})),
+        per_v AS (SELECT vertex_id, COUNT(*) AS n,
+                         SUM(CAST(1 AS BIGINT) << CAST(55 - val AS INT)) AS ss
+                  FROM regs GROUP BY vertex_id),
+        e AS (SELECT vertex_id,
+                     CAST(ss AS DOUBLE) / 36028797018963968.0
+                         + (32.0 - n) AS s,
+                     32.0 - n AS zeros
+              FROM per_v)
+        SELECT vertex_id,
+               ROUND(CASE WHEN (713.728 / s) <= 80.0 AND zeros > 0
+                          THEN 32.0 * ln(32.0 / zeros)
+                          ELSE 713.728 / s END, 4) AS ball_est
+        FROM e
     """
     wpr_iter = """
         , m{t} AS (SELECT e.dst_domain AS vertex_id,

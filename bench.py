@@ -15,7 +15,9 @@ Headline set (mirrors __spark_entry__.queries, run at benchmark scale):
   * webtext_pipeline — synthetic Common-Crawl-style pages → byte-exact text
                      extraction → link extraction → xxhash64 ids → edge table
   * lsh_dedup      — shingle → minhash → banded LSH candidate pairs
-  * dedup_exact, token_quality (token counts + quality scores single pass),
+  * dedup_exact, dedup_clusters (LSH pairs → star-CC → survivors, the
+    end-to-end near-dup composition), corpus_filter (training-corpus
+    verdicts), token_quality (token counts + quality scores single pass),
     ann_topk / ann_topk_arrow (brute-force cosine top-k, Catalyst + Arrow)
   * k_core_3 (bounded peeling), random_walks_k5 (embedding-corpus walks)
 
@@ -163,6 +165,17 @@ def main() -> None:
         ),
     )
     bench("dedup_exact", lambda: _consume(dedup_exact(docs)))
+
+    from pregel_rs_spark.operators.dedup import dedup_clusters
+    from pregel_rs_spark.operators.pipeline import corpus_filter
+
+    bench(
+        "dedup_clusters",
+        lambda: _consume(
+            dedup_clusters(docs, k=5, num_hashes=8, bands=4, max_bucket=50)
+        ),
+    )
+    bench("corpus_filter", lambda: _consume(corpus_filter(docs)))
     bench(
         "token_quality",
         lambda: _consume(

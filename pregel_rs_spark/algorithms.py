@@ -1151,18 +1151,30 @@ def hyperball(
 
 
 def _hll_estimates(regs: DataFrame, log2m: int) -> DataFrame:
-    """Per-vertex HLL cardinality estimates from a sparse register table."""
+    """Per-vertex HLL cardinality estimates from a sparse register table.
+
+    The register sum Σ 2^-val is accumulated as a SCALED INTEGER
+    (Σ 2^(55-val), val ≤ 55 so every term is a nonneg int64 and ≤ 2^6
+    terms keep the sum < 2^61): integer addition is order-independent,
+    so the estimate is bit-deterministic under any partitioning AND
+    engine-portable (a float sum's value depends on reduction order) —
+    this is what lets the estimator have an exact SQL oracle.
+    """
     m = 1 << log2m
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
         log2m, 0.7213 / (1 + 1.079 / m)
     )
     per_v = regs.groupBy(VERTEX_ID).agg(
         F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("present_sum"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - val AS INT))")
+        ).alias("scaled_sum"),
     )
     # absent registers contribute 2^-0 = 1 each; zeros = absent registers
     # (present rows always have val >= 1)
-    s = F.col("present_sum") + (F.lit(float(m)) - F.col("n_present"))
+    s = F.col("scaled_sum") / F.lit(float(1 << 55)) + (
+        F.lit(float(m)) - F.col("n_present")
+    )
     raw = F.lit(alpha * m * m) / s
     zeros = F.lit(float(m)) - F.col("n_present")
     est = F.when(

@@ -290,3 +290,45 @@ def embedding_cosine_dups(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --- end-to-end near-dup clustering -------------------------------------------
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-duplicate deduplication — the production composition
+    at corpus scale: banded-LSH candidate pairs (bucket-capped, never
+    all-pairs) → connected components over the candidate-pair graph →
+    cluster id = MIN doc_id in the cluster → survivor = that minimum.
+
+    The component step uses the O(log n)-round large-star/small-star path
+    (``connected_components_star``), so a boilerplate chain of near-dups
+    thousands of docs long costs ~log rounds, not O(diameter) supersteps —
+    at 100 TB the pair graph's diameter is unbounded (transitive chains of
+    86%%-similar docs), which is exactly the case min-label cannot survive.
+
+    Returns ``(doc_id, cluster_id, survivor)`` for EVERY input document
+    (docs with no near-dup are their own singleton cluster, survivor=1).
+    """
+    from ..algorithms import connected_components
+    from ..graphframe import GraphFrame
+
+    pairs = lsh_candidate_pairs(docs, k, num_hashes, bands, max_bucket, text_col)
+    vertices = docs.select(F.col("doc_id").alias("vertex_id"))
+    edges = pairs.select(
+        F.col("doc_a").alias("subject"), F.col("doc_b").alias("object")
+    )
+    comp = connected_components(
+        GraphFrame(vertices, edges, closed=True), method="star"
+    )
+    return comp.select(
+        F.col("vertex_id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex_id") == F.col("component")).cast("long").alias("survivor"),
+    )

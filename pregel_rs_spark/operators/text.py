@@ -113,3 +113,46 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+def top_terms(
+    docs: DataFrame, top_k: int = 3, min_len: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document distinctive terms: lowercase word tokens (length ≥
+    ``min_len``), ranked by (term frequency DESC, document frequency ASC,
+    term ASC) and cut to ``top_k`` — the tf-idf ordering with an
+    integer-only sort key, so the ranking is bit-exact across engines (a
+    float tf·idf would rank on ln(), whose last ulp differs between libms).
+
+    Scale shape: explode → two hash aggregations (term-per-doc, then
+    doc-freq per term) + one window per doc — all shuffle on doc_id/term,
+    no skew beyond natural stopword terms, which ``min_len`` and df-ASC
+    already push down the ranking.
+
+    Returns ``(doc_id, term, tf, df, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        terms.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
+    )

@@ -240,3 +240,85 @@ def test_sample_frames(spark, docs):
         idxs = sorted(f.frame_idx for f in fr)
         assert idxs == list(range(len(idxs)))
         assert all(f.frame_ts_ms == f.frame_idx * 500 for f in fr)
+
+
+def test_dedup_clusters_end_to_end(spark, docs):
+    """Exact dups 1-2 and near-dup 3 must land in one cluster with doc 1
+    the survivor; unrelated docs are their own singleton clusters."""
+    from pregel_rs_spark.operators.dedup import dedup_clusters
+
+    rows = {r.doc_id: r for r in dedup_clusters(
+        docs, k=5, num_hashes=8, bands=4, max_bucket=50
+    ).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[1].cluster_id == rows[2].cluster_id == 1
+    assert rows[2].survivor == 0 and rows[1].survivor == 1
+    # near-dup 3 shares >80% shingles with 1 — with 8 hashes / 4 bands it
+    # must collide in at least one band
+    assert rows[3].cluster_id == 1
+    for i in (4, 5, 6):
+        assert rows[i].cluster_id == i and rows[i].survivor == 1
+
+
+def test_corpus_filter_verdicts(spark):
+    from pregel_rs_spark.operators.pipeline import corpus_filter, corpus_select
+
+    good = ("the quick brown fox is running to the big house and the dog "
+            "is in the garden of the old man")
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good, "en", "s", len(good)),          # exact dup -> dup
+        (3, "tiny text", "en", "s", 9),           # 2 tokens -> short
+        (4, ";;;; !!!! ???? ,,,, ;;;; !!!!", "en", "s", 29),  # -> low_quality
+        (5, "a completely different good sentence about the engine and "
+            "the data in the lake", "en", "s", 80),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    v = {r.doc_id: (r.verdict, r.keep) for r in corpus_filter(docs).collect()}
+    assert v[1] == ("keep", 1)
+    assert v[2] == ("dup", 0)
+    assert v[3] == ("short", 0)
+    assert v[4][0] in ("low_quality", "short") and v[4][1] == 0
+    assert v[5] == ("keep", 1)
+    kept = sorted(r.doc_id for r in corpus_select(docs).collect())
+    assert kept == [1, 5]
+
+
+def test_top_terms_ranking(spark):
+    from pregel_rs_spark.operators.text import top_terms
+
+    rows = [
+        (1, "spark spark spark engine engine data", "en", "s", 30),
+        (2, "data data lake", "en", "s", 14),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = top_terms(docs, top_k=2).collect()
+    d1 = sorted([(r.rank, r.term, r.tf, r.df) for r in out if r.doc_id == 1])
+    # tf DESC first; 'data' appears in both docs (df=2) but tf wins
+    assert d1 == [(1, "spark", 3, 1), (2, "engine", 2, 1)]
+    d2 = sorted([(r.rank, r.term, r.tf, r.df) for r in out if r.doc_id == 2])
+    assert d2 == [(1, "data", 2, 2), (2, "lake", 1, 1)]
+
+
+def test_hll_estimate_deterministic_and_close(spark):
+    """The scaled-integer HLL estimator must (a) be invariant to input
+    partitioning (bit-deterministic) and (b) stay within the usual HLL
+    error envelope of the exact ball size."""
+    from pregel_rs_spark import GraphFrame
+    from pregel_rs_spark.algorithms import hyperball, neighborhood_sizes
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(edges)
+    est = {r.vertex_id: r.ball_size_est
+           for r in hyperball(g, k=4, log2m=5, portable=True).collect()}
+    g2 = GraphFrame.from_edges(edges.repartition(7))
+    est2 = {r.vertex_id: r.ball_size_est
+            for r in hyperball(g2, k=4, log2m=5, portable=True).collect()}
+    assert est == est2  # bit-identical under re-partitioning
+    exact = {r.vertex_id: r.ball_size
+             for r in neighborhood_sizes(g, k=4).collect()}
+    for v, e in exact.items():
+        assert abs(est[v] - e) / e < 0.6  # m=32 -> ~18% sigma; 3-sigma-ish

@@ -183,6 +183,11 @@ def main() -> None:
                          "partitions=cores changes the map-side partial-"
                          "aggregation compression regime between levels "
                          "(see tools/scaling_run.py --fixed-partitions).")
+    ap.add_argument("--bank-dir", default=None,
+                    help="write each leg's JSON here as it completes "
+                         "(lo_R.json / hi_R.json) so an interrupted "
+                         "multi-repeat run can be assembled with "
+                         "tools/assemble_scaling.py instead of lost")
     args = ap.parse_args()
 
     global MODE, FIXED_PARTITIONS
@@ -192,10 +197,20 @@ def main() -> None:
     edges_path = build_edges(args.pages, args.link_factor)
 
     n, n4 = args.n_units, args.n_units * 4
+    if args.bank_dir:
+        os.makedirs(args.bank_dir, exist_ok=True)
+
+    def bank(name: str, run: dict) -> None:
+        if args.bank_dir:
+            with open(os.path.join(args.bank_dir, name), "w") as f:
+                json.dump(run, f)
+
     lo_runs, hi_runs = [], []
     for r in range(args.repeats):
         lo_runs.append(run_level(n, edges_path, args.steps))
+        bank(f"lo_{r}.json", lo_runs[-1])
         hi_runs.append(run_level(n4, edges_path, args.steps))
+        bank(f"hi_{r}.json", hi_runs[-1])
         print(
             f"repeat {r}: "
             f"N={lo_runs[-1]['sec_per_superstep_median_step']}s/step "
