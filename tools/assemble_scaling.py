@@ -59,7 +59,18 @@ def main() -> None:
     n, n4 = lo["cores"], hi["cores"]
     thr_lo = 3600.0 / lo["steady_median"]
     thr_hi = 3600.0 / hi["steady_median"]
-    eff = (thr_hi / thr_lo) / 4.0
+    eff_level = (thr_hi / thr_lo) / 4.0
+    # paired gate (same as bench_scaling.py): legs banked as lo_R/hi_R are
+    # index-paired back-to-back runs; the per-pair ratio cancels the host
+    # window's common speed factor
+    key = "sec_per_superstep_median_step"
+    pairs = [
+        {"repeat": i, "N_sec_per_superstep": l[key],
+         "4N_sec_per_superstep": h[key],
+         "efficiency": round(l[key] / (4.0 * h[key]), 3)}
+        for i, (l, h) in enumerate(zip(lo_runs, hi_runs))
+    ]
+    eff = statistics.median(p["efficiency"] for p in pairs)
 
     conv = load([args.convergence])[0] if args.convergence else None
     resume = None
@@ -71,9 +82,11 @@ def main() -> None:
         "protocol": (
             f"BASELINE.md §3: same job, same input, local[{n}] vs "
             f"local[{n4}], whole job (driver python + JVM, every thread) "
-            "pinned to exactly that many cores. Gate number = median "
-            "steady-state sec/superstep (per-step median within a run, "
-            "median across alternating repeats; spread reported)"
+            "pinned to exactly that many cores. PAIRED design: per-pair "
+            "efficiency = sec_N / (4*sec_4N) over index-paired "
+            "back-to-back legs; gate = MEDIAN of per-pair efficiencies. "
+            "Per-run number = steady-state sec/superstep (per-step median "
+            "within the run)"
             + (f". {args.note}" if args.note else "")
         ),
         "mode": "local",
@@ -81,6 +94,7 @@ def main() -> None:
                   "seed": 42, "edges_parquet": args.edges},
         "fixed_supersteps": lo_runs[0]["supersteps"],
         "repeats": len(lo_runs),
+        "pairs": pairs,
         "level_N": lo,
         "level_4N": hi,
         "throughput_N_supersteps_per_hour": round(thr_lo, 1),
@@ -92,6 +106,7 @@ def main() -> None:
                 [r["sec_per_superstep_median_step"] for r in hi_runs],
         },
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_level_median": round(eff_level, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
         "convergence_run_4N": conv,

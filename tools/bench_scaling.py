@@ -6,18 +6,23 @@ efficiency ≥ 0.8 from N to 4N executors; sandbox protocol per BASELINE.md §3)
    table: synth_pages(n, seed=42) → pages_to_edges (href extraction via
    pandas UDFs, xxhash64 ids) → (subject, object) parquet.
 2. Run the IDENTICAL PageRank job (fixed superstep count — same work at both
-   levels) via tools/scaling_run.py at local-cluster[N,4,20g] and
-   local-cluster[4N,4,20g]: real executor JVMs of identical shape, each
-   pinned to its own 4-core block, driver JVM on a separate fixed block
-   (see scaling_run.py for the affinity protocol).  Shuffle partitions
-   match the total executor core count.  Levels ALTERNATE across repeats so
-   slow-host windows hit both evenly; the gate number is the MEDIAN
-   steady-state sec/superstep per level (per-step median within a run ×
-   median across runs; spreads reported).
-3. Report supersteps/hour at both + efficiency = (thr_4N / thr_N) / 4, a
-   to-1e-6 convergence run at 4N, and (unless --skip-resume) a mid-run
-   RESUME leg at 4N: full run vs (interrupted-at-k, fresh-process resume)
-   with CheckpointStore snapshots — final ranks must agree to 1e-6.
+   levels) via tools/scaling_run.py at the two levels (local[N] vs local[4N]
+   pinned, or local-cluster; see scaling_run.py for the affinity protocol).
+3. PAIRED (blocked) design — this host's throughput drifts 2-3x on
+   ~10-minute scales, so comparing medians-across-the-hour per level makes
+   the gate a coin flip between host windows (measured: 0.883 and 0.683 on
+   identical code).  Instead each repeat runs BOTH levels back-to-back
+   (within one host window), the per-repeat efficiency is
+   sec_N / (4 * sec_4N) — the common host-speed factor cancels in the
+   ratio — and the gate is the MEDIAN of the per-repeat efficiencies.
+   Within-pair drift is de-biased by alternating the order (N-first on
+   even repeats, 4N-first on odd); one discarded WARMUP pair pays the
+   page-cache / JIT-profile first-touch that otherwise lands entirely on
+   the first measured pair.  Level medians/spreads are still reported.
+4. Report supersteps/hour at both + the paired efficiency, a to-1e-6
+   convergence run at 4N, and (unless --skip-resume) a mid-run RESUME leg
+   at 4N: full run vs (interrupted-at-k, fresh-process resume) with
+   CheckpointStore snapshots — final ranks must agree to 1e-6.
 
 Usage: python tools/bench_scaling.py [--pages 3000000] [--steps 12]
        [--n-executors 1] [--repeats 5] [--out /root/repo/BENCH_SCALING.json]
@@ -170,8 +175,14 @@ def main() -> None:
                     help="N level parallelism (cores in local mode, "
                          "executors in local-cluster mode); 4N level is 4x")
     ap.add_argument("--repeats", type=int, default=5,
-                    help="alternating repeats per level; MEDIAN taken "
-                         "(this shared host shows 2-3x noisy-neighbor drift)")
+                    help="back-to-back (N, 4N) pairs; gate = MEDIAN of the "
+                         "per-pair efficiencies (paired design — the common "
+                         "host-speed factor cancels within a pair; this "
+                         "shared host shows 2-3x noisy-neighbor drift)")
+    ap.add_argument("--warmup-pairs", type=int, default=1,
+                    help="discarded (N, 4N) pairs run first: page-cache + "
+                         "JIT-profile first-touch otherwise lands entirely "
+                         "on the first measured pair")
     ap.add_argument("--out", default="/root/repo/BENCH_SCALING.json")
     ap.add_argument("--skip-convergence", action="store_true")
     ap.add_argument("--skip-resume", action="store_true")
@@ -205,23 +216,50 @@ def main() -> None:
             with open(os.path.join(args.bank_dir, name), "w") as f:
                 json.dump(run, f)
 
-    lo_runs, hi_runs = [], []
+    key = "sec_per_superstep_median_step"
+    warmups = []
+    for w in range(args.warmup_pairs):
+        wl = run_level(n, edges_path, args.steps)
+        bank(f"warmup_lo_{w}.json", wl)
+        wh = run_level(n4, edges_path, args.steps)
+        bank(f"warmup_hi_{w}.json", wh)
+        warmups.append({"N_sec": wl[key], "4N_sec": wh[key],
+                        "efficiency": round(wl[key] / (4.0 * wh[key]), 3)})
+        print(f"warmup {w} (discarded): N={wl[key]}s/step "
+              f"4N={wh[key]}s/step eff={warmups[-1]['efficiency']}",
+              file=sys.stderr)
+
+    lo_runs, hi_runs, pairs = [], [], []
     for r in range(args.repeats):
-        lo_runs.append(run_level(n, edges_path, args.steps))
-        bank(f"lo_{r}.json", lo_runs[-1])
-        hi_runs.append(run_level(n4, edges_path, args.steps))
-        bank(f"hi_{r}.json", hi_runs[-1])
+        # order alternates so monotone host drift within a pair biases
+        # half the pairs up and half down — the median is unbiased
+        order = ("lo", "hi") if r % 2 == 0 else ("hi", "lo")
+        runs = {}
+        for side in order:
+            runs[side] = run_level(n if side == "lo" else n4,
+                                   edges_path, args.steps)
+            bank(f"{side}_{r}.json", runs[side])
+        lo_runs.append(runs["lo"])
+        hi_runs.append(runs["hi"])
+        pairs.append({
+            "repeat": r,
+            "order": "->".join("N" if s == "lo" else "4N" for s in order),
+            "N_sec_per_superstep": runs["lo"][key],
+            "4N_sec_per_superstep": runs["hi"][key],
+            "efficiency": round(runs["lo"][key] / (4.0 * runs["hi"][key]), 3),
+        })
         print(
-            f"repeat {r}: "
-            f"N={lo_runs[-1]['sec_per_superstep_median_step']}s/step "
-            f"4N={hi_runs[-1]['sec_per_superstep_median_step']}s/step",
+            f"repeat {r} ({pairs[-1]['order']}): "
+            f"N={runs['lo'][key]}s/step 4N={runs['hi'][key]}s/step "
+            f"eff={pairs[-1]['efficiency']}",
             file=sys.stderr,
         )
     lo = pick(lo_runs)
     hi = pick(hi_runs)
     thr_lo = 3600.0 / lo["steady_median"]
     thr_hi = 3600.0 / hi["steady_median"]
-    eff = (thr_hi / thr_lo) / 4.0
+    eff_level = (thr_hi / thr_lo) / 4.0
+    eff = statistics.median(p["efficiency"] for p in pairs)
 
     conv = None
     if not args.skip_convergence:
@@ -252,15 +290,23 @@ def main() -> None:
     )
     result = {
         "protocol": f"BASELINE.md §3: same job, same input, {level_desc}. "
-                    "Gate number = median steady-state sec/superstep "
-                    "(per-step median within a run, median across "
-                    "alternating repeats; spread reported)",
+                    "PAIRED design: each repeat runs both levels "
+                    "back-to-back (order alternating N-first/4N-first), "
+                    "per-pair efficiency = sec_N / (4*sec_4N) — the common "
+                    "host-speed factor of that ~10-min window cancels in "
+                    "the ratio; gate = MEDIAN of per-pair efficiencies "
+                    f"across {args.repeats} pairs after "
+                    f"{args.warmup_pairs} discarded warmup pair(s). "
+                    "Per-run number = steady-state sec/superstep "
+                    "(per-step median within the run).",
         "mode": args.mode,
         "input": {"pages": args.pages, "link_factor": args.link_factor,
                   "seed": 42, "edges_parquet": edges_path},
         "fixed_supersteps": args.steps,
         "fixed_partitions": args.fixed_partitions,
         "repeats": args.repeats,
+        "warmup_pairs_discarded": warmups,
+        "pairs": pairs,
         "level_N": lo,
         "level_4N": hi,
         "throughput_N_supersteps_per_hour": round(thr_lo, 1),
@@ -272,6 +318,7 @@ def main() -> None:
                 [r["sec_per_superstep_median_step"] for r in hi_runs],
         },
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_level_median": round(eff_level, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
         "convergence_run_4N": conv,
