@@ -299,6 +299,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=2, log2m=5, portable=True,
         )
 
+    def clustering_coefficient_q(spark, sf):
+        """Local clustering coefficient: triangles / C(deg, 2) on the
+        undirected simple graph — exact-integer division in double,
+        rounded 6 dp (engine-portable).  Skewed projection of lineitem
+        (651 distinct coefficients at sf0.01) so the row discriminates."""
+        from pregel_rs_spark.algorithms import clustering_coefficient
+
+        li = load_table(spark, sf, "lineitem")
+        edges = (
+            li.select(
+                (F.col("l_partkey") % 997).alias("subject"),
+                F.col("l_suppkey").alias("object"),
+            )
+            .filter(F.col("subject") != F.col("object"))
+            .distinct()
+        )
+        return clustering_coefficient(GraphFrame.from_edges(edges))
+
+    def harmonic_k2_q(spark, sf):
+        """Harmonic centrality via HyperBall (k=2, m=32, out-direction to
+        match the register oracle): telescoped per-round coefficients
+        folded in round order — bit-deterministic float, SQL-replayable."""
+        from pregel_rs_spark.algorithms import harmonic_centrality
+
+        li = load_table(spark, sf, "lineitem")
+        edges = (
+            li.select(
+                (F.col("l_partkey") % 997).alias("subject"),
+                F.col("l_suppkey").alias("object"),
+            )
+            .filter(F.col("subject") != F.col("object"))
+            .distinct()
+        )
+        res = harmonic_centrality(
+            GraphFrame.from_edges(edges),
+            k=2, log2m=5, portable=True, reverse=False,
+        )
+        return res.select(
+            "vertex_id", F.round("harmonic", 4).alias("harmonic")
+        )
+
     def lpa_1round(spark, sf):
         res = label_propagation(
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
@@ -394,6 +435,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_tokens=20, max_tokens=100_000, min_score=0.65,
         )
 
+    def corpus_sample_q(spark, sf):
+        """Deterministic stratified sampling (training-mix operator):
+        lexicographic md5-hex threshold per language stratum — the oracle
+        recomputes the identical hash compare in SQL."""
+        from pregel_rs_spark.operators.pipeline import corpus_sample
+
+        return corpus_sample(
+            load_table(spark, sf, "documents"),
+            rates={"en": 0.5, "de": 1.0, "zh": 0.25},
+            default_rate=0.1,
+        ).select("doc_id", "lang")
+
+    def contamination_q(spark, sf):
+        """Benchmark-contamination screen: training docs sharing ≥3 distinct
+        word 3-grams with the held-out set (doc_id % 50 == 0 — the
+        deterministic stand-in for an eval corpus).  Broadcast-joins the
+        small benchmark gram set; the oracle replays the identical
+        tokenization and overlap count in SQL."""
+        from pregel_rs_spark.operators.pipeline import contamination
+
+        docs = load_table(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return contamination(docs, bench, n=3, min_shared=3)
+
     def top_terms_q(spark, sf):
         """Per-doc distinctive terms, integer-exact (tf DESC, df ASC,
         term ASC) ranking — the tf-idf ordering without float rank keys."""
@@ -416,6 +481,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vertex_id", F.round("ball_size_est", 4).alias("ball_est")
         )
 
+    def degree_histogram_q(spark, sf):
+        """Log2-bucketed out-degree distribution — integer-exact buckets
+        via length(bin(d)), portable across engines (no float log2).
+        Uses a degree-skewed projection of lineitem so the histogram
+        actually spans several buckets."""
+        from pregel_rs_spark.algorithms import degree_histogram
+
+        li = load_table(spark, sf, "lineitem")
+        edges = (
+            li.select(
+                (F.col("l_partkey") % 997).alias("subject"),
+                F.col("l_suppkey").alias("object"),
+            )
+            .filter(F.col("subject") != F.col("object"))
+            .distinct()
+        )
+        return degree_histogram(
+            GraphFrame.from_edges(edges), direction="out"
+        )
+
+    def reciprocity_q(spark, sf):
+        """One-row edge-reciprocity summary (distinct directed edges whose
+        reverse exists / all distinct directed edges)."""
+        from pregel_rs_spark.algorithms import reciprocity
+
+        return reciprocity(GraphFrame.from_edges(_edges_sg(spark, sf)))
+
     # -- similarity search --
     def ann_topk_q(spark, sf):
         emb = load_table(spark, sf, "embeddings")
@@ -427,6 +519,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle as the Catalyst baseline."""
         emb = load_table(spark, sf, "embeddings")
         return brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    def ann_topk_ivf_q(spark, sf):
+        """The 100 TB cell-pruning path: IVF-flat — deterministic
+        (md5-seeded, engine-portable) coarse quantizer, corpus assigned
+        to cells at write time, queries probe nprobe nearest cells +
+        exact re-rank inside.  The oracle recomputes identical cells,
+        assignment, probes, and re-rank in SQL."""
+        from pregel_rs_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10),
+            k=5, n_cells=16, nprobe=4,
+        )
 
     def ann_topk_lsh_q(spark, sf):
         """The 100 TB candidate-pruning path: hyperplane-bucket join +
@@ -635,11 +741,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_cosine_dups=embedding_dups_q,
         dedup_clusters=dedup_clusters_q,
         corpus_filter=corpus_filter_q,
+        contamination=contamination_q,
+        corpus_sample=corpus_sample_q,
         top_terms=top_terms_q,
         hyperball_est_k2=hyperball_est_q,
+        degree_histogram=degree_histogram_q,
+        reciprocity=reciprocity_q,
+        harmonic_k2=harmonic_k2_q,
+        clustering_coefficient=clustering_coefficient_q,
         ann_topk=ann_topk_q,
         ann_topk_arrow=ann_topk_arrow_q,
         ann_topk_lsh=ann_topk_lsh_q,
+        ann_topk_ivf=ann_topk_ivf_q,
         token_counts=token_counts_q,
         quality_scores=quality_q,
         language_id=langid_q,
@@ -805,6 +918,37 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY vertex_id)
         SELECT v.vertex_id, COALESCE(cnt.triangles, 0) AS triangles
         FROM v LEFT JOIN cnt USING (vertex_id)
+    """
+    _DH_SQL = (
+        "(SELECT DISTINCT l_partkey % 997 AS subject, l_suppkey AS object "
+        "FROM lineitem WHERE l_partkey % 997 != l_suppkey)"
+    )
+    o["clustering_coefficient"] = f"""
+        WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                   GREATEST(subject, object) AS b
+                   FROM {_DH_SQL} WHERE subject != object),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM {_DH_SQL}
+               UNION ALL SELECT object FROM {_DH_SQL})),
+        tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM c e1 JOIN c e2 ON e1.b = e2.a
+                JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (SELECT u AS vertex_id FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri),
+        cnt AS (SELECT vertex_id, COUNT(*) AS triangles FROM corners
+                GROUP BY vertex_id),
+        deg AS (SELECT vertex_id, COUNT(*) AS und_degree FROM
+                (SELECT a AS vertex_id FROM c UNION ALL SELECT b FROM c)
+                GROUP BY vertex_id)
+        SELECT v.vertex_id,
+               COALESCE(cnt.triangles, 0) AS triangles,
+               COALESCE(deg.und_degree, 0) AS und_degree,
+               CASE WHEN COALESCE(deg.und_degree, 0) >= 2
+                    THEN ROUND((2.0 * COALESCE(cnt.triangles, 0))
+                               / (deg.und_degree * (deg.und_degree - 1)), 6)
+                    ELSE 0.0 END AS coefficient
+        FROM v LEFT JOIN cnt USING (vertex_id) LEFT JOIN deg USING (vertex_id)
     """
     o["max_value"] = f"""
         WITH RECURSIVE
@@ -1071,6 +1215,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(verdict = 'keep' AS BIGINT) AS keep
         FROM v
     """
+    from pregel_rs_spark.operators.pipeline import sample_threshold_hex
+
+    o["corpus_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CASE
+            WHEN lang = 'de' THEN TRUE
+            WHEN lang = 'en' THEN
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '{sample_threshold_hex(0.5)}'
+            WHEN lang = 'zh' THEN
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '{sample_threshold_hex(0.25)}'
+            ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '{sample_threshold_hex(0.1)}'
+        END
+    """
+    # identical tokenization to top_terms ([^a-z0-9]+ split on lowercased
+    # trimmed text), 3-gram windows, distinct per doc, self-pairs excluded
+    o["contamination"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '[^a-z0-9]+'),
+                             x -> x != '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 0))) AS u(i)
+        ),
+        bench AS (SELECT doc_id AS bench_id, gram FROM grams
+                  WHERE doc_id % 50 = 0)
+        SELECT g.doc_id, b.bench_id, count(*) AS shared
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.doc_id != b.bench_id
+        GROUP BY g.doc_id, b.bench_id HAVING count(*) >= 3
+    """
     o["top_terms"] = """
         WITH toks AS (
             SELECT doc_id,
@@ -1168,6 +1349,42 @@ def oracle_sql() -> dict[str, str]:
     """
     # identical exact-top-k contract, independent execution path in Spark
     o["ann_topk_arrow"] = o["ann_topk"]
+    # IVF-flat: identical deterministic quantizer (16 smallest md5(vec_id)
+    # seeds), identical nearest-cell assignment (cosine rounded 6dp, ties
+    # by cell_id), nprobe=4 probes, exact re-rank inside probed cells
+    o["ann_topk_ivf"] = f"""
+        WITH cents AS (
+            SELECT vec_id AS cell_id, embedding AS cent
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+            LIMIT 16),
+        assign AS (
+            SELECT neighbor_id, ce, cell_id FROM (
+                SELECT c.vec_id AS neighbor_id, c.embedding AS ce, t.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                           ORDER BY ROUND({_cos('c.embedding', 't.cent')}, 6)
+                               DESC, t.cell_id ASC) AS rn
+                FROM embeddings c CROSS JOIN cents t)
+            WHERE rn = 1),
+        probes AS (
+            SELECT query_id, qe, cell_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qe, t.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY ROUND({_cos('q.embedding', 't.cent')}, 6)
+                               DESC, t.cell_id ASC) AS rn
+                FROM embeddings q CROSS JOIN cents t
+                WHERE q.vec_id < 10)
+            WHERE rn <= 4),
+        scored AS (
+            SELECT p.query_id, a.neighbor_id,
+                   ROUND({_cos('p.qe', 'a.ce')}, 6) AS cosine
+            FROM probes p JOIN assign a USING (cell_id)
+            WHERE p.query_id != a.neighbor_id),
+        ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
     o["token_counts"] = f"""
         SELECT doc_id,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1322,8 +1539,7 @@ def oracle_sql() -> dict[str, str]:
     # portable-hash HyperBall registers: 59-bit Lehmer-chain hash, m=32
     # (reg = h % 32, w = h // 32, val = 55 - bitlen(w), w=0 -> 55);
     # 2 rounds of sketch-union = groupwise MAX per (vertex, reg)
-    o["hyperball_regs_k2"] = f"""
-        WITH e AS (SELECT subject, object FROM {_SG_SQL}),
+    _HB_CTES_TMPL = """e AS (SELECT subject, object FROM {edges_sql}),
         v AS (SELECT DISTINCT vertex_id FROM
               (SELECT subject AS vertex_id FROM e
                UNION ALL SELECT object FROM e)),
@@ -1351,10 +1567,70 @@ def oracle_sql() -> dict[str, str]:
                  UNION ALL
                  SELECT e.subject AS vertex_id, s1.reg, s1.val
                  FROM e JOIN s1 ON e.object = s1.vertex_id)
-               GROUP BY vertex_id, reg)
+               GROUP BY vertex_id, reg)"""
+    o["hyperball_regs_k2"] = f"""
+        WITH {_HB_CTES_TMPL.format(edges_sql=_SG_SQL)}
         SELECT vertex_id, CAST(reg AS BIGINT) AS reg,
                CAST(val AS BIGINT) AS val
         FROM s2
+    """
+
+    # per-round HLL estimate (identical arithmetic to _hll_estimates at
+    # m=32: scaled-integer register sum, alpha*m^2 = 713.728, linear
+    # counting below 2.5m with zero registers present)
+    def _hb_est(s: str) -> str:
+        return (
+            f"(SELECT vertex_id, "
+            f"CASE WHEN (713.728 / s) <= 80.0 AND zeros > 0 "
+            f"THEN 32.0 * ln(32.0 / zeros) ELSE 713.728 / s END AS est "
+            f"FROM (SELECT vertex_id, "
+            f"CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - val AS INT)) AS DOUBLE)"
+            f" / 36028797018963968.0 + (32.0 - COUNT(*)) AS s, "
+            f"32.0 - COUNT(*) AS zeros FROM {s} GROUP BY vertex_id))"
+        )
+
+    # telescoped harmonic fold in round order: ((c0*e0) + c1*e1) + c2*e2
+    # with c = (-1.0, 0.5, 0.5) at k=2 — the exact association order the
+    # Spark accumulator produces
+    o["harmonic_k2"] = f"""
+        WITH {_HB_CTES_TMPL.format(edges_sql=_DH_SQL)},
+        e0 AS (SELECT * FROM {_hb_est('s0')}),
+        e1 AS (SELECT * FROM {_hb_est('s1')}),
+        e2 AS (SELECT * FROM {_hb_est('s2')})
+        SELECT e0.vertex_id,
+               ROUND(((-1.0 * e0.est) + 0.5 * e1.est) + 0.5 * e2.est, 4)
+                   AS harmonic
+        FROM e0 JOIN e1 USING (vertex_id) JOIN e2 USING (vertex_id)
+    """
+    o["degree_histogram"] = f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_DH_SQL}
+                    UNION ALL SELECT object FROM {_DH_SQL})),
+        d AS (SELECT v.vertex_id, COUNT(e.subject) AS degree
+              FROM v LEFT JOIN {_DH_SQL} e ON e.subject = v.vertex_id
+              GROUP BY v.vertex_id),
+        b AS (SELECT degree,
+                     CASE WHEN degree <= 0 THEN 0
+                          ELSE length(bin(degree)) END AS bucket
+              FROM d)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(MIN(degree) AS BIGINT) AS min_degree,
+               CAST(MAX(degree) AS BIGINT) AS max_degree,
+               COUNT(*) AS n_vertices
+        FROM b GROUP BY bucket
+    """
+    o["reciprocity"] = f"""
+        WITH e AS (SELECT DISTINCT subject, object FROM {_SG_SQL}
+                   WHERE subject != object),
+        r AS (SELECT COUNT(*) AS n_reciprocal FROM e
+              WHERE EXISTS (SELECT 1 FROM e e2
+                            WHERE e2.subject = e.object
+                              AND e2.object = e.subject))
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               n_reciprocal,
+               ROUND(n_reciprocal / GREATEST((SELECT COUNT(*) FROM e), 1), 6)
+                   AS reciprocity
+        FROM r
     """
     # HLL estimator on top of the integer-exact register table: the
     # register sum is a SCALED INTEGER (Σ 2^(55-val)) so the double math

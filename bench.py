@@ -18,7 +18,8 @@ Headline set (mirrors __spark_entry__.queries, run at benchmark scale):
   * dedup_exact, dedup_clusters (LSH pairs → star-CC → survivors, the
     end-to-end near-dup composition), corpus_filter (training-corpus
     verdicts), token_quality (token counts + quality scores single pass),
-    ann_topk / ann_topk_arrow (brute-force cosine top-k, Catalyst + Arrow)
+    ann_topk / ann_topk_arrow (brute-force cosine top-k, Catalyst + Arrow),
+    ann_topk_ivf (IVF-flat: deterministic quantizer + nprobe cell probe)
   * k_core_3 (bounded peeling), random_walks_k5 (embedding-corpus walks)
 
 Scaling-efficiency evidence (north rule, two cluster sizes) lives in
@@ -194,6 +195,16 @@ def main() -> None:
         "ann_topk_arrow",
         lambda: _consume(
             brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 50), k=10)
+        ),
+    )
+
+    from pregel_rs_spark.operators.similarity import ivf_topk
+
+    bench(
+        "ann_topk_ivf",
+        lambda: _consume(
+            ivf_topk(emb, emb.filter(F.col("vec_id") < 50),
+                     k=10, n_cells=32, nprobe=4)
         ),
     )
 

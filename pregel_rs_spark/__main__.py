@@ -1,0 +1,139 @@
+"""Command-line entry point — the spark-submit shape of the engine:
+
+    spark-submit --py-files pregel_rs_spark.zip -m ... \
+        python -m pregel_rs_spark ALGO --edges edges.parquet --out out/
+
+    python -m pregel_rs_spark pagerank --edges /data/edges --out /data/ranks \
+        --tol 1e-6 --max-iter 50 --checkpoint-root /data/ck --resume
+
+Reads an edge table ``(subject, object[, weight])`` from parquet (or an
+Iceberg table name when the runtime catalog is configured — same
+``TableStore`` contract as the library), runs one built-in algorithm, and
+writes the result parquet.  On a cluster, pass ``--master`` (or let
+spark-submit set it) and size ``--shuffle-partitions`` to the data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m pregel_rs_spark",
+        description="PySpark-native Pregel-style link-graph analytics",
+    )
+    ap.add_argument("algo", choices=[
+        "pagerank", "cc", "cc_star", "scc", "lpa", "triangles",
+        "clustering", "sssp", "hits", "kcore", "degrees", "histogram",
+        "reciprocity", "harmonic", "walks",
+    ])
+    ap.add_argument("--edges", required=True,
+                    help="parquet path (or Iceberg table) with (subject, object)")
+    ap.add_argument("--out", required=True, help="output parquet path")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--weight-col", default=None,
+                    help="edge weight column (pagerank)")
+    ap.add_argument("--source", type=int, default=None, help="sssp source")
+    ap.add_argument("--k", type=int, default=3,
+                    help="kcore k / harmonic radius / walks length")
+    ap.add_argument("--checkpoint-root", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pregel_rs_spark import GraphFrame
+    from pregel_rs_spark.sources.io import get_spark
+
+    # getOrCreate reuses an already-running session (e.g. under pytest or
+    # an interactive driver) — in that case it is not ours to stop
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(
+        f"pregel-rs-spark-{args.algo}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+        master=args.master,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    edges = spark.read.parquet(args.edges)
+    g = GraphFrame.from_edges(edges)
+
+    store = None
+    if args.checkpoint_root:
+        from pregel_rs_spark.plans.checkpoint import CheckpointStore
+
+        store = CheckpointStore(
+            spark, args.checkpoint_root,
+            config_token=f"{args.algo}-d{args.damping}",
+        )
+
+    from pregel_rs_spark import algorithms as A
+
+    if args.algo == "pagerank":
+        res = A.pagerank(
+            g, damping=args.damping, tol=args.tol,
+            max_iterations=args.max_iter, weight=args.weight_col,
+            checkpoint_store=store, checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
+    elif args.algo == "cc":
+        res = A.connected_components(g, max_iterations=args.max_iter)
+    elif args.algo == "cc_star":
+        res = A.connected_components(g, method="star",
+                                     max_iterations=args.max_iter)
+    elif args.algo == "scc":
+        res = A.strongly_connected_components(g)
+    elif args.algo == "lpa":
+        res = A.label_propagation(g, max_iterations=args.max_iter)
+    elif args.algo == "triangles":
+        res = A.triangle_count(g)
+    elif args.algo == "clustering":
+        res = A.clustering_coefficient(g)
+    elif args.algo == "sssp":
+        if args.source is None:
+            print("sssp requires --source", file=sys.stderr)
+            return 2
+        res = A.sssp(g, source=args.source, max_iterations=args.max_iter)
+    elif args.algo == "hits":
+        res = A.hits(g, iterations=args.max_iter)
+    elif args.algo == "kcore":
+        res = A.k_core(g, k=args.k)
+    elif args.algo == "degrees":
+        res = g.out_degrees_full().join(
+            g.in_degrees_full().select("vertex_id", "in_degree"), "vertex_id"
+        )
+    elif args.algo == "histogram":
+        res = A.degree_histogram(g)
+    elif args.algo == "reciprocity":
+        res = A.reciprocity(g)
+    elif args.algo == "harmonic":
+        res = A.harmonic_centrality(g, k=args.k)
+    elif args.algo == "walks":
+        res = A.random_walks(g, length=args.k)
+    else:  # pragma: no cover - argparse choices guard
+        raise AssertionError(args.algo)
+
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{args.algo}: wrote {n} rows -> {args.out}")
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

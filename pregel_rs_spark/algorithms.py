@@ -1233,3 +1233,198 @@ def effective_diameter(
         "rounds": len(totals) - 1,
         "nf": totals,
     }
+
+
+def degree_histogram(graph: GraphFrame, direction: str = "out") -> DataFrame:
+    """Log2-bucketed degree distribution — the standard first look at a web
+    graph's (power-law) shape.
+
+    Bucket for degree d ≥ 1 is ``length(bin(d))`` = floor(log2 d) + 1,
+    computed on the INTEGER binary representation (`bin`), not float
+    ``log2`` — floor(log2(2^k)) is 1-ulp-fragile in floating point and the
+    fix must be engine-portable for the SQL oracle.  Degree-0 vertices
+    (zero out-degree sinks under ``direction="out"``) land in bucket 0.
+
+    Scale shape: one groupBy(vertex) count + one groupBy(bucket) count —
+    two hash aggregations, the second over ≤64 rows.  Returns
+    ``(bucket, min_degree, max_degree, n_vertices)`` where the bucket
+    covers degrees [2^(bucket-1), 2^bucket - 1].
+
+    Reference parity: builds on the same degree derivation as
+    pregel-rs GraphFrame::out_degrees (lib.rs:139-155); the histogram
+    itself is this repo's web-scale extension.
+    """
+    if direction == "out":
+        deg = graph.out_degrees_full()
+        dcol = "out_degree"
+    elif direction == "in":
+        deg = graph.in_degrees_full()
+        dcol = "in_degree"
+    else:
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    bucket = F.when(F.col(dcol) <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col(dcol).cast("long")))
+    )
+    return (
+        deg.select(F.col(dcol).alias("degree"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+            F.count(F.lit(1)).alias("n_vertices"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("min_degree").cast("long").alias("min_degree"),
+            F.col("max_degree").cast("long").alias("max_degree"),
+            "n_vertices",
+        )
+    )
+
+
+def reciprocity(graph: GraphFrame) -> DataFrame:
+    """Edge reciprocity: the fraction of distinct directed edges (u, v),
+    u ≠ v, whose reverse (v, u) is also present — a one-row summary of how
+    bidirectional the link graph is (near 0 for the open web, near 1 for
+    social graphs).
+
+    Scale shape: distinct on (subject, object) then ONE self left-semi
+    join on the swapped key — both sides shuffle-partition on the same
+    2-column hash; no window, no collect.  Returns one row
+    ``(n_edges, n_reciprocal, reciprocity)`` (reciprocity rounded 6 dp
+    for engine portability).
+    """
+    e = (
+        graph.edges.select(SUBJECT, OBJECT)
+        .filter(F.col(SUBJECT) != F.col(OBJECT))
+        .distinct()
+    )
+    rev = e.select(
+        F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT)
+    )
+    recip = e.join(rev, [SUBJECT, OBJECT], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal") / F.greatest(F.col("n_edges"), F.lit(1)),
+                6,
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def harmonic_centrality(
+    graph: GraphFrame,
+    k: int = 8,
+    log2m: int = 6,
+    portable: bool = False,
+    reverse: bool = True,
+) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall (Boldi & Vigna 2014,
+    "Axioms for centrality" / the HyperBall paper's headline application):
+
+        H(v) = Σ_{u≠v} 1 / d(u, v)
+             ≈ Σ_{t=1..k} (|B_t(v)| − |B_{t−1}(v)|) / t
+
+    where |B_t| are the per-round HLL ball estimates — contributions past
+    k hops are truncated (they decay as 1/t and HyperBall converges once
+    balls stop growing).  ``reverse=True`` (the centrality convention)
+    measures incoming distance d(u, v) by running the sketches over
+    reversed edges.
+
+    Execution: telescoping the sum gives fixed per-round coefficients
+    (c_0 = −1, c_t = 1/t − 1/(t+1), c_k = 1/k), so the accumulator is ONE
+    running column folded in round order — each round adds one
+    co-partitioned join on vertex_id against the just-materialized
+    register table, no per-round collect, O(V) state.  The fold order and
+    the scaled-integer register sums (see :func:`_hll_estimates`) make the
+    float result bit-deterministic and engine-portable — the SQL oracle
+    replays the identical arithmetic.
+
+    Returns ``(vertex_id, harmonic)`` (double, unrounded).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = (
+        GraphFrame(
+            graph.vertices,
+            graph.edges.select(
+                F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT)
+            ),
+            closed=graph.closed,
+        )
+        if reverse
+        else graph
+    )
+    coeffs = (
+        [-1.0]
+        + [1.0 / t - 1.0 / (t + 1) for t in range(1, k)]
+        + [1.0 / k]
+    )
+    acc = None
+    for t, sketch in enumerate(_hyperball_rounds(g, k, log2m, portable)):
+        est = _hll_estimates(sketch, log2m).select(
+            VERTEX_ID, F.col("ball_size_est").alias("__e__")
+        )
+        term = F.lit(coeffs[t]) * F.col("__e__")
+        if acc is None:
+            acc = est.select(VERTEX_ID, term.alias("harmonic"))
+        else:
+            acc = acc.join(est, VERTEX_ID).select(
+                VERTEX_ID, (F.col("harmonic") + term).alias("harmonic")
+            )
+        # materialize so the generator's freeing of the previous round's
+        # register blocks can never force a recompute of this fold step
+        acc = truncate_plan(acc)
+    return acc
+
+
+def clustering_coefficient(graph: GraphFrame) -> DataFrame:
+    """Local clustering coefficient on the undirected simple graph:
+    C(v) = triangles(v) / C(deg(v), 2) — how close v's neighborhood is to
+    a clique; the standard companion statistic to :func:`triangle_count`
+    (Watts-Strogatz).
+
+    Pure composition: the degree-ordered triangle pipeline (O(m^1.5)
+    wedges, skew-safe) + one undirected-degree aggregation + one
+    co-keyed join.  The coefficient divides two EXACT integers in double
+    precision (single IEEE op, engine-portable), rounded to 6 dp.
+
+    Returns ``(vertex_id, triangles, und_degree, coefficient)`` for all
+    vertices (degree < 2 → coefficient 0.0).
+    """
+    tri = triangle_count(graph)
+    und = (
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias(VERTEX_ID))
+        .unionAll(und.select(F.col("b")))
+        .groupBy(VERTEX_ID)
+        .agg(F.count(F.lit(1)).alias("und_degree"))
+    )
+    d = F.col("und_degree")
+    return (
+        tri.join(deg, VERTEX_ID, "left")
+        .withColumn("und_degree", F.coalesce(d, F.lit(0)).cast("long"))
+        .withColumn(
+            "coefficient",
+            F.when(
+                d >= 2,
+                F.round(
+                    (F.lit(2.0) * F.col("triangles")) / (d * (d - F.lit(1))),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(VERTEX_ID, "triangles", "und_degree", "coefficient")
+    )

@@ -28,9 +28,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     user's previous event exceeds ``gap_minutes``.
 
     Returns the events with ``session_seq`` (1-based per user, ordered by
-    ``(ts, event_id)``) — ``(user_id, session_seq)`` is the session key.
+    ``(ts, event_id)`` — the ``event_id`` tie-break applies only when the
+    column exists) — ``(user_id, session_seq)`` is the session key.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    order = ["ts"] + (["event_id"] if "event_id" in events.columns else [])
+    w = Window.partitionBy("user_id").orderBy(*order)
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
         F.unix_micros(F.col("ts").cast("timestamp"))
     ).over(w)
@@ -78,4 +80,24 @@ def extract_props_key(events: DataFrame, key: str = "k") -> DataFrame:
     return events.select(
         "event_id",
         F.get_json_object(F.col("props"), f"$.{key}").cast("long").alias(key),
+    )
+
+
+def session_bounds(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session bounds rollup — the batch counterpart (and parity oracle)
+    of the streaming ``sessionize_stream`` stateful operator.
+
+    Returns ``(user_id, session_start, session_end, n_events,
+    total_value)`` — one row per gap-delimited session.
+    """
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .drop("session_seq")
     )

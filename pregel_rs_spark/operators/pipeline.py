@@ -80,3 +80,126 @@ def corpus_select(
     return docs.join(
         kept.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
     )
+
+
+def corpus_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix operator: keep
+    each document with its stratum's rate (e.g. ``{"en": 0.5, "de": 1.0}``),
+    decided by a hash of the document key, NOT an RNG.
+
+    Properties a 100 TB pipeline needs and ``DataFrame.sample`` lacks:
+
+    * **Reproducible & engine-portable** — the decision is a LEXICOGRAPHIC
+      compare of the first 8 hex chars of ``md5(key)`` against the rate's
+      8-hex-digit threshold ``floor(rate·2^32)`` (fixed-width lowercase hex
+      order == numeric order): pure string ops, bit-identical in Spark,
+      DuckDB, and Python, so reruns, backfills, and audits select the
+      identical rows (no seed/partitioning dependence, no float hash math).
+    * **Map-only** — one codegen'd filter, no shuffle, no state; the rate
+      table enters as a folded CASE expression (strata counts are small).
+    * **Monotone in rate** — raising a stratum's rate only ADDS documents
+      (the kept set at 0.3 is a subset of the kept set at 0.5), so mix
+      re-weighting between training runs never churns previously selected
+      data — the property that keeps dataset diffs reviewable.
+
+    Returns the sampled rows of ``docs`` unchanged.
+    """
+    frac_hex = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+
+    def keep_for(r: float):
+        if r <= 0.0:
+            return F.lit(False)
+        if r >= 1.0:
+            return F.lit(True)
+        return frac_hex < F.lit(sample_threshold_hex(r))
+
+    keep = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        keep = (
+            F.when(cond, keep_for(r)) if keep is None
+            else keep.when(cond, keep_for(r))
+        )
+    keep = (
+        keep.otherwise(keep_for(default_rate))
+        if keep is not None else keep_for(default_rate)
+    )
+    return docs.filter(keep)
+
+
+def ngram_set(docs: DataFrame, n: int = 5, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Distinct lowercase word ``n``-grams per document — pure Catalyst
+    array ops (split → filter → slice window), no UDF, no shuffle until the
+    caller aggregates.  Tokenization matches :func:`...text.top_terms`
+    (``[^a-z0-9]+`` split) so every text operator shares one token law.
+
+    Returns ``(id_col, gram)``, one row per DISTINCT gram per doc.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    # the >= n guard matters: Spark's sequence(1, stop) counts DOWN when
+    # stop < 1, so a short doc would otherwise produce slice(start=0) errors
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_shared: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: training documents sharing ≥
+    ``min_shared`` distinct word ``n``-grams with any benchmark/eval
+    document (the standard pre-training decontamination screen — n-gram
+    overlap against held-out eval sets, as popularized by the GPT-3/PaLM
+    data papers' 8-13-gram checks; public methodology).
+
+    Scale shape (100 TB corpus, small benchmark): the benchmark side is
+    thousands of documents, so its exploded gram set broadcast-joins
+    against the corpus grams — a map-side hash join over one linear pass
+    of the training text; only MATCHING (train, bench) gram hits reach the
+    one hash aggregation, whose input is bounded by true overlap, not
+    corpus size.  No pairwise doc×doc work anywhere.
+
+    Returns ``(doc_id, bench_id, shared)`` — one row per contaminated
+    (train, bench) pair, ``shared`` = count of distinct shared n-grams.
+    Training docs that ARE the benchmark doc (same id) are excluded.
+    """
+    corpus_grams = ngram_set(docs, n, text_col)
+    bench_grams = ngram_set(benchmark, n, text_col).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    hits = corpus_grams.join(
+        F.broadcast(bench_grams), "gram"
+    ).filter(F.col("doc_id") != F.col("bench_id"))
+    return (
+        hits.groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """8-hex-digit threshold for :func:`corpus_sample`: keep iff the first
+    8 hex chars of md5(key) are lexicographically < this (fixed-width
+    lowercase hex compares like the integer floor(rate·2^32))."""
+    return format(min(max(int(rate * 4294967296.0), 0), 0xFFFFFFFF), "08x")

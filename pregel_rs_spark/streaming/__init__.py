@@ -4,10 +4,12 @@ from pregel_rs_spark.streaming.ingest import (
     stream_pages,
     stream_pages_to_edges,
 )
+from pregel_rs_spark.streaming.sessions import sessionize_stream
 
 __all__ = [
     "stream_pages",
     "stream_pages_to_edges",
     "dedup_pages_stream",
     "run_edges_stream",
+    "sessionize_stream",
 ]

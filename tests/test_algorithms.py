@@ -614,3 +614,105 @@ def test_effective_diameter_cycle(spark):
     assert 24 <= res["rounds"] <= 30, res["rounds"]
     assert 20.0 <= res["effective_diameter"] <= 23.0, res
     assert res["nf"][0] < res["nf"][-1]
+
+
+def test_degree_histogram_buckets(spark):
+    """Integer-exact log2 buckets: degree d lands in floor(log2 d)+1;
+    zero-out-degree sinks land in bucket 0."""
+    from pregel_rs_spark.algorithms import degree_histogram
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 5)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(edges)
+    rows = {r.bucket: r for r in degree_histogram(g, "out").collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2].n_vertices == 1          # vertex 1, degree 3
+    assert (rows[2].min_degree, rows[2].max_degree) == (3, 3)
+    assert rows[1].n_vertices == 1          # vertex 2, degree 1
+    assert rows[0].n_vertices == 3          # sinks 3, 4, 5
+    assert rows[0].max_degree == 0
+    # power-of-two boundary: degree 4 must land in bucket 3, not 2
+    e2 = spark.createDataFrame(
+        [(1, o) for o in (2, 3, 4, 5)], "subject long, object long"
+    )
+    r2 = {r.bucket: r for r in
+          degree_histogram(GraphFrame.from_edges(e2), "out").collect()}
+    assert r2[3].min_degree == 4
+    # in-direction
+    rin = {r.bucket: r for r in degree_histogram(g, "in").collect()}
+    assert rin[1].n_vertices == 4 and rin[0].n_vertices == 1
+
+
+def test_reciprocity(spark):
+    from pregel_rs_spark.algorithms import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 3), (4, 4)],
+        "subject long, object long",
+    )
+    r = reciprocity(GraphFrame.from_edges(edges)).collect()[0]
+    # distinct non-loop edges: (1,2),(2,1),(1,3) — 2 reciprocal
+    assert (r.n_edges, r.n_reciprocal) == (3, 2)
+    assert abs(r.reciprocity - round(2 / 3, 6)) < 1e-12
+
+
+def test_harmonic_centrality_cycle_and_star(spark):
+    """Exact harmonic values are known on a directed cycle (every vertex:
+    sum_{t=1..k} 1/t) and a star (direction asymmetry); the HLL estimates
+    must land within the small-ball linear-counting envelope and be
+    invariant to input partitioning."""
+    from pregel_rs_spark.algorithms import harmonic_centrality
+
+    n = 40
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(cyc)
+    h = {r.vertex_id: r.harmonic
+         for r in harmonic_centrality(g, k=4, log2m=5, portable=True,
+                                      reverse=False).collect()}
+    exact = 1 + 1 / 2 + 1 / 3 + 1 / 4  # one new vertex per hop
+    for v, val in h.items():
+        assert abs(val - exact) < 0.8, (v, val)
+    # partitioning invariance (bit-identical floats)
+    h2 = {r.vertex_id: r.harmonic
+          for r in harmonic_centrality(
+              GraphFrame.from_edges(cyc.repartition(7)), k=4, log2m=5,
+              portable=True, reverse=False).collect()}
+    assert h == h2
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "subject long, object long"
+    )
+    gs = GraphFrame.from_edges(star)
+    out_h = {r.vertex_id: r.harmonic
+             for r in harmonic_centrality(gs, k=2, log2m=5, portable=True,
+                                          reverse=False).collect()}
+    in_h = {r.vertex_id: r.harmonic
+            for r in harmonic_centrality(gs, k=2, log2m=5, portable=True,
+                                         reverse=True).collect()}
+    # out-direction: the hub reaches 20 leaves at distance 1, leaves reach 0
+    assert out_h[0] > 10 and all(abs(out_h[i]) < 0.5 for i in range(1, 21))
+    # in-direction (the centrality convention): leaves each reached by the
+    # hub at distance 1 (~1.0), the hub by nobody
+    assert abs(in_h[0]) < 0.5
+    for i in range(1, 21):
+        assert abs(in_h[i] - 1.0) < 0.5, (i, in_h[i])
+
+
+def test_clustering_coefficient(spark):
+    from pregel_rs_spark.algorithms import clustering_coefficient
+
+    # K4 plus a pendant vertex hanging off vertex 1
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(k4, "subject long, object long")
+    )
+    rows = {r.vertex_id: r for r in clustering_coefficient(g).collect()}
+    assert rows[1].triangles == 3 and rows[1].und_degree == 4
+    assert rows[1].coefficient == 0.5          # 3 / C(4,2)
+    for v in (2, 3, 4):
+        assert rows[v].triangles == 3 and rows[v].und_degree == 3
+        assert rows[v].coefficient == 1.0      # closed neighborhood
+    assert rows[5].und_degree == 1 and rows[5].coefficient == 0.0

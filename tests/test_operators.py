@@ -120,6 +120,61 @@ def test_lsh_topk_recall(spark):
     assert len(ann_set) <= len(bf_set)
 
 
+def test_ivf_topk_recall_and_pruning(spark):
+    """IVF-flat ANN: decent recall@5 vs brute force on real embeddings,
+    candidate volume actually pruned (nprobe/n_cells of the corpus), and
+    with nprobe = n_cells (probe everything) the result is EXACTLY the
+    brute-force top-k — the quantizer only prunes, never re-scores."""
+    from pregel_rs_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(emb, queries, k=5).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+
+    ann = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.4, recall
+    assert len(ann_set) <= len(bf_set)
+
+    full = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8).collect()
+    full_set = {(r.query_id, r.neighbor_id, r.rank) for r in full}
+    assert full_set == {(r.query_id, r.neighbor_id, r.rank) for r in bf}
+
+
+def test_ivf_max_cell_cap(spark):
+    """max_cell bounds every cell's population (the hot-cell guard)."""
+    from pregel_rs_spark.operators.similarity import (
+        ivf_centroids, _nearest_cells, ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = ivf_topk(emb, queries, k=3, n_cells=4, nprobe=2, max_cell=20)
+    assert res.count() > 0
+    # reconstruct capped assignment: no (query, neighbor) may come from a
+    # cell position beyond the cap — equivalently the capped index holds
+    # at most 20 vectors per cell
+    cents = ivf_centroids(emb, 4)
+    a = _nearest_cells(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce")),
+        cents, "neighbor_id", "ce", 1,
+    )
+    from pyspark.sql.window import Window
+    capped = (
+        a.withColumn("__cn__", F.row_number().over(
+            Window.partitionBy("cell_id").orderBy(F.asc("neighbor_id"))))
+        .filter(F.col("__cn__") <= 20)
+    )
+    per_cell = {r.cell_id: r.n for r in
+                capped.groupBy("cell_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 20 for n in per_cell.values())
+    allowed = {r.neighbor_id for r in capped.collect()}
+    assert {r.neighbor_id for r in res.collect()} <= allowed
+
+
 def test_token_counts(spark):
     d = spark.createDataFrame(
         [(1, "Hello, world! 42 times", "en", "s", 10), (2, "", "en", "s", 0)],
@@ -284,6 +339,41 @@ def test_corpus_filter_verdicts(spark):
     assert kept == [1, 5]
 
 
+def test_contamination_ngram_overlap(spark):
+    """Train docs sharing >= min_shared distinct n-grams with a benchmark
+    doc are flagged; the count is of DISTINCT shared grams; self-pairs and
+    under-threshold overlaps are excluded."""
+    from pregel_rs_spark.operators.pipeline import contamination, ngram_set
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # doc 1 contains the benchmark's full text -> 4 shared 5-grams
+        (1, "prefix words " + bench_text + " suffix words", "en", "s", 10),
+        # doc 2 shares exactly one 5-gram window
+        (2, "alpha beta gamma delta epsilon UNRELATED tail words here",
+         "en", "s", 10),
+        # doc 3 shares nothing
+        (3, "completely different text with no overlap at all here",
+         "en", "s", 10),
+        # doc 1's shared grams repeated twice must still count once each
+        (4, bench_text + " filler " + bench_text, "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    bench = spark.createDataFrame(
+        [(100, bench_text, "en", "s", 10)], DOCS_SCHEMA
+    )
+    got = {(r.doc_id, r.bench_id): r.shared
+           for r in contamination(docs, bench, n=5, min_shared=2).collect()}
+    assert got == {(1, 100): 4, (4, 100): 4}
+    # threshold 1 admits doc 2 as well
+    got1 = {r.doc_id
+            for r in contamination(docs, bench, n=5, min_shared=1).collect()}
+    assert got1 == {1, 2, 4}
+    # short docs produce no grams (sequence guard, no negative slice)
+    tiny = spark.createDataFrame([(9, "one two", "en", "s", 7)], DOCS_SCHEMA)
+    assert ngram_set(tiny, n=5).count() == 0
+
+
 def test_top_terms_ranking(spark):
     from pregel_rs_spark.operators.text import top_terms
 
@@ -322,3 +412,31 @@ def test_hll_estimate_deterministic_and_close(spark):
              for r in neighborhood_sizes(g, k=4).collect()}
     for v, e in exact.items():
         assert abs(est[v] - e) / e < 0.6  # m=32 -> ~18% sigma; 3-sigma-ish
+
+
+def test_corpus_sample_deterministic_stratified(spark):
+    from pregel_rs_spark.operators.pipeline import corpus_sample
+
+    rows = [(i, f"text {i}", ["en", "de", "zh"][i % 3], "s", 10)
+            for i in range(600)]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    s1 = {r.doc_id for r in corpus_sample(docs, rates).collect()}
+    s2 = {r.doc_id for r in
+          corpus_sample(docs.repartition(7), rates).collect()}
+    assert s1 == s2  # partitioning-independent
+    by_lang = {"en": set(), "de": set(), "zh": set()}
+    for r in docs.select("doc_id", "lang").collect():
+        if r.doc_id in s1:
+            by_lang[r.lang].add(r.doc_id)
+    assert len(by_lang["de"]) == 200        # rate 1.0 keeps all
+    assert len(by_lang["zh"]) == 0          # rate 0.0 keeps none
+    assert 60 <= len(by_lang["en"]) <= 140  # ~100 of 200 at rate 0.5
+    # monotone: kept set only grows when the rate rises
+    s_lo = {r.doc_id for r in corpus_sample(docs, {"en": 0.3}).collect()}
+    s_hi = {r.doc_id for r in corpus_sample(docs, {"en": 0.6}).collect()}
+    assert s_lo <= s_hi
+    # default_rate applies to unlisted strata
+    s_def = {r.doc_id for r in
+             corpus_sample(docs, {"en": 0.0}, default_rate=1.0).collect()}
+    assert all(i % 3 != 0 for i in s_def) and len(s_def) == 400

@@ -92,3 +92,66 @@ def test_stream_dedup_recrawls(spark, tmp_path_factory):
     # every url exactly once: the 150 within-watermark re-crawls are dropped
     assert got.count() == 300
     assert got.select("url").distinct().count() == 300
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
+    """Custom stateful operator (applyInPandasWithState): the emitted
+    closed sessions equal the batch session_bounds rollup on the same
+    events once the watermark has passed every session's gap."""
+    import datetime as dt
+    import time
+
+    from pregel_rs_spark.operators.events import session_bounds
+    from pregel_rs_spark.streaming import sessionize_stream
+
+    root = tmp_path_factory.mktemp("sess")
+    src = os.path.join(str(root), "events")
+    SCHEMA = "user_id long, ts timestamp, value double"
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(uid, minutes, val):
+        return (uid, base + dt.timedelta(minutes=minutes), float(val))
+
+    b0 = [ev(1, 0, 1), ev(1, 10, 2), ev(2, 5, 1)]
+    # all ts >= batch0's max so nothing is late vs the 1-minute watermark;
+    # user1 minute 60 and user2 minute 40 both exceed the 30-minute gap
+    b1 = [ev(2, 40, 3), ev(1, 60, 5), ev(1, 65, 1)]
+    sent0 = [ev(999, 60 * 24, 0)]       # advances the watermark ~1 day
+    sent1 = [ev(999, 60 * 24 + 1, 0)]   # next trigger fires the timeouts
+    for i, rows in enumerate((b0, b1, sent0, sent1)):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+        time.sleep(0.05)  # distinct mtimes -> stable file order
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ck")
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.total_value)
+        for r in spark.read.parquet(out).filter("user_id != 999").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.total_value)
+        for r in session_bounds(
+            spark.createDataFrame(b0 + b1, SCHEMA), gap_minutes=30
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == 4  # two sessions per user
