@@ -52,6 +52,9 @@ def main() -> None:
                     help="optional convergence-leg JSON file")
     ap.add_argument("--resume-json", default=None,
                     help="optional resume-check JSON file")
+    ap.add_argument("--orders", default=None,
+                    help="comma-separated within-pair run order per repeat "
+                         "(e.g. 'N->4N,4N->N,...') for the report table")
     args = ap.parse_args()
 
     lo_runs, hi_runs = load(args.lo), load(args.hi)
@@ -64,8 +67,11 @@ def main() -> None:
     # index-paired back-to-back runs; the per-pair ratio cancels the host
     # window's common speed factor
     key = "sec_per_superstep_median_step"
+    orders = args.orders.split(",") if args.orders else []
     pairs = [
-        {"repeat": i, "N_sec_per_superstep": l[key],
+        {"repeat": i,
+         **({"order": orders[i]} if i < len(orders) else {}),
+         "N_sec_per_superstep": l[key],
          "4N_sec_per_superstep": h[key],
          "efficiency": round(l[key] / (4.0 * h[key]), 3)}
         for i, (l, h) in enumerate(zip(lo_runs, hi_runs))
