@@ -70,7 +70,10 @@ def _pin_all_threads(pid: int, cores: list[int]) -> bool:
     return r.returncode == 0
 
 
-def _find_pids(needle: str) -> list[int]:
+def _find_pids(needle: str, children_of: int | None = None) -> list[int]:
+    """PIDs whose cmdline contains ``needle``; ``children_of`` restricts to
+    direct children of that pid — REQUIRED when two legs run simultaneously
+    (each must pin only its own JVM, not the concurrent leg's)."""
     pids = []
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
@@ -78,6 +81,11 @@ def _find_pids(needle: str) -> list[int]:
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
                 cmd = f.read().decode("utf-8", "replace")
+            if children_of is not None:
+                with open(f"/proc/{pid}/stat") as f:
+                    ppid = int(f.read().split(") ")[-1].split()[1])
+                if ppid != children_of:
+                    continue
         except OSError:
             continue
         if needle in cmd:
@@ -134,6 +142,13 @@ def main() -> None:
                          "cluster size; 1/core measured fastest here — the "
                          "keys are unskewed xxhash64 ids, so extra task "
                          "waves only add scheduling overhead)")
+    ap.add_argument("--pin-offset", type=int, default=0,
+                    help="first core of this job's pinned block (local "
+                         "mode): cores [offset, offset+N).  Lets TWO legs "
+                         "run SIMULTANEOUSLY on disjoint blocks — both "
+                         "levels then sample the identical host-noise "
+                         "window, which a back-to-back pair cannot "
+                         "guarantee on a drifting shared host.")
     ap.add_argument("--fixed-partitions", type=int, default=None,
                     help="partition count fixed by DATA size, identical at "
                          "every cluster size (production rule: partitions "
@@ -227,11 +242,14 @@ def main() -> None:
     g.vertices.count()
     if args.master_mode == "local":
         # One "cluster size" = a machine with exactly N cores: pin the whole
-        # job (python driver + the single JVM, every thread) to cores 0..N-1.
-        block = list(range(total_cores))
-        ok = all(
-            _pin_all_threads(pid, block)
-            for pid in _find_pids("org.apache.spark.deploy.SparkSubmit")
+        # job (python driver + the single JVM, every thread) to cores
+        # [offset, offset+N).  Only THIS process's child JVM is pinned so
+        # simultaneous legs on disjoint blocks cannot re-pin each other.
+        block = list(range(args.pin_offset, args.pin_offset + total_cores))
+        own_jvms = _find_pids("org.apache.spark.deploy.SparkSubmit",
+                              children_of=os.getpid())
+        ok = bool(own_jvms) and all(
+            _pin_all_threads(pid, block) for pid in own_jvms
         ) and _pin_all_threads(os.getpid(), block)
         pinned = args.units if ok else 0
     else:
