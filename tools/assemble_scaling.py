@@ -52,6 +52,14 @@ def main() -> None:
                     help="optional convergence-leg JSON file")
     ap.add_argument("--resume-json", default=None,
                     help="optional resume-check JSON file")
+    ap.add_argument("--fixed-partitions", type=int, default=None,
+                    help="partition count the banked legs were run with "
+                         "(scaling_run --fixed-partitions); recorded in the "
+                         "artifact so BASELINE.md §4 states it correctly")
+    ap.add_argument("--context-md", default=None,
+                    help="verbatim markdown paragraph carried in the JSON "
+                         "and rendered at the end of BASELINE.md §4 "
+                         "(honest run context, stays with the artifact)")
     ap.add_argument("--orders", default=None,
                     help="comma-separated within-pair run order per repeat "
                          "(e.g. 'N->4N,4N->N,...') for the report table")
@@ -99,6 +107,7 @@ def main() -> None:
         "input": {"pages": args.pages, "link_factor": args.link_factor,
                   "seed": 42, "edges_parquet": args.edges},
         "fixed_supersteps": lo_runs[0]["supersteps"],
+        "fixed_partitions": args.fixed_partitions,
         "repeats": len(lo_runs),
         "pairs": pairs,
         "level_N": lo,
@@ -117,6 +126,7 @@ def main() -> None:
         "pass": eff >= 0.8,
         "convergence_run_4N": conv,
         "resume_check_4N": resume,
+        **({"context_md": args.context_md} if args.context_md else {}),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
