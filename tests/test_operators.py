@@ -339,6 +339,22 @@ def test_corpus_filter_verdicts(spark):
     assert kept == [1, 5]
 
 
+def test_corpus_sample_monotone_in_rate(spark):
+    """Raising a stratum's rate only ADDS documents (threshold compare on
+    the same hash) — the property that keeps training-mix re-weights
+    reviewable as dataset diffs."""
+    from pregel_rs_spark.operators.pipeline import corpus_sample
+
+    rows = [(i, f"text {i}", "en", "s", 10) for i in range(500)]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    kept = {}
+    for rate in (0.1, 0.3, 0.5, 0.9):
+        kept[rate] = {r.doc_id
+                      for r in corpus_sample(docs, {"en": rate}).collect()}
+    assert kept[0.1] <= kept[0.3] <= kept[0.5] <= kept[0.9]
+    assert len(kept[0.1]) < len(kept[0.9])
+
+
 def test_contamination_ngram_overlap(spark):
     """Train docs sharing >= min_shared distinct n-grams with a benchmark
     doc are flagged; the count is of DISTINCT shared grams; self-pairs and
