@@ -66,6 +66,16 @@ def main() -> None:
     args = ap.parse_args()
 
     lo_runs, hi_runs = load(args.lo), load(args.hi)
+    # zip() would silently truncate a lopsided bank and the paired-gate
+    # median would cover a subset of pairs while the level medians use all
+    # runs — refuse instead of producing an internally inconsistent artifact
+    if len(lo_runs) != len(hi_runs):
+        raise SystemExit(
+            f"unpaired bank: {len(lo_runs)} lo legs vs {len(hi_runs)} hi "
+            "legs — every repeat needs both legs (lo_R.json AND hi_R.json)"
+        )
+    if args.orders and len(args.orders.split(",")) > len(lo_runs):
+        raise SystemExit("--orders lists more pairs than the bank holds")
     lo, hi = pick(lo_runs), pick(hi_runs)
     n, n4 = lo["cores"], hi["cores"]
     thr_lo = 3600.0 / lo["steady_median"]

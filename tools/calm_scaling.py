@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Calm-window back-to-back scaling campaign (round-3 plan from
+BENCH_SCALING.json context / docs/SCALING_NOTES.md §10).
+
+The round-2 paired protocol measured median efficiency 0.718 with an
+event-log attribution showing the shortfall is co-tenant run-time inflation
+(identical matched stages: 104.4 vs 104.3 task-s in a calm window → 0.93;
+94.1 vs 147.5 in a noisy one → 0.65).  This campaign executes the written
+round-3 move: the SAME paired protocol, but each pair is (a) gated on a
+60 s ambient calibration probe before it starts and (b) accepted/rejected
+by a PRE-REGISTERED criterion computed from a continuous ambient
+memory-bandwidth trace (tools/ambient_probe.py, core 20 — outside every
+pinned block) sliced over each leg's measured window:
+
+    leg calm   ⇔  probe_median(leg) ≥ LEVEL_FRAC × best probe_median
+                  observed for THAT level across the whole campaign
+    calm pair  ⇔  both legs calm
+    (pre-pair 60 s gate: don't start a pair while the idle-window probe
+     reads < GATE_FRAC × ref, where ref = the 60 s idle calibration at
+     campaign start)
+
+The per-LEVEL reference is needed because the job itself depresses the
+probe by a level-dependent amount (the 8-core leg consumes ~4x the
+bandwidth of the 2-core leg — measured on an idle box: probe 9.87 idle,
+9.41 under the N leg, 8.06 under the 4N leg), so comparing the two legs'
+probe readings against each other or against the idle ref would reject
+pairs for the job's own footprint.  Comparing each leg against the calmest
+window seen for the SAME level cancels the footprint and flags only
+ambient deviation.  The criterion depends only on the independent noise
+sensor — never on the measured efficiency — so rejected pairs are excluded
+for a measured, pre-registered reason, not for their outcome.  ALL
+attempted pairs are reported with their probe stats and calm verdicts; the
+gate is the median efficiency over the accepted calm pairs (recomputed
+over all attempts at campaign end, since the per-level best evolves).
+
+Usage:
+    python tools/calm_scaling.py --target-pairs 5 \
+        --bank-dir /tmp/spark_graft_scaling/bank_r3 \
+        --out /tmp/spark_graft_scaling/calm_r3.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_scaling import build_edges  # noqa: E402
+
+SCRATCH = "/tmp/spark_graft_scaling"
+KEY = "sec_per_superstep_median_step"
+GATE_FRAC = 0.85    # pre-pair idle-window probe vs calibration ref
+LEVEL_FRAC = 0.92   # leg probe median vs best observed for that level
+PROBE_CORE = 20
+
+
+def verdicts(attempts: list[dict]) -> None:
+    """(Re)compute each attempt's calm flag in place: a leg is calm iff its
+    probe median is ≥ LEVEL_FRAC × the best probe median observed for that
+    level across ALL attempts (per-level self-calibration — cancels the
+    job's own level-dependent probe footprint)."""
+    best = {}
+    for side in ("probe_N", "probe_4N"):
+        meds = [a[side]["median_gbps"] for a in attempts
+                if a[side]["median_gbps"] is not None]
+        best[side] = max(meds) if meds else None
+    for a in attempts:
+        ok = True
+        for side in ("probe_N", "probe_4N"):
+            med = a[side]["median_gbps"]
+            ok = ok and (med is not None and best[side] is not None
+                         and med >= LEVEL_FRAC * best[side])
+        a["calm"] = ok
+    return best
+
+
+def run_leg(units: int, edges: str, steps: int, fixed_partitions: int,
+            tol: float = 0.0, extra: list[str] | None = None,
+            retries: int = 2) -> dict:
+    cmd = [
+        sys.executable, os.path.join(os.path.dirname(__file__),
+                                     "scaling_run.py"),
+        str(units), edges, str(steps), str(tol),
+        "--master-mode", "local",
+        "--fixed-partitions", str(fixed_partitions),
+    ] + (extra or [])
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEM", "24g")
+    last = None
+    for attempt in range(retries + 1):
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=3600, env=env)
+        if r.returncode == 0:
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            return json.loads(line)
+        last = r
+        print(f"leg units={units} failed (attempt {attempt}): "
+              f"{r.stderr.strip().splitlines()[-8:]}", file=sys.stderr)
+        time.sleep(20)
+    raise RuntimeError(
+        f"leg units={units} failed after {retries + 1} attempts; last "
+        f"stderr tail:\n" + "\n".join(last.stderr.splitlines()[-40:])
+    )
+
+
+def probe_window(trace_path: str, t0: float, t1: float) -> dict:
+    vals = []
+    with open(trace_path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if t0 <= rec["ts"] <= t1:
+                vals.append(rec["gbps"])
+    if not vals:
+        return {"n": 0, "median_gbps": None, "min_gbps": None}
+    return {"n": len(vals),
+            "median_gbps": round(statistics.median(vals), 3),
+            "min_gbps": round(min(vals), 3)}
+
+
+def recent_probe_median(trace_path: str, window_s: float = 60.0) -> float | None:
+    now = time.time()
+    st = probe_window(trace_path, now - window_s, now)
+    return st["median_gbps"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=6_000_000)
+    ap.add_argument("--link-factor", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--n-units", type=int, default=2)
+    ap.add_argument("--fixed-partitions", type=int, default=32)
+    ap.add_argument("--target-pairs", type=int, default=5,
+                    help="stop once this many CALM pairs are accepted")
+    ap.add_argument("--max-attempts", type=int, default=10)
+    ap.add_argument("--budget-s", type=float, default=9000.0,
+                    help="wall budget; no new pair starts after this")
+    ap.add_argument("--max-gate-wait-s", type=float, default=900.0,
+                    help="max wait for a calm 60 s gate before running the "
+                         "pair anyway (acceptance still filters it)")
+    ap.add_argument("--warmup-steps", type=int, default=2,
+                    help="one discarded short warmup pair pays page-cache "
+                         "+ JIT first-touch")
+    ap.add_argument("--bank-dir", default=os.path.join(SCRATCH, "bank_r3"))
+    ap.add_argument("--out", default=os.path.join(SCRATCH, "calm_r3.json"))
+    ap.add_argument("--trace", default=None,
+                    help="probe trace path (default <bank-dir>/probe.jsonl)")
+    args = ap.parse_args()
+
+    os.makedirs(args.bank_dir, exist_ok=True)
+    trace = args.trace or os.path.join(args.bank_dir, "probe.jsonl")
+    edges = build_edges(args.pages, args.link_factor)
+    n, n4 = args.n_units, args.n_units * 4
+
+    probe = subprocess.Popen(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "ambient_probe.py"),
+         trace, "--core", str(PROBE_CORE)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    t_campaign = time.time()
+    try:
+        # --- calibration: 60 s idle-box reference ------------------------
+        time.sleep(66)
+        ref = recent_probe_median(trace, 64)
+        if ref is None:
+            raise RuntimeError("probe produced no samples")
+        print(f"calibration ref = {ref} GB/s (trace {trace})",
+              file=sys.stderr)
+
+        def bank(name: str, obj: dict) -> None:
+            with open(os.path.join(args.bank_dir, name), "w") as f:
+                json.dump(obj, f)
+
+        # --- warmup pair (discarded) --------------------------------------
+        if args.warmup_steps > 0:
+            for units, tag in ((n, "lo"), (n4, "hi")):
+                w = run_leg(units, edges, args.warmup_steps,
+                            args.fixed_partitions)
+                bank(f"warmup_{tag}.json", w)
+            print("warmup pair done (discarded)", file=sys.stderr)
+
+        attempts, calm_pairs = [], []
+        for att in range(args.max_attempts):
+            if len(calm_pairs) >= args.target_pairs:
+                break
+            if time.time() - t_campaign > args.budget_s:
+                print("budget exhausted", file=sys.stderr)
+                break
+            # --- 60 s pre-pair gate --------------------------------------
+            waited = 0.0
+            while True:
+                m = recent_probe_median(trace)
+                if m is not None and m >= GATE_FRAC * ref:
+                    break
+                if waited >= args.max_gate_wait_s:
+                    print(f"gate wait capped at {waited}s (probe {m}); "
+                          "running pair anyway — acceptance filters",
+                          file=sys.stderr)
+                    break
+                time.sleep(60)
+                waited += 60
+            gate_probe = recent_probe_median(trace)
+
+            order = ("lo", "hi") if att % 2 == 0 else ("hi", "lo")
+            runs: dict = {}
+            for side in order:
+                runs[side] = run_leg(n if side == "lo" else n4, edges,
+                                     args.steps, args.fixed_partitions)
+                bank(f"{side}_{att}.json", runs[side])
+            p_lo = probe_window(trace, runs["lo"]["t_wall_start"],
+                                runs["lo"]["t_wall_end"])
+            p_hi = probe_window(trace, runs["hi"]["t_wall_start"],
+                                runs["hi"]["t_wall_end"])
+            pair = {
+                "attempt": att,
+                "order": "->".join("N" if s == "lo" else "4N"
+                                   for s in order),
+                "gate_probe_gbps": gate_probe,
+                "N_sec_per_superstep": runs["lo"][KEY],
+                "4N_sec_per_superstep": runs["hi"][KEY],
+                "efficiency": round(runs["lo"][KEY]
+                                    / (4.0 * runs["hi"][KEY]), 3),
+                "probe_N": p_lo,
+                "probe_4N": p_hi,
+            }
+            attempts.append(pair)
+            level_best = verdicts(attempts)
+            calm_pairs = [a for a in attempts if a["calm"]]
+            bank("attempts.json", {"ref_gbps": ref, "attempts": attempts})
+            print(f"attempt {att} ({pair['order']}): "
+                  f"N={pair['N_sec_per_superstep']} "
+                  f"4N={pair['4N_sec_per_superstep']} "
+                  f"eff={pair['efficiency']} "
+                  f"probes=({p_lo['median_gbps']},{p_hi['median_gbps']}) "
+                  f"calm={pair['calm']} "
+                  f"[{len(calm_pairs)}/{args.target_pairs}]",
+                  file=sys.stderr)
+
+        level_best = verdicts(attempts) if attempts else {}
+        calm_pairs = [a for a in attempts if a["calm"]]
+        effs = [p["efficiency"] for p in calm_pairs]
+        result = {
+            "protocol": (
+                "BASELINE.md §3 paired back-to-back protocol executed in "
+                "CALM WINDOWS (round-3 plan): local[2] vs local[8], whole "
+                "job pinned, partitions fixed at "
+                f"{args.fixed_partitions}, order alternating. A continuous "
+                "ambient memory-bandwidth probe (STREAM-triad, 100 MB warm "
+                f"buffers, pinned to core {PROBE_CORE}, outside every job "
+                "block) samples the host every ~2 s; a pair starts only "
+                f"when the idle-window probe reads ≥ {GATE_FRAC}× the 60 s "
+                "idle calibration. PRE-REGISTERED acceptance (independent "
+                "of the measured efficiency, per-level self-calibrated to "
+                "cancel the job's own level-dependent probe footprint): a "
+                f"leg is calm iff its probe median is ≥ {LEVEL_FRAC}× the "
+                "best probe median observed for that level across the "
+                "campaign; a pair is calm iff both legs are. Gate = median "
+                "efficiency over the accepted calm pairs; every attempted "
+                "pair is reported with its probe stats."
+            ),
+            "mode": "local",
+            "input": {"pages": args.pages, "link_factor": args.link_factor,
+                      "seed": 42, "edges_parquet": edges},
+            "fixed_supersteps": args.steps,
+            "fixed_partitions": args.fixed_partitions,
+            "calibration_ref_gbps": ref,
+            "gate_frac": GATE_FRAC,
+            "level_frac": LEVEL_FRAC,
+            "level_best_probe_gbps": level_best,
+            "probe_trace": trace,
+            "attempts": attempts,
+            "calm_pairs": calm_pairs,
+            "n_calm": len(calm_pairs),
+            "scaling_efficiency": (round(statistics.median(effs), 3)
+                                   if effs else None),
+            "target": 0.8,
+            "pass": bool(effs) and statistics.median(effs) >= 0.8
+            and len(calm_pairs) >= args.target_pairs,
+        }
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps({k: result[k] for k in (
+            "scaling_efficiency", "n_calm", "pass")}))
+    finally:
+        probe.terminate()
+
+
+if __name__ == "__main__":
+    main()

@@ -270,6 +270,7 @@ def main() -> None:
     from pregel_rs_spark.algorithms import pagerank
 
     t0 = time.monotonic()
+    t_epoch_start = time.time()  # maps this leg onto the ambient-probe trace
     # tol<=0 → fixed-superstep throughput mode: no convergence tolerance,
     # so the engine skips the per-superstep stats action when it can.
     res = pagerank(
@@ -326,6 +327,10 @@ def main() -> None:
                 "tol_mode": args.tol > 0,
                 "converged_at": converged,
                 "resumed_from": resumed_from,
+                # epoch window of the measured job — lets the campaign
+                # wrapper slice the ambient-probe trace per leg
+                "t_wall_start": round(t_epoch_start, 2),
+                "t_wall_end": round(t_epoch_start + wall, 2),
             }
         )
     )
