@@ -401,8 +401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ngram_jaccard_q(spark, sf):
+        # max_df exercises the frequent-shingle guard (df-based prefix
+        # filtering + exact re-rank); the oracle stays the UNGUARDED exact
+        # SQL, so the row also verifies the guard preserves exactness here
         return ngram_jaccard_pairs(
-            load_table(spark, sf, "documents"), k=5, threshold=0.4
+            load_table(spark, sf, "documents"), k=5, threshold=0.4, max_df=50
         )
 
     def simhash_q(spark, sf):
@@ -700,7 +703,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("height").cast("long").alias("height"),
         )
 
+    # Registration ORDER matters: the driver's correctness gate walks this
+    # dict in insertion order under a round budget (round 2 recorded rows
+    # for exactly the first 50 of 57).  The seven queries that therefore
+    # missed an r2 row — including the two ANN scale paths, never yet
+    # driver-verified — go FIRST this round; everything else keeps its
+    # relative order, so across rounds every query holds a green row.
     q.update(
+        ann_topk_lsh=ann_topk_lsh_q,
+        ann_topk_ivf=ann_topk_ivf_q,
+        token_counts=token_counts_q,
+        quality_scores=quality_q,
+        language_id=langid_q,
+        fingerprints=fingerprint_q,
+        multimodal_decode=multimodal_q,
         out_degrees=out_degrees,
         in_degrees=in_degrees,
         from_edges_vertices=from_edges_vertices,
@@ -751,13 +767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clustering_coefficient=clustering_coefficient_q,
         ann_topk=ann_topk_q,
         ann_topk_arrow=ann_topk_arrow_q,
-        ann_topk_lsh=ann_topk_lsh_q,
-        ann_topk_ivf=ann_topk_ivf_q,
-        token_counts=token_counts_q,
-        quality_scores=quality_q,
-        language_id=langid_q,
-        fingerprints=fingerprint_q,
-        multimodal_decode=multimodal_q,
     )
     return q
 

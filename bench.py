@@ -95,11 +95,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    # median-of-N per query: this host drifts 2-3x on minute scales, so
+    # single-shot round-over-round comparisons chase host noise (round 2
+    # flagged two spurious "regressions" that way).  N=3 by default.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     def bench(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        import statistics
+
+        walls, out = [], None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            out = fn()
+            walls.append(round(time.monotonic() - t0, 3))
+        timings[name] = round(statistics.median(walls), 3)
+        all_runs[name] = walls
         return out
 
     # warm the JVM + read path once so q1 isn't charged session startup
@@ -111,13 +122,13 @@ def main() -> None:
         _consume(res)
         return res
 
-    t0 = time.monotonic()
     pr = bench("pagerank_1e6", _pagerank)
-    pr_wall = time.monotonic() - t0
     n_steps = len(pr.pregel_metrics) if hasattr(pr, "pregel_metrics") else None
     if n_steps:
         extra["pagerank_supersteps"] = n_steps
-        extra["pagerank_supersteps_per_hour"] = round(n_steps / (pr_wall / 3600.0), 1)
+        extra["pagerank_supersteps_per_hour"] = round(
+            n_steps / (timings["pagerank_1e6"] / 3600.0), 1
+        )
 
     bench(
         "connected_components",
@@ -231,6 +242,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cores": cores,
+        "repeats_per_query": repeats,
+        "runs": all_runs,
         **extra,
     }
     print(json.dumps(out))

@@ -901,6 +901,7 @@ def random_walks(
     graph: GraphFrame,
     length: int,
     seed: int = 42,
+    starts: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random walk sampling — one ``length``-step walk
     per vertex, the standard corpus generator for skip-gram graph
@@ -924,7 +925,19 @@ def random_walks(
     each step is two co-partitionable equi-joins on the current vertex,
     state is O(walks) rows, lineage truncated per step.  Walk steps and
     start-set size are the knobs: for a corpus over a 10^12-edge graph
-    you seed walks from a vertex sample, not every vertex.
+    you seed walks from a vertex SAMPLE via ``starts`` (a DataFrame with
+    a ``vertex_id`` column — e.g. ``graph.vertices.sample(0.001, seed)``
+    or a stratified pick), not every vertex; transitions still use the
+    FULL graph.  Default ``starts=None`` keeps one walk per vertex.
+    Because the per-step choice is a pure hash of (walk_id, vertex, step),
+    the walks from a sampled start set are EXACTLY the corresponding
+    subset of the all-vertices walk set.
+
+    Note the neighbour index's ``row_number() over (partition by
+    subject)`` puts one vertex's full adjacency into a single task's
+    sort: fine up to realistic hub sizes (a 10^7-degree hub is ~100 MB of
+    ids), and built once; beyond that, bucket hubs by ``pmod(hash(object),
+    B)`` with per-bucket offsets before indexing.
 
     Returns ``(walk_id, step, vertex_id)`` — step 0 is the start vertex.
     """
@@ -947,7 +960,8 @@ def random_walks(
         )
     )
 
-    state = graph.vertices.select(
+    start_set = graph.vertices if starts is None else starts
+    state = start_set.select(
         F.col(VERTEX_ID).alias("walk_id"),
         F.col(VERTEX_ID).alias("vertex_id"),
         F.lit(0).alias("step"),
@@ -1154,25 +1168,34 @@ def _hll_estimates(regs: DataFrame, log2m: int) -> DataFrame:
     """Per-vertex HLL cardinality estimates from a sparse register table.
 
     The register sum Σ 2^-val is accumulated as a SCALED INTEGER
-    (Σ 2^(55-val), val ≤ 55 so every term is a nonneg int64 and ≤ 2^6
-    terms keep the sum < 2^61): integer addition is order-independent,
+    (Σ 2^(S-val) with S = w_bits+1 = the max possible val, so every term
+    is a nonneg int64 power of two and the sum stays ≤ m·2^(S-1) = 2^59
+    for every log2m in [4,16]): integer addition is order-independent,
     so the estimate is bit-deterministic under any partitioning AND
     engine-portable (a float sum's value depends on reduction order) —
-    this is what lets the estimator have an exact SQL oracle.
+    this is what lets the estimator have an exact SQL oracle.  Scaling by
+    the log2m-dependent S (55 at the oracle's log2m=5) rather than a
+    constant keeps the shift nonnegative at log2m=4 (val can reach 56)
+    and the sum overflow-free at log2m ≥ 9.
     """
+    if not 4 <= log2m <= 16:
+        raise ValueError(f"log2m must be in [4,16], got {log2m}")
     m = 1 << log2m
+    scale = _HLL_BITS - log2m + 1  # = max val; term exponents land in [0, S)
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
         log2m, 0.7213 / (1 + 1.079 / m)
     )
     per_v = regs.groupBy(VERTEX_ID).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - val AS INT))")
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({scale} - val AS INT))"
+            )
         ).alias("scaled_sum"),
     )
     # absent registers contribute 2^-0 = 1 each; zeros = absent registers
     # (present rows always have val >= 1)
-    s = F.col("scaled_sum") / F.lit(float(1 << 55)) + (
+    s = F.col("scaled_sum") / F.lit(float(1 << scale)) + (
         F.lit(float(m)) - F.col("n_present")
     )
     raw = F.lit(alpha * m * m) / s
@@ -1251,7 +1274,7 @@ def degree_histogram(graph: GraphFrame, direction: str = "out") -> DataFrame:
     covers degrees [2^(bucket-1), 2^bucket - 1].
 
     Reference parity: builds on the same degree derivation as
-    pregel-rs GraphFrame::out_degrees (lib.rs:139-155); the histogram
+    pregel-rs GraphFrame::out_degrees (graph_frame.rs:185-193); the histogram
     itself is this repo's web-scale extension.
     """
     if direction == "out":

@@ -138,32 +138,73 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     block_cols: tuple[str, ...] = ("lang",),
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold, blocked by
     ``block_cols`` (same-language comparison only by default).
 
     |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.  Returns
     ``(doc_a, doc_b, jaccard)``, doc_a < doc_b.
+
+    ``max_df`` is the web-scale guard (document-frequency filtering, the
+    standard prefix-filter idea): without it, a boilerplate shingle present
+    in d same-block documents contributes O(d²) equi-join rows — unbounded
+    pairwise work at corpus scale.  With ``max_df`` set, CANDIDATE pairs
+    are generated only from shingles whose per-block document frequency is
+    ≤ max_df (per-shingle join fan-out bounded by max_df²), and the exact
+    intersection is then re-computed over the candidates' FULL shingle
+    sets — one row per (candidate pair, shared shingle), linear in
+    candidate count × doc length, never doc×doc.  Jaccard values are
+    exact; the only semantic difference is recall: a pair whose EVERY
+    shared shingle sits in > max_df documents (pure-boilerplate overlap)
+    is not emitted.
     """
     sh = char_shingles(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     blocks = docs.select("doc_id", *block_cols)
     sh = sh.join(blocks, "doc_id")
-    left = sh.select(
+    cand_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle", *block_cols)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle", *block_cols)
+        )
+        cand_sh = sh.join(rare, ["shingle", *block_cols])
+    left = cand_sh.select(
         F.col("doc_id").alias("doc_a"), "shingle", *[F.col(c) for c in block_cols]
     )
-    right = sh.select(
+    right = cand_sh.select(
         F.col("doc_id").alias("doc_b"), "shingle", *[F.col(c).alias(f"__r_{c}") for c in block_cols]
     )
     cond = [left["shingle"] == right["shingle"]] + [
         left[c] == right[f"__r_{c}"] for c in block_cols
     ]
-    inter = (
-        left.join(right, cond)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_df is None:
+        inter = (
+            left.join(right, cond)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        cand = (
+            left.join(right, cond)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact |A∩B| over full shingle sets, routed through the bounded
+        # candidate list: (pair × shingles(doc_a)) ⋈ shingles(doc_b)
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

@@ -97,7 +97,12 @@ def session_bounds(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # nanvl matches the stream's NaN→0.0 normalization (a NaN value
+            # would otherwise poison F.sum and break the documented
+            # stream/batch parity contract on edge inputs)
+            F.round(F.sum(F.nanvl(F.col("value"), F.lit(0.0))), 6).alias(
+                "total_value"
+            ),
         )
         .drop("session_seq")
     )

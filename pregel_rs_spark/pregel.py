@@ -101,6 +101,12 @@ def _agg_function_name(col: Column) -> Optional[str]:
 # not decomposable this way and is rejected loudly.
 _SALT_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
+# SparkSessions with a Pregel loop currently active (the loop scopes
+# session-level SQL configs; a second concurrent loop fails fast — see
+# Pregel.run).  id() keys are safe: the session object is referenced by the
+# running loop for the entry's whole lifetime.
+_ACTIVE_LOOP_SESSIONS: set[int] = set()
+
 
 def _referenced_names(df_schema_probe: DataFrame, exprs: list[Column]) -> set[str]:
     """Exact column names an expression list reads, via Catalyst analysis.
@@ -390,14 +396,42 @@ class Pregel:
         ``spark.sql.adaptive.enabled`` and ``autoBroadcastJoinThreshold``
         are overridden (restored on exit) — do not run concurrent queries
         on the same SparkSession while a Pregel loop is active; use a
-        separate session (``spark.newSession()``) for side work."""
+        separate session (``spark.newSession()``) for side work.  Two
+        concurrent Pregel loops on one session would restore each other's
+        overrides out of order and silently run with the wrong join
+        strategy, so that case fails fast here."""
         if self.initial_message is None or self.aggregate_expr is None \
                 or self.v_prog is None or not self.send_messages:
             raise ValueError(
                 "Pregel needs initial_message, ≥1 send_messages, "
                 "aggregate_messages and v_prog"
             )
+        spark = self.graph.vertices.sparkSession
+        sess_key = id(spark)
+        if sess_key in _ACTIVE_LOOP_SESSIONS:
+            raise RuntimeError(
+                "another Pregel loop is already running on this "
+                "SparkSession (the loop scopes session-level SQL configs); "
+                "run it on spark.newSession() instead"
+            )
+        _ACTIVE_LOOP_SESSIONS.add(sess_key)
+        # outer snapshot/restore also covers exceptions thrown during plan
+        # PREP (e.g. a payload that fails Catalyst analysis) — those happen
+        # before the loop's own try/finally is entered
+        scoped = ("spark.sql.adaptive.enabled",
+                  "spark.sql.autoBroadcastJoinThreshold")
+        prev = {k: spark.conf.get(k, None) for k in scoped}
+        try:
+            return self._run_locked(resume)
+        finally:
+            _ACTIVE_LOOP_SESSIONS.discard(sess_key)
+            for k, v in prev.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
 
+    def _run_locked(self, resume: bool) -> DataFrame:
         vertices = self.graph.vertices
         vcol = self.vertex_column
         spark = vertices.sparkSession

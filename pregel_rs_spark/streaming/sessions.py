@@ -39,13 +39,24 @@ def _us(ts: Any) -> int:
     return int(pd.Timestamp(ts).value // 1_000)
 
 
+def _round6(val: float) -> float:
+    """HALF_UP to 6 decimals — replicates Spark's F.round on doubles
+    (BigDecimal.valueOf uses the shortest decimal repr, = Python repr),
+    where Python's round() is banker's rounding and can differ by 1 ulp
+    on exact .5 boundaries, breaking stream/batch parity."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(val)).quantize(Decimal("1e-6"),
+                                             rounding=ROUND_HALF_UP))
+
+
 def _emit(user_id: int, start_us: int, last_us: int, n: int, val: float):
     return {
         "user_id": user_id,
         "session_start": pd.Timestamp(start_us * 1_000),
         "session_end": pd.Timestamp(last_us * 1_000),
         "n_events": n,
-        "total_value": round(val, 6),
+        "total_value": _round6(val),
     }
 
 

@@ -8,6 +8,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pregel_rs_spark.sources.io import get_spark  # noqa: E402
 
 
+def pytest_ignore_collect(collection_path, config):
+    """test_cluster_mode.py needs a fresh interpreter (a second
+    SparkSession cannot coexist with the suite's local session in one
+    process), so in a combined run it is exercised via
+    test_cluster_mode_gate.py, which re-runs it in a subprocess and fails
+    on any skip.  Collecting it here too would only add misleading
+    'skipped' rows to the default gate — deselect it unless it was
+    invoked directly (standalone runs still work)."""
+    if collection_path.name != "test_cluster_mode.py":
+        return None
+    invoked_directly = any(
+        "test_cluster_mode" in str(a) and "gate" not in str(a)
+        for a in config.invocation_params.args
+    )
+    return not invoked_directly
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pregel-rs-spark-tests", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))

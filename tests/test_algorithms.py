@@ -102,6 +102,31 @@ def test_random_walks_deterministic_with_python_replay(spark):
     assert again == got
 
 
+def test_random_walks_sampled_starts_subset(spark):
+    """A sampled start set yields EXACTLY the corresponding subset of the
+    all-vertices walk set (the picker hashes (walk_id, vertex, step), so
+    walks are independent of which other walks run) — the 10^12-edge
+    usage: seed from a sample, transition over the full graph."""
+    from pregel_rs_spark.algorithms import random_walks
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4)],
+        "subject long, object long",
+    )
+    g = GraphFrame.from_edges(e)
+    full = {
+        (r.walk_id, r.step, r.vertex_id)
+        for r in random_walks(g, length=3, seed=11).collect()
+    }
+    starts = spark.createDataFrame([(2,), (4,)], "vertex_id long")
+    sampled = {
+        (r.walk_id, r.step, r.vertex_id)
+        for r in random_walks(g, length=3, seed=11, starts=starts).collect()
+    }
+    assert sampled == {t for t in full if t[0] in (2, 4)}
+    assert sampled  # non-degenerate
+
+
 def numpy_pagerank_weighted(edges, n, d=0.85, tol=1e-12, iters=1000):
     """Weighted power-iteration oracle: send rank * w / out_weight."""
     out_w = np.zeros(n)
@@ -595,6 +620,40 @@ def test_hyperball_estimate_tracks_exact(spark):
     # aggregate (sum of ball sizes ~ avg reachability) within 5%
     tot_err = abs(sum(est.values()) - sum(exact.values())) / sum(exact.values())
     assert tot_err < 0.05, tot_err
+
+
+def test_hyperball_extreme_log2m_sane(spark):
+    """Regression for the scaled-integer register sum: with the hard-coded
+    2^(55-val) scale, log2m=4 allowed val=56 → shiftleft(1, -1) → Java
+    masks to shift 63 → Long.MIN_VALUE terms (silently garbage estimates),
+    and log2m ≥ 9 could overflow the int64 sum.  The scale now tracks
+    w_bits+1, keeping every term exact and the sum ≤ 2^59 across the whole
+    documented log2m range — estimates must stay finite, positive and
+    bounded at both extremes."""
+    import math
+
+    from pregel_rs_spark.algorithms import hyperball
+
+    n = 120
+    edges = [
+        (v, (v * 13 + j * 29 + 3) % n)
+        for v in range(n)
+        for j in range(3)
+        if (v * 13 + j * 29 + 3) % n != v
+    ]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    for log2m in (4, 10, 16):
+        est = {
+            r.vertex_id: r.ball_size_est
+            for r in hyperball(g, 2, log2m=log2m).collect()
+        }
+        assert len(est) == n
+        for v, x in est.items():
+            assert math.isfinite(x) and 0.0 < x <= 20.0 * n, (log2m, v, x)
+
+    with pytest.raises(ValueError, match="log2m"):
+        hyperball(g, 2, log2m=3)
 
 
 def test_effective_diameter_cycle(spark):

@@ -34,3 +34,45 @@ def test_cli_histogram_and_reciprocity(spark, tmp_path):
                      "--cores", "4"]) == 0
         df = spark.read.parquet(opath)
         assert len(df.columns) == ncols and df.count() >= 1
+
+
+def test_cli_resume_fresh_process(spark, tmp_path):
+    """North-rule resumability at the spark-submit-shaped CLI boundary:
+    run interrupted at superstep 3 (via --max-iter), then resume IN A
+    FRESH PROCESS with --resume to the full superstep count — final ranks
+    must equal an uninterrupted run's."""
+    import subprocess
+    import sys
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (2, 5)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "edges_r")
+    edges.write.parquet(epath)
+    full_out = os.path.join(tmp_path, "ranks_full")
+    res_out = os.path.join(tmp_path, "ranks_resumed")
+    ck = os.path.join(tmp_path, "ck")
+
+    common = ["pagerank", "--edges", epath, "--tol", "1e-30",
+              "--cores", "4"]
+    # uninterrupted reference run, 6 supersteps
+    assert main(common + ["--out", full_out, "--max-iter", "6"]) == 0
+    # interrupted run: 3 supersteps, checkpoint every superstep
+    assert main(common + ["--out", os.path.join(tmp_path, "partial"),
+                          "--max-iter", "3", "--checkpoint-root", ck,
+                          "--checkpoint-every", "1"]) == 0
+    # resume in a FRESH interpreter/JVM (the driver-restart scenario)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "pregel_rs_spark"] + common
+        + ["--out", res_out, "--max-iter", "6",
+           "--checkpoint-root", ck, "--checkpoint-every", "1", "--resume"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    full = {x.vertex_id: x.rank for x in spark.read.parquet(full_out).collect()}
+    res = {x.vertex_id: x.rank for x in spark.read.parquet(res_out).collect()}
+    assert full.keys() == res.keys()
+    assert all(abs(full[k] - res[k]) <= 1e-12 for k in full)

@@ -74,6 +74,57 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 6) not in pairs
 
 
+def test_ngram_jaccard_max_df_guard(spark):
+    """df-based frequent-shingle guard (max_df): a boilerplate shingle
+    shared by every doc must not drive O(d²) candidate generation, and the
+    guarded result keeps exact jaccard values for pairs found via rare
+    shingles."""
+    import random
+
+    rng = random.Random(7)
+    boiler = "COMMON HEADER BOILERPLATE STRING "
+    rows = []
+    for i in range(1, 31):  # 30 unrelated docs sharing only the boilerplate
+        uniq = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                       for _ in range(120))
+        rows.append((i, boiler + uniq, "en", "s", 0))
+    # one true near-dup pair sharing rare content
+    core = "zqxjkvwpy unique rare shared content block " * 3
+    rows.append((41, boiler + core + "tailA", "en", "s", 0))
+    rows.append((42, boiler + core + "tailB", "en", "s", 0))
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.4).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, k=5, threshold=0.4, max_df=5
+        ).collect()
+    }
+    assert (41, 42) in exact
+    assert guarded == exact  # same pairs, identical exact jaccard values
+
+    # bounded candidate cardinality: replicate the guard's candidate stage
+    # and show the boilerplate shingles (df=32 > max_df) generate nothing —
+    # candidates come only from rare shingles, vs O(d²) rows unguarded
+    sh = char_shingles(docs, k=5).join(docs.select("doc_id", "lang"), "doc_id")
+    dfreq = sh.groupBy("shingle", "lang").count()
+    rare = dfreq.filter(F.col("count") <= 5).select("shingle", "lang")
+    rsh = sh.join(rare, ["shingle", "lang"])
+    a = rsh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rsh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    cand_pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (41, 42) in cand_pairs
+    assert len(cand_pairs) < 30  # nowhere near the 32*31/2 unguarded pairs
+
+
 def test_simhash(spark, docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert sh[1] == sh[2]  # identical text → identical fingerprint

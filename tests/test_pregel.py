@@ -440,3 +440,65 @@ def test_multi_column_state(spark, graph_b):
     rows = {r.vertex_id: (r.min_l, r.max_l) for r in res.collect()}
     # graph B is strongly connected → every vertex sees global min 0 / max 3
     assert rows == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (0, 3)}
+
+
+def _tiny_pregel(graph_b, max_iter=1):
+    return (
+        PregelBuilder(graph_b)
+        .max_iterations(max_iter)
+        .with_vertex_column("max_value")
+        .initial_message(F.col("value"))
+        .send_messages(MessageReceiver.OBJECT, subject("max_value"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.greatest(F.col("max_value"), msg()))
+        .build()
+    )
+
+
+def test_session_configs_restored_on_success_and_error(spark, graph_b):
+    """Pregel.run scopes spark.sql.adaptive.enabled and
+    autoBroadcastJoinThreshold to the loop — both must come back to the
+    caller's values on the happy path AND when the run dies during plan
+    prep (Catalyst analysis error), which happens before the loop's inner
+    try/finally."""
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    _tiny_pregel(graph_b).run()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == bc0
+
+    # analysis error in prep: v_prog references a column that doesn't exist
+    bad = (
+        PregelBuilder(graph_b)
+        .max_iterations(1)
+        .with_vertex_column("x")
+        .initial_message(F.col("value"))
+        .send_messages(MessageReceiver.OBJECT, subject("x"))
+        .aggregate_messages(F.max(msg()))
+        .v_prog(F.col("no_such_column_anywhere"))
+        .build()
+    )
+    with pytest.raises(Exception):
+        bad.run()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == bc0
+
+    # and the error path released the concurrency guard: a new run works
+    _tiny_pregel(graph_b).run()
+
+
+def test_concurrent_loop_same_session_fails_fast(spark, graph_b):
+    """Two Pregel loops on one SparkSession would restore each other's
+    session-config overrides out of order — the second must fail fast
+    with the newSession() hint."""
+    from pregel_rs_spark import pregel as pregel_mod
+
+    key = id(spark)
+    pregel_mod._ACTIVE_LOOP_SESSIONS.add(key)
+    try:
+        with pytest.raises(RuntimeError, match="newSession"):
+            _tiny_pregel(graph_b).run()
+    finally:
+        pregel_mod._ACTIVE_LOOP_SESSIONS.discard(key)
+    _tiny_pregel(graph_b).run()  # released → runs normally

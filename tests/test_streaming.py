@@ -112,7 +112,11 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     def ev(uid, minutes, val):
         return (uid, base + dt.timedelta(minutes=minutes), float(val))
 
-    b0 = [ev(1, 0, 1), ev(1, 10, 2), ev(2, 5, 1)]
+    # 1.0000005 sits ON the 1e-6 HALF_UP boundary (Spark F.round →
+    # 1.000001; Python round() banker's → 1.0) and NaN poisons F.sum —
+    # both previously broke the documented stream/batch parity contract
+    b0 = [ev(1, 0, 1), ev(1, 10, 2), ev(2, 5, 1.0000005),
+          ev(2, 6, float("nan"))]
     # all ts >= batch0's max so nothing is late vs the 1-minute watermark;
     # user1 minute 60 and user2 minute 40 both exceed the 30-minute gap
     b1 = [ev(2, 40, 3), ev(1, 60, 5), ev(1, 65, 1)]

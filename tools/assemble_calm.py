@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Assemble the final BENCH_SCALING.json from a calm-window campaign
+(tools/calm_scaling.py output + its bank of raw legs), optional 1e-9
+convergence legs at BOTH levels, and an optional resume-check JSON.
+
+The output keeps the exact schema tools/update_baseline_md.py renders
+(level_N/level_4N medians, paired table, conv/resume legs) and adds the
+calm-window evidence: calibration reference, per-pair probe medians, the
+pre-registered acceptance rule, every rejected attempt, and the committed
+probe trace path.  Gate = median efficiency over the CALM pairs.
+
+Usage:
+  python tools/assemble_calm.py --calm /tmp/.../calm_r3.json \
+      --bank /tmp/.../bank_r3 [--conv-lo lo.json --conv-hi hi.json] \
+      [--resume-json resume.json] [--probe-out BENCH_SCALING_PROBE.jsonl] \
+      [--out /root/repo/BENCH_SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+
+
+def pick(runs: list[dict]) -> dict:
+    key = "sec_per_superstep_median_step"
+    srt = sorted(runs, key=lambda r: r[key])
+    med = dict(srt[len(srt) // 2])
+    med["steady_all"] = [r[key] for r in runs]
+    med["steady_median"] = round(statistics.median(r[key] for r in runs), 3)
+    med["steady_min"] = min(r[key] for r in runs)
+    med["steady_max"] = max(r[key] for r in runs)
+    return med
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--calm", required=True)
+    ap.add_argument("--bank", required=True)
+    ap.add_argument("--conv-lo", default=None,
+                    help="to-tolerance leg JSON at the N level")
+    ap.add_argument("--conv-hi", default=None,
+                    help="to-tolerance leg JSON at the 4N level")
+    ap.add_argument("--resume-json", default=None)
+    ap.add_argument("--probe-out", default="/root/repo/BENCH_SCALING_PROBE.jsonl",
+                    help="commit the raw probe trace here ('' to skip)")
+    ap.add_argument("--out", default="/root/repo/BENCH_SCALING.json")
+    ap.add_argument("--context-md", default=None)
+    args = ap.parse_args()
+
+    with open(args.calm) as f:
+        calm = json.load(f)
+
+    attempts = calm["attempts"]
+    calm_pairs = [a for a in attempts if a["calm"]]
+    if not calm_pairs:
+        raise SystemExit("no calm pairs accepted — nothing to assemble")
+
+    lo_runs, hi_runs, pairs = [], [], []
+    for i, a in enumerate(calm_pairs):
+        with open(os.path.join(args.bank, f"lo_{a['attempt']}.json")) as f:
+            lo_runs.append(json.load(f))
+        with open(os.path.join(args.bank, f"hi_{a['attempt']}.json")) as f:
+            hi_runs.append(json.load(f))
+        pairs.append({
+            "repeat": i,
+            "attempt": a["attempt"],
+            "order": a["order"],
+            "N_sec_per_superstep": a["N_sec_per_superstep"],
+            "4N_sec_per_superstep": a["4N_sec_per_superstep"],
+            "efficiency": a["efficiency"],
+            "probe_N_gbps": a["probe_N"]["median_gbps"],
+            "probe_4N_gbps": a["probe_4N"]["median_gbps"],
+        })
+    lo, hi = pick(lo_runs), pick(hi_runs)
+    effs = [p["efficiency"] for p in pairs]
+    eff = statistics.median(effs)
+    thr_lo = 3600.0 / lo["steady_median"]
+    thr_hi = 3600.0 / hi["steady_median"]
+
+    conv_lo = conv_hi = None
+    if args.conv_lo:
+        with open(args.conv_lo) as f:
+            conv_lo = json.load(f)
+    if args.conv_hi:
+        with open(args.conv_hi) as f:
+            conv_hi = json.load(f)
+    resume = None
+    if args.resume_json:
+        with open(args.resume_json) as f:
+            resume = json.load(f)
+
+    trace_path = None
+    if args.probe_out:
+        shutil.copyfile(calm["probe_trace"], args.probe_out)
+        trace_path = os.path.basename(args.probe_out)
+
+    result = {
+        "protocol": calm["protocol"],
+        "mode": "local",
+        "input": calm["input"],
+        "fixed_supersteps": calm["fixed_supersteps"],
+        "fixed_partitions": calm["fixed_partitions"],
+        "repeats": len(pairs),
+        "calm_window": {
+            "calibration_ref_gbps": calm["calibration_ref_gbps"],
+            "gate_frac": calm["gate_frac"],
+            "level_frac": calm["level_frac"],
+            "level_best_probe_gbps": calm.get("level_best_probe_gbps"),
+            "attempts_total": len(attempts),
+            "attempts_rejected": len(attempts) - len(calm_pairs),
+            "rejected_attempts": [a for a in attempts if not a["calm"]],
+            "probe_trace": trace_path,
+        },
+        "pairs": pairs,
+        "level_N": lo,
+        "level_4N": hi,
+        "throughput_N_supersteps_per_hour": round(thr_lo, 1),
+        "throughput_4N_supersteps_per_hour": round(thr_hi, 1),
+        "all_runs": {
+            "N_steady_sec_per_superstep": lo["steady_all"],
+            "4N_steady_sec_per_superstep": hi["steady_all"],
+        },
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_level_median":
+            round((lo["steady_median"] / hi["steady_median"]) / 4.0, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "convergence_run_N": conv_lo,
+        "convergence_run_4N": conv_hi,
+        "resume_check_4N": resume,
+    }
+    if args.context_md:
+        result["context_md"] = args.context_md
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: result[k] for k in (
+        "scaling_efficiency", "repeats", "pass")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,12 +154,30 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(SCRATCH, "calm_r3.json"))
     ap.add_argument("--trace", default=None,
                     help="probe trace path (default <bank-dir>/probe.jsonl)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted campaign: load the bank's "
+                         "attempts.json (keeping its calibration ref and "
+                         "attempt numbering), append new attempts, and "
+                         "recompute the per-level calm verdicts over ALL "
+                         "attempts — old probe stats are already banked per "
+                         "attempt, so the old raw trace is not required")
     args = ap.parse_args()
 
     os.makedirs(args.bank_dir, exist_ok=True)
     trace = args.trace or os.path.join(args.bank_dir, "probe.jsonl")
     edges = build_edges(args.pages, args.link_factor)
     n, n4 = args.n_units, args.n_units * 4
+
+    prior_attempts: list[dict] = []
+    prior_ref = None
+    bank_json = os.path.join(args.bank_dir, "attempts.json")
+    if args.resume and os.path.exists(bank_json):
+        with open(bank_json) as f:
+            prior = json.load(f)
+        prior_attempts = prior["attempts"]
+        prior_ref = prior.get("ref_gbps")
+        print(f"resuming: {len(prior_attempts)} banked attempts, "
+              f"ref={prior_ref}", file=sys.stderr)
 
     probe = subprocess.Popen(
         [sys.executable,
@@ -171,11 +189,14 @@ def main() -> None:
     try:
         # --- calibration: 60 s idle-box reference ------------------------
         time.sleep(66)
-        ref = recent_probe_median(trace, 64)
-        if ref is None:
+        fresh_ref = recent_probe_median(trace, 64)
+        if fresh_ref is None:
             raise RuntimeError("probe produced no samples")
-        print(f"calibration ref = {ref} GB/s (trace {trace})",
-              file=sys.stderr)
+        # on resume keep the original campaign's idle calibration (a fresh
+        # one taken in a noisy window would silently loosen the gate)
+        ref = prior_ref if prior_ref is not None else fresh_ref
+        print(f"calibration ref = {ref} GB/s (fresh window {fresh_ref}; "
+              f"trace {trace})", file=sys.stderr)
 
         def bank(name: str, obj: dict) -> None:
             with open(os.path.join(args.bank_dir, name), "w") as f:
@@ -189,8 +210,11 @@ def main() -> None:
                 bank(f"warmup_{tag}.json", w)
             print("warmup pair done (discarded)", file=sys.stderr)
 
-        attempts, calm_pairs = [], []
-        for att in range(args.max_attempts):
+        attempts = list(prior_attempts)
+        if attempts:
+            verdicts(attempts)
+        calm_pairs = [a for a in attempts if a.get("calm")]
+        for att in range(len(attempts), len(attempts) + args.max_attempts):
             if len(calm_pairs) >= args.target_pairs:
                 break
             if time.time() - t_campaign > args.budget_s:
