@@ -40,6 +40,7 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     weight: str | None = None,
+    prepartitioned_edges: bool = False,
 ) -> DataFrame:
     """Standard PageRank with damping and dangling-mass redistribution.
 
@@ -131,6 +132,10 @@ def pagerank(
         )
     if checkpoint_store is not None:
         builder = builder.with_checkpoint(checkpoint_store, checkpoint_every)
+    if prepartitioned_edges:
+        # edges come from a bucketed-by-subject scan (sources/bucketed.py):
+        # skip the loop's startup edge shuffle
+        builder = builder.with_prepartitioned_edges()
     engine = builder.build()
     res = engine.run(resume=resume)
     # the final state is its own checkpoint; free the materialized vertex

@@ -385,6 +385,12 @@ class Pregel:
     # Default (False) = union semantics (GraphFrames-style, documented
     # divergence SURVEY §5.3).
     first_send_only: bool = False
+    # edges already arrive hash-clustered on ``subject`` (e.g. a bucketed
+    # table scan — sources/bucketed.py): skip the loop's one-time
+    # repartition so the 100 TB edge table is never shuffled at job start
+    # at all.  Safe either way: if the claim is wrong, the superstep join
+    # plans its own Exchange (slower, never incorrect).
+    edges_prepartitioned: bool = False
     metrics: list[SuperstepMetrics] = field(default_factory=list)
 
     # ------------------------------------------------------------------ run --
@@ -463,9 +469,16 @@ class Pregel:
             *[F.col(c).alias(alias("edge", c)) for c in self.graph.edges.columns]
         )
         edge_key = _q(alias("edge", SUBJECT))
-        edges = (
-            edges.repartition(edge_key).sortWithinPartitions(edge_key).persist()
-        )
+        if self.edges_prepartitioned:
+            # caller guarantees hash clustering on subject (bucketed scan):
+            # only the exchange-free within-partition sort remains.
+            edges = edges.sortWithinPartitions(edge_key).persist()
+        else:
+            edges = (
+                edges.repartition(edge_key)
+                .sortWithinPartitions(edge_key)
+                .persist()
+            )
         edges.count()  # materialize the cache now, not inside superstep 1
 
         start_step = 1
@@ -941,6 +954,23 @@ class PregelBuilder:
         """Re-enable AQE inside the superstep loop (off by default — see
         ``Pregel.adaptive``)."""
         self._p.adaptive = on
+        return self
+
+    def with_prepartitioned_edges(self, on: bool = True) -> "PregelBuilder":
+        """Declare the edge table already hash-clustered on ``subject``
+        (a bucketed-table scan, sources/bucketed.py) so the loop skips its
+        one-time edge repartition — at web scale that is the difference
+        between shuffling the full edge table at every job start/resume
+        and never shuffling it at all (the layout was paid once, at write
+        time).  If the declaration is wrong the superstep join inserts its
+        own Exchange: slower, never incorrect.
+
+        For the in-loop triplet joins to stay exchange-free the bucket
+        count must equal ``spark.sql.shuffle.partitions`` (the state side
+        is hash-clustered at that width); with a different count Catalyst
+        re-exchanges one side per superstep — correct, but it forfeits
+        the benefit beyond the skipped startup shuffle."""
+        self._p.edges_prepartitioned = on
         return self
 
     def with_state_column(
