@@ -703,6 +703,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("height").cast("long").alias("height"),
         )
 
+    def bucketed_out_degrees_q(spark, sf):
+        """Out-degrees THROUGH the bucketed edge store (sources/bucketed.py):
+        write the sf edge table bucketed by subject once, read it back via
+        the catalog, aggregate with zero Exchange (plan pinned in
+        tests/test_bucketed.py).  Values must equal plain-scan degrees —
+        the layout changes the plan, never the data."""
+        from pregel_rs_spark.sources.bucketed import (
+            read_bucketed,
+            write_bucketed_edges,
+        )
+
+        write_bucketed_edges(
+            _edges_li(spark, sf), "drv_edges_bucketed", buckets=8,
+            path="/tmp/spark_graft_drv_bucketed",
+        )
+        be = read_bucketed(spark, "drv_edges_bucketed")
+        return be.groupBy(F.col("subject").alias("vertex_id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  The seven queries that therefore
@@ -717,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         language_id=langid_q,
         fingerprints=fingerprint_q,
         multimodal_decode=multimodal_q,
+        bucketed_out_degrees=bucketed_out_degrees_q,
         out_degrees=out_degrees,
         in_degrees=in_degrees,
         from_edges_vertices=from_edges_vertices,
@@ -820,6 +841,10 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["out_degrees"] = (
+        f"SELECT subject AS vertex_id, COUNT(object) AS out_degree "
+        f"FROM {_EV_SQL} GROUP BY subject"
+    )
+    o["bucketed_out_degrees"] = (
         f"SELECT subject AS vertex_id, COUNT(object) AS out_degree "
         f"FROM {_EV_SQL} GROUP BY subject"
     )
