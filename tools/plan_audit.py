@@ -58,6 +58,9 @@ EXPECT: dict[str, dict] = {
     "ann_topk": {"pushed": True},
     # graph triplet build: two equi-joins, no nested loop
     "two_hop_paths": {"forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
+    # bucketed edge store: the whole point is a shuffle-free degree agg —
+    # ANY Exchange in this plan means the bucket spec was lost
+    "bucketed_out_degrees": {"forbid": ["Exchange"], "codegen": True},
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
