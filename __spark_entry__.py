@@ -469,6 +469,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return top_terms(load_table(spark, sf, "documents"), top_k=3)
 
+    def boilerplate_removal_q(spark, sf):
+        """Corpus-frequency segment dedup (C4/CCNet/RefinedWeb line-dedup,
+        public technique) at word granularity on the synthetic corpus:
+        drop segments present in ≥ half of all documents, reassemble
+        survivors in order.  The boilerplate set is corpus-size-bounded
+        (≤ mean-segments-per-doc / frac), so the anti-join side stays
+        broadcastable at any scale."""
+        from pregel_rs_spark.operators.text import boilerplate_removal
+
+        return boilerplate_removal(
+            load_table(spark, sf, "documents"), min_doc_frac=0.5,
+            delimiter=" ",
+        )
+
     def hyperball_est_q(spark, sf):
         """HyperBall ball-size ESTIMATES (k=2, m=32) — the scaled-integer
         register sum makes the HLL estimator bit-deterministic, so the
@@ -781,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         contamination=contamination_q,
         corpus_sample=corpus_sample_q,
         top_terms=top_terms_q,
+        boilerplate_removal=boilerplate_removal_q,
         hyperball_est_k2=hyperball_est_q,
         degree_histogram=degree_histogram_q,
         reciprocity=reciprocity_q,
@@ -1301,6 +1316,32 @@ def oracle_sql() -> dict[str, str]:
               FROM t JOIN d USING (term))
         SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
+    """
+    o["boilerplate_removal"] = """
+        WITH segs AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS seg,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents),
+        freq AS (
+            SELECT seg, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY seg),
+        boiler AS (
+            SELECT seg FROM freq
+            WHERE df >= (SELECT COUNT(*) FROM documents) * 0.5),
+        kept AS (
+            SELECT * FROM segs
+            WHERE seg NOT IN (SELECT seg FROM boiler)),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs
+                GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segments,
+               t.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
+               COALESCE(a.text_clean, '') AS text_clean
+        FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
     """
     o["embedding_cosine_dups"] = f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

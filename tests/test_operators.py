@@ -507,3 +507,58 @@ def test_corpus_sample_deterministic_stratified(spark):
     s_def = {r.doc_id for r in
              corpus_sample(docs, {"en": 0.0}, default_rate=1.0).collect()}
     assert all(i % 3 != 0 for i in s_def) and len(s_def) == 400
+
+
+def test_boilerplate_removal_line_granularity(spark):
+    """The web-text use case: a footer line shared by 3 of 4 docs is
+    boilerplate at min_doc_frac=0.5; unique lines survive in order; a doc
+    made entirely of boilerplate reassembles to ''."""
+    from pregel_rs_spark.operators.text import boilerplate_removal
+
+    footer = "copyright acme corp all rights reserved"
+    rows = [
+        (1, f"alpha beta\n{footer}\ngamma delta", "en", "s", 0),
+        (2, f"{footer}\nunique line two", "en", "s", 0),
+        (3, f"only here\n{footer}", "en", "s", 0),
+        (4, footer, "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(
+            docs, min_doc_frac=0.5, delimiter="\n"
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "alpha beta\ngamma delta"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["text_clean"] == "unique line two"
+    assert out[3]["text_clean"] == "only here"
+    # every segment boilerplate -> empty doc, still present in the output
+    assert out[4]["text_clean"] == ""
+    assert (out[4]["n_segments"], out[4]["n_removed"]) == (1, 1)
+
+
+def test_boilerplate_removal_threshold_boundary(spark):
+    """df >= ceil-free fractional threshold: with 4 docs and frac 0.5 a
+    segment in exactly 2 docs IS boilerplate (>=), in 1 doc is not; repeats
+    within one doc count once toward document frequency."""
+    from pregel_rs_spark.operators.text import boilerplate_removal
+
+    rows = [
+        (1, "dup\ndup\nsolo one", "en", "s", 0),  # dup twice in ONE doc
+        (2, "dup\nkeep me", "en", "s", 0),
+        (3, "solo three", "en", "s", 0),
+        (4, "solo four", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(
+            docs, min_doc_frac=0.5, delimiter="\n"
+        ).collect()
+    }
+    # 'dup' df=2 (distinct docs) >= 2 -> removed everywhere, both copies
+    assert out[1]["text_clean"] == "solo one"
+    assert out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "keep me"
+    assert out[3]["n_removed"] == 0 and out[4]["n_removed"] == 0
