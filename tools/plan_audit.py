@@ -61,6 +61,14 @@ EXPECT: dict[str, dict] = {
     # bucketed edge store: the whole point is a shuffle-free degree agg —
     # ANY Exchange in this plan means the bucket spec was lost
     "bucketed_out_degrees": {"forbid": ["Exchange"], "codegen": True},
+    # boilerplate set is corpus-size-bounded (≤ segs-per-doc / frac) so the
+    # anti-join must broadcast, never sort-merge or cartesian; reads
+    # (doc_id, text) only
+    "boilerplate_removal": {
+        "read_cols_max": 2,
+        "require": ["Broadcast"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
