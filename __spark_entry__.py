@@ -737,13 +737,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("out_degree")
         )
 
+    # -- round-3 session-6 additions --
+    def lsh_jaccard_rerank_q(spark, sf):
+        """Exact k-gram Jaccard re-ranked over LSH candidate pairs — the
+        web-scale exact-Jaccard path (candidates bucketed + capped, exact
+        intersection on candidates only)."""
+        from pregel_rs_spark.operators.dedup import lsh_jaccard_rerank
+
+        return lsh_jaccard_rerank(
+            load_table(spark, sf, "documents"), threshold=0.4
+        )
+
+    def simhash_pairs_q(spark, sf):
+        """SimHash banded near-dup pairs (Manku et al. WWW'07 blocking):
+        Hamming ≤ 3 over the 16-bit fingerprint, candidates via 4-bit-band
+        equi-join (pigeonhole-exact recall), capped hot bands."""
+        from pregel_rs_spark.operators.dedup import simhash_candidate_pairs
+
+        return simhash_candidate_pairs(load_table(spark, sf, "documents"))
+
+    def gopher_quality_q(spark, sf):
+        """Gopher-rule quality screen (Rae et al. 2021): repetition /
+        bullet / ellipsis / symbol / alpha-word heuristics + keep verdict,
+        map-only array ops (no explode, no shuffle)."""
+        from pregel_rs_spark.operators.text import gopher_quality
+
+        return gopher_quality(load_table(spark, sf, "documents"))
+
+    def cocitation_q(spark, sf):
+        """Co-citation pairs on the supplier graph (shared citing pages ≥ 2,
+        hub sources capped) — one self equi-join on subject."""
+        from pregel_rs_spark.algorithms import cocitation_pairs
+
+        return cocitation_pairs(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), min_shared=2
+        )
+
+    def assortativity_q(spark, sf):
+        """Degree assortativity (Newman): one-row Pearson correlation of
+        source out-degree vs target in-degree over distinct edges."""
+        from pregel_rs_spark.algorithms import degree_assortativity
+
+        return degree_assortativity(GraphFrame.from_edges(_edges_li(spark, sf)))
+
+    def sssp_weighted_q(spark, sf):
+        """Weighted single-source shortest paths (Bellman-Ford rounds via
+        the Pregel min-plus loop) from vertex 1 on the supplier graph with
+        deterministic integer edge weights 1 + (subject+object) mod 5;
+        reached vertices only, exact distances vs a hop-bounded recursive
+        CTE (equal by Bellman-Ford convergence: a fixpoint round means no
+        longer path can improve)."""
+        e = _edges_sg(spark, sf).withColumn(
+            "w", (F.lit(1) + (F.col("subject") + F.col("object")) % 5).cast("double")
+        )
+        res = sssp(
+            GraphFrame.from_edges(e), source=1, weight_column="w",
+            max_iterations=12,
+        )
+        return res.filter(
+            ~F.isnan("distance") & (F.col("distance") != float("inf"))
+        ).select("vertex_id", F.round("distance", 6).alias("distance"))
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
-    # for exactly the first 50 of 57).  The seven queries that therefore
-    # missed an r2 row — including the two ANN scale paths, never yet
-    # driver-verified — go FIRST this round; everything else keeps its
-    # relative order, so across rounds every query holds a green row.
+    # for exactly the first 50 of 57).  The six never-yet-verified
+    # session-6 additions go FIRST, then the seven that missed an r2 row —
+    # including the two ANN scale paths — then everything else in its
+    # prior relative order, so across rounds every query holds a green row.
     q.update(
+        lsh_jaccard_rerank=lsh_jaccard_rerank_q,
+        simhash_pairs=simhash_pairs_q,
+        gopher_quality=gopher_quality_q,
+        cocitation=cocitation_q,
+        assortativity=assortativity_q,
+        sssp_weighted=sssp_weighted_q,
         ann_topk_lsh=ann_topk_lsh_q,
         ann_topk_ivf=ann_topk_ivf_q,
         token_counts=token_counts_q,
@@ -1776,5 +1843,128 @@ def oracle_sql() -> dict[str, str]:
                CAST((doc_id * 37) % 1920 + 16 AS BIGINT) AS width,
                CAST((doc_id * 53) % 1080 + 16 AS BIGINT) AS height
         FROM documents
+    """
+
+    # -- round-3 session-6 additions --
+    o["lsh_jaccard_rerank"] = f"""
+        WITH pairs AS ({o["lsh_candidate_pairs"]}),
+        sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+                  FROM pairs p
+                  JOIN sh a ON a.doc_id = p.doc_a
+                  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+                  GROUP BY p.doc_a, p.doc_b),
+        j AS (SELECT doc_a, doc_b,
+                     CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+        WHERE jac >= 0.4
+    """
+    # banded SimHash near-dup pairs: bands of 4 bits over the 16-bit
+    # fingerprint (o["simhash"]), hot bands capped at 1000, exact Hamming
+    # filter via bit_count(xor) <= 3 — mirrors dedup.simhash_candidate_pairs
+    o["simhash_pairs"] = f"""
+        WITH fp AS ({o["simhash"]}),
+        banded AS (SELECT doc_id, simhash, CAST(band AS INT) AS band,
+                          CAST(floor(simhash / power(2, band * 4)) AS BIGINT)
+                              % 16 AS band_val
+                   FROM fp, generate_series(0, 3) AS g(band)),
+        capped AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_val
+                                                ORDER BY doc_id) AS rn
+                   FROM banded),
+        kept AS (SELECT band, band_val, doc_id, simhash FROM capped
+                 WHERE rn <= 1000)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))
+                    AS INT) AS hamming
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    """
+    o["gopher_quality"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks,
+                   list_filter(regexp_split_to_array(text, '\\n'),
+                               x -> length(trim(x)) > 0) AS lines,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   GREATEST(len(toks), 1) AS wz,
+                   len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                   symbols,
+                   len(lines) AS n_lines,
+                   GREATEST(len(lines), 1) AS lz,
+                   len(list_filter(lines,
+                       x -> regexp_matches(x, '^\\s*[-*•]'))) AS bullet,
+                   len(list_filter(lines,
+                       x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS ellipsis,
+                   len(lines) - len(list_distinct(lines)) AS dup_lines
+            FROM base)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(CAST(alpha_words AS DOUBLE) / wz, 6) AS frac_alpha_words,
+               ROUND(CAST(symbols AS DOUBLE) / wz, 6) AS symbol_word_ratio,
+               ROUND(CAST(bullet AS DOUBLE) / lz, 6) AS bullet_line_frac,
+               ROUND(CAST(ellipsis AS DOUBLE) / lz, 6) AS ellipsis_line_frac,
+               ROUND(CAST(dup_lines AS DOUBLE) / lz, 6) AS dup_line_frac,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND CAST(alpha_words AS DOUBLE) / wz >= 0.80
+                    AND CAST(symbols AS DOUBLE) / wz <= 0.1
+                    AND CAST(bullet AS DOUBLE) / lz <= 0.9
+                    AND CAST(ellipsis AS DOUBLE) / lz <= 0.3
+                    AND CAST(dup_lines AS DOUBLE) / lz <= 0.3
+                    AS BIGINT) AS keep
+        FROM m
+    """
+    o["cocitation"] = f"""
+        WITH e AS (SELECT DISTINCT subject, object FROM {_SG_SQL}),
+        ok AS (SELECT subject FROM e GROUP BY subject
+               HAVING COUNT(*) <= 1000),
+        ke AS (SELECT e.subject, e.object FROM e
+               JOIN ok ON ok.subject = e.subject)
+        SELECT a.object AS page_a, b.object AS page_b,
+               COUNT(*) AS n_shared
+        FROM ke a JOIN ke b
+          ON a.subject = b.subject AND a.object < b.object
+        GROUP BY a.object, b.object
+        HAVING COUNT(*) >= 2
+    """
+    o["assortativity"] = f"""
+        WITH e AS (SELECT DISTINCT subject, object FROM {_EV_SQL}),
+        od AS (SELECT subject, COUNT(*) AS d FROM e GROUP BY subject),
+        ind AS (SELECT object, COUNT(*) AS d FROM e GROUP BY object)
+        SELECT COUNT(*) AS n_edges,
+               ROUND(corr(CAST(od.d AS DOUBLE), CAST(ind.d AS DOUBLE)), 6)
+                   AS assortativity
+        FROM e JOIN od ON od.subject = e.subject
+               JOIN ind ON ind.object = e.object
+    """
+    # hop-bounded weighted Bellman-Ford: min distance over paths of < 12
+    # edges equals the engine's converged min-plus fixpoint (a round with
+    # no improvement means no longer path can improve)
+    o["sssp_weighted"] = f"""
+        WITH RECURSIVE
+        reach(vid, d, h) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS DOUBLE), 0
+            UNION
+            SELECT e.object,
+                   r.d + CAST(1 + (e.subject + e.object) % 5 AS DOUBLE),
+                   r.h + 1
+            FROM reach r
+            JOIN {_SG_SQL} e ON e.subject = r.vid
+            WHERE r.h < 12
+        )
+        SELECT vid AS vertex_id, ROUND(MIN(d), 6) AS distance
+        FROM reach GROUP BY vid
     """
     return o

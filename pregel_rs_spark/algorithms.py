@@ -1456,3 +1456,80 @@ def clustering_coefficient(graph: GraphFrame) -> DataFrame:
         )
         .select(VERTEX_ID, "triangles", "und_degree", "coefficient")
     )
+
+
+def cocitation_pairs(
+    graph: GraphFrame,
+    min_shared: int = 2,
+    max_out_degree: int = 1000,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973 — the classic bibliometric
+    measure; on the web graph: two URLs are related if the same pages link
+    to both): pairs of targets cited by ≥ ``min_shared`` common sources.
+
+    Scale shape: ONE self equi-join of the distinct edge table on
+    ``subject`` + a count aggregation — pairwise work is generated per
+    citing page, never corpus×corpus.  The blow-up knob is a hub page
+    linking to d targets, which contributes C(d, 2) join rows, so sources
+    with out-degree > ``max_out_degree`` are dropped first (the analogue
+    of the LSH ``max_bucket`` / embedding ``max_block`` guards — a
+    directory page linking to 10^5 URLs carries no co-citation signal and
+    would otherwise emit 5·10^9 rows).  The degree filter is computed with
+    one hash aggregation and applied as a broadcast-able semi-join key set
+    at web scale; here it rides the same shuffle partitioning as the
+    self-join.
+
+    Returns ``(page_a, page_b, n_shared)`` with page_a < page_b.
+    """
+    e = graph.edges.select(SUBJECT, OBJECT).distinct()
+    ok = (
+        e.groupBy(SUBJECT)
+        .agg(F.count(F.lit(1)).alias("__d__"))
+        .filter(F.col("__d__") <= max_out_degree)
+        .select(SUBJECT)
+    )
+    e = e.join(ok, SUBJECT, "left_semi")
+    a = e.select(SUBJECT, F.col(OBJECT).alias("page_a"))
+    b = e.select(SUBJECT, F.col(OBJECT).alias("page_b"))
+    return (
+        a.join(b, SUBJECT)
+        .filter(F.col("page_a") < F.col("page_b"))
+        .groupBy("page_a", "page_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def degree_assortativity(graph: GraphFrame) -> DataFrame:
+    """Degree assortativity of the directed graph (Newman 2002/2003,
+    public literature): the Pearson correlation, over distinct edges, of
+    the source's out-degree with the target's in-degree — negative for
+    the web (hubs point at low-in-degree pages), positive for social
+    graphs.  A one-row summary companion to :func:`degree_histogram` /
+    :func:`reciprocity`.
+
+    Scale shape: two hash-agg degree tables + two co-keyed joins onto the
+    edge table + one scalar ``corr`` aggregate — no windows, no collect;
+    at web scale both degree tables partition on the same vertex hash as
+    the edge join keys.  Pearson r is scale-invariant, so the sample /
+    population normalization choice cancels and the value is
+    engine-portable (rounded 6 dp).
+
+    Returns one row ``(n_edges, assortativity)``; assortativity is NULL
+    when either degree sequence is constant (zero variance).
+    """
+    e = graph.edges.select(SUBJECT, OBJECT).distinct()
+    od = e.groupBy(SUBJECT).agg(F.count(F.lit(1)).alias("__od__"))
+    ind = (
+        e.groupBy(OBJECT).agg(F.count(F.lit(1)).alias("__id__"))
+        .withColumnRenamed(OBJECT, "__dst__")
+    )
+    joined = e.join(od, SUBJECT).join(
+        ind, e[OBJECT] == F.col("__dst__")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(
+            F.corr(F.col("__od__").cast("double"), F.col("__id__").cast("double")), 6
+        ).alias("assortativity"),
+    )

@@ -219,6 +219,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_jaccard_rerank(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+    threshold: float = 0.4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact k-gram Jaccard computed ONLY on MinHash-LSH candidate pairs —
+    the web-scale route to exact-Jaccard dedup (candidate generation is
+    bucketed and capped; the expensive exact intersection touches candidate
+    pairs, never doc×doc).
+
+    This is the composition ``lsh_candidate_pairs → full-shingle-set
+    intersection → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold``.  Versus
+    ``ngram_jaccard_pairs``: recall is bounded by the LSH band collision
+    probability (1−(1−j^r)^b) instead of the max_df prefix filter, and the
+    per-pair Jaccard values that ARE emitted are exact and identical.
+
+    Scale shape: shingles are computed once and reused for both the
+    signature and the intersection; the intersection join fans out as
+    (candidate pair × |shingles(doc_a)|) ⋈ shingles(doc_b) — linear in
+    candidate count × doc length.
+
+    Returns ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
+    """
+    sh = char_shingles(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = lsh_candidate_pairs(
+        docs, k=k, num_hashes=num_hashes, bands=bands,
+        max_bucket=max_bucket, text_col=text_col,
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def _hex_nibble_value(col):
@@ -270,6 +325,76 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFram
                 .otherwise(F.lit(0))
             ).cast("long").alias("simhash")
         )
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    found with banded blocking (Manku/Jain/Sarma, WWW'07 — the Google
+    web-dedup construction; public literature, no reference counterpart).
+
+    The ``bits``-bit fingerprint is split into ``bands`` contiguous bit
+    bands; by pigeonhole, two fingerprints within Hamming distance
+    ``bands − 1`` agree EXACTLY on at least one band, so candidates are
+    generated by equi-joining on (band index, band value) — never all-pairs.
+    With the defaults (4 bands, max_hamming 3) recall is exact: every
+    qualifying pair collides in some band.  Hot bands (e.g. the all-zeros
+    band of short docs) are capped at ``max_bucket`` rows, mirroring the
+    LSH ``max_bucket`` / embedding ``max_block`` guards.
+
+    Candidates are then exact-filtered with ``bit_count(a XOR b) ≤
+    max_hamming``.  Returns ``(doc_a, doc_b, hamming)``, doc_a < doc_b.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded blocking guarantees recall only for max_hamming <= "
+            f"bands - 1, got max_hamming={max_hamming} bands={bands}"
+        )
+    band_bits = bits // bands
+    fp = simhash(docs, bits=bits, text_col=text_col)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        # (fp >> band*band_bits) & (2^band_bits - 1), written as portable
+        # integer arithmetic (shift builtins take literal amounts; the
+        # fingerprint is < 2^16 so the double division is exact)
+        "band_val",
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), F.col("band") * band_bits)
+        ).cast("long")
+        % (1 << band_bits),
+    )
+    w = Window.partitionBy("band", "band_val").orderBy("doc_id")
+    banded = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
+    a = banded.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+    )
+    b = banded.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

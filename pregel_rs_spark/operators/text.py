@@ -85,6 +85,72 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: … Gopher" §A1.1 — public heuristics, adopted by
+    MassiveText/RefinedWeb/Dolma):
+
+      n_words             — whitespace tokens
+      frac_alpha_words    — tokens containing ≥1 ASCII letter / n_words
+      symbol_word_ratio   — ('#' | '...' | '…') occurrences / n_words
+      bullet_line_frac    — nonempty lines starting with a bullet (-, *, •)
+      ellipsis_line_frac  — nonempty lines ending with '...' / '…'
+      dup_line_frac       — 1 − distinct nonempty lines / nonempty lines
+      keep                — 1 iff 50 ≤ n_words ≤ 100000,
+                            frac_alpha_words ≥ 0.80,
+                            symbol_word_ratio ≤ 0.1,
+                            bullet_line_frac ≤ 0.9,
+                            ellipsis_line_frac ≤ 0.3,
+                            dup_line_frac ≤ 0.3
+
+    Everything is computed with array higher-order functions over the
+    in-row line/token splits — a map-only, shuffle-free, whole-stage-codegen
+    plan (no explode, so a 100 TB corpus pass is one scan).  Ratios rounded
+    to 6 dp for oracle parity.  Returns ``(doc_id, n_words,
+    frac_alpha_words, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, dup_line_frac, keep)``.
+    """
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    n_words = F.size(toks)
+    wz = F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    lines = F.filter(
+        F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    lz = F.greatest(n_lines, F.lit(1))
+    bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    dup = (n_lines - F.size(F.array_distinct(lines))) / lz
+    frac_alpha = alpha_words / wz
+    sym_ratio = symbols / wz
+    bullet_frac = bullet / lz
+    ell_frac = ellipsis / lz
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (frac_alpha >= 0.80)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_frac <= 0.3)
+        & (dup <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ell_frac, 6).alias("ellipsis_line_frac"),
+        F.round(dup, 6).alias("dup_line_frac"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-anchor language ID over {en, de, fr, es}.
 

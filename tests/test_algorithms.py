@@ -775,3 +775,85 @@ def test_clustering_coefficient(spark):
         assert rows[v].triangles == 3 and rows[v].und_degree == 3
         assert rows[v].coefficient == 1.0      # closed neighborhood
     assert rows[5].und_degree == 1 and rows[5].coefficient == 0.0
+
+
+def test_cocitation_pairs_counts_and_hub_cap(spark):
+    """Hand-built co-citation fixture + the max_out_degree hub guard: a
+    directory page linking to everything must not contribute pairs."""
+    from pregel_rs_spark.algorithms import cocitation_pairs
+
+    edges = [
+        (1, 10), (1, 11), (1, 12),       # 1 cites 10,11,12
+        (2, 10), (2, 11),                # 2 cites 10,11
+        (3, 12), (3, 13),                # 3 cites 12,13
+        # hub 9 cites 10..14 — dropped when max_out_degree < 5
+        (9, 10), (9, 11), (9, 12), (9, 13), (9, 14),
+    ]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {
+        (r.page_a, r.page_b): r.n_shared
+        for r in cocitation_pairs(g, min_shared=1, max_out_degree=4).collect()
+    }
+    # only sources 1,2,3 survive the cap → pairs from their citation lists
+    assert got == {
+        (10, 11): 2,   # cited together by 1 and 2
+        (10, 12): 1,
+        (11, 12): 1,
+        (12, 13): 1,
+    }
+    # with the hub admitted, (10,11) gains its vote and (13,14) appears
+    full = {
+        (r.page_a, r.page_b): r.n_shared
+        for r in cocitation_pairs(g, min_shared=1, max_out_degree=5).collect()
+    }
+    assert full[(10, 11)] == 3 and full[(13, 14)] == 1
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    from pregel_rs_spark.algorithms import degree_assortativity
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1), (4, 1), (4, 3)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    row = degree_assortativity(g).collect()[0]
+    out_deg = {}
+    in_deg = {}
+    for s, o in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[o] = in_deg.get(o, 0) + 1
+    xs = np.array([out_deg[s] for s, _ in edges], dtype=float)
+    ys = np.array([in_deg[o] for _, o in edges], dtype=float)
+    expect = np.corrcoef(xs, ys)[0, 1]
+    assert row.n_edges == len(edges)
+    assert abs(row.assortativity - round(expect, 6)) < 1e-9
+
+
+def test_sssp_weighted_matches_bellman_ford(spark):
+    """Weighted min-plus SSSP vs a pure-Python Bellman-Ford replay,
+    including a case where the cheapest route uses MORE hops."""
+    from pregel_rs_spark.algorithms import sssp
+
+    edges = [
+        (0, 1, 10.0),          # direct but expensive
+        (0, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0),   # 3 hops, cost 3
+        (1, 4, 2.0),
+        (5, 0, 1.0),           # 5 reaches everything; nothing reaches 5
+    ]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long, w double")
+    )
+    res = {
+        r.vertex_id: r.distance
+        for r in sssp(g, source=0, weight_column="w").collect()
+    }
+    dist = {v: float("inf") for v in range(6)}
+    dist[0] = 0.0
+    for _ in range(6):
+        for s, o, w in edges:
+            if dist[s] + w < dist[o]:
+                dist[o] = dist[s] + w
+    assert res == dist
+    assert res[1] == 3.0 and res[4] == 5.0 and res[5] == float("inf")

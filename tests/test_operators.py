@@ -562,3 +562,77 @@ def test_boilerplate_removal_threshold_boundary(spark):
     assert out[1]["n_removed"] == 2
     assert out[2]["text_clean"] == "keep me"
     assert out[3]["n_removed"] == 0 and out[4]["n_removed"] == 0
+
+
+def test_lsh_jaccard_rerank_matches_exact_on_candidates(spark, docs):
+    """The scale path (LSH candidates → exact Jaccard) must emit exact
+    Jaccard values: every emitted pair's value equals the unguarded
+    ngram_jaccard_pairs value, and the exact-dup pair is found at 1.0."""
+    from pregel_rs_spark.operators.dedup import lsh_jaccard_rerank
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_jaccard_rerank(docs, threshold=0.3).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, k=5, threshold=0.3, block_cols=()
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    for pair, j in got.items():
+        assert exact[pair] == j           # exact values, candidate-restricted
+    assert set(got) <= set(exact)         # never emits a non-qualifying pair
+
+
+def test_simhash_pairs_banded_recall_is_exact(spark, docs):
+    """Banded blocking (4 bands × 4 bits) is pigeonhole-exact for
+    Hamming ≤ 3: the banded join must find EXACTLY the brute-force pairs."""
+    from pregel_rs_spark.operators.dedup import simhash, simhash_candidate_pairs
+
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    brute = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp for b in fp if a < b
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(docs).collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0               # exact dups → identical fingerprints
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_gopher_quality_rules(spark):
+    """Hand-computed Gopher-rule fixture: bullet/ellipsis/dup-line
+    fractions, symbol ratio, alpha-word fraction, keep verdict."""
+    from pregel_rs_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over the lazy dog and runs away fast " * 5
+    listy = "- bullet one\n- bullet two\nplain line...\nplain line...\nplain line..."
+    rows = [
+        (1, good, "en", "s", len(good)),       # 65 words, clean → keep
+        (2, listy, "en", "s", len(listy)),     # bullet/ellipsis/dup-heavy
+        (3, "", "en", "s", 0),                 # empty: all zero, no div-by-0
+        (4, "1 2 3 4 5 " * 20, "en", "s", 200) # numeric: fails alpha rule
+    ]
+    r = {
+        x.doc_id: x
+        for x in gopher_quality(
+            spark.createDataFrame(rows, DOCS_SCHEMA)
+        ).collect()
+    }
+    assert r[1].n_words == 65 and r[1].keep == 1
+    assert r[1].frac_alpha_words == 1.0 and r[1].dup_line_frac == 0.0
+    assert r[2].n_words == 12
+    assert r[2].symbol_word_ratio == 0.25      # three '...' / 12 words
+    assert r[2].bullet_line_frac == 0.4        # 2 of 5 nonempty lines
+    assert r[2].ellipsis_line_frac == 0.6      # 3 of 5
+    assert r[2].dup_line_frac == 0.4           # 5 lines, 3 distinct
+    assert r[2].keep == 0
+    assert r[3].n_words == 0 and r[3].keep == 0
+    assert r[4].frac_alpha_words == 0.0 and r[4].keep == 0
