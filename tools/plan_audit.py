@@ -69,6 +69,28 @@ EXPECT: dict[str, dict] = {
         "require": ["Broadcast"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # Gopher rules are array higher-order functions over in-row splits:
+    # ONE map-only scan of (doc_id, text) — any Exchange means an explode
+    # or aggregation snuck in
+    "gopher_quality": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["Exchange"],
+    },
+    # banded SimHash pairs: candidates come from the (band, band_val)
+    # equi-join — never all-pairs; reads (doc_id, text) only
+    "simhash_pairs": {"read_cols_max": 2, "forbid": ["CartesianProduct"]},
+    # exact Jaccard rides LSH candidates — every join is an equi-join
+    "lsh_jaccard_rerank": {"forbid": ["CartesianProduct"]},
+    # co-citation: one self equi-join on subject after the hub cap
+    "cocitation": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # assortativity: two degree joins + scalar corr; equi-joins only
+    "assortativity": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
