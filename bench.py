@@ -18,6 +18,8 @@ Headline set (mirrors __spark_entry__.queries, run at benchmark scale):
   * dedup_exact, dedup_clusters (LSH pairs → star-CC → survivors, the
     end-to-end near-dup composition), corpus_filter (training-corpus
     verdicts), token_quality (token counts + quality scores single pass),
+    gopher_quality (map-only Gopher rules), simhash_pairs (banded Hamming
+    near-dups), lsh_jaccard_rerank (exact Jaccard over LSH candidates),
     ann_topk / ann_topk_arrow (brute-force cosine top-k, Catalyst + Arrow),
     ann_topk_ivf (IVF-flat: deterministic quantizer + nprobe cell probe)
   * k_core_3 (bounded peeling), random_walks_k5 (embedding-corpus walks)
@@ -195,6 +197,19 @@ def main() -> None:
                 quality_scores(docs).select("doc_id", "score"), "doc_id"
             )
         ),
+    )
+
+    from pregel_rs_spark.operators.dedup import (
+        lsh_jaccard_rerank,
+        simhash_candidate_pairs,
+    )
+    from pregel_rs_spark.operators.text import gopher_quality
+
+    bench("gopher_quality", lambda: _consume(gopher_quality(docs)))
+    bench("simhash_pairs", lambda: _consume(simhash_candidate_pairs(docs)))
+    bench(
+        "lsh_jaccard_rerank",
+        lambda: _consume(lsh_jaccard_rerank(docs, threshold=0.4)),
     )
     bench(
         "ann_topk",
