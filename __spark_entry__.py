@@ -738,6 +738,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # -- round-3 session-6 additions --
+    def kmeans_q(spark, sf):
+        """Deterministic Lloyd k-means over the embedding corpus (2
+        iterations, md5-seeded centroids, scaled-integer centroid sums →
+        bit-identical under any partitioning and in the SQL oracle)."""
+        from pregel_rs_spark.operators.similarity import kmeans_assign
+
+        return kmeans_assign(
+            load_table(spark, sf, "embeddings"), n_clusters=8, iters=2
+        )
+
     def lsh_jaccard_rerank_q(spark, sf):
         """Exact k-gram Jaccard re-ranked over LSH candidate pairs — the
         web-scale exact-Jaccard path (candidates bucketed + capped, exact
@@ -805,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # including the two ANN scale paths — then everything else in its
     # prior relative order, so across rounds every query holds a green row.
     q.update(
+        kmeans_2iter=kmeans_q,
         lsh_jaccard_rerank=lsh_jaccard_rerank_q,
         simhash_pairs=simhash_pairs_q,
         gopher_quality=gopher_quality_q,
@@ -1846,6 +1857,43 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # -- round-3 session-6 additions --
+    # k-means (2 unrolled Lloyd iterations): md5-ordered seeds, cosine
+    # assignment rounded 6dp (ties -> cluster id ASC), centroid update via
+    # scaled-integer dimension sums (round(v * 2^20) as BIGINT — exact,
+    # order-independent, bit-identical to the Spark side)
+    _KM_ASSIGN = (
+        "SELECT vec_id, embedding, cell_id, sim FROM ("
+        "SELECT e.vec_id, e.embedding, s.cell_id, "
+        "ROUND({cos}, 6) AS sim, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+        "ORDER BY ROUND({cos}, 6) DESC, s.cell_id ASC) AS rn "
+        "FROM embeddings e CROSS JOIN {cents} s) WHERE rn = 1"
+    )
+    _KM_UPDATE = """
+        SELECT cell_id, array_agg(m ORDER BY i) AS cent FROM (
+            SELECT cell_id, i,
+                   CAST(SUM(sv) AS DOUBLE) / (COUNT(*) * 1048576.0) AS m
+            FROM (SELECT cell_id, i,
+                         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                              * 1048576.0) AS BIGINT) AS sv
+                  FROM (SELECT cell_id, embedding,
+                               unnest(range(1, len(embedding) + 1)) AS i
+                        FROM {assigned}))
+            GROUP BY cell_id, i) GROUP BY cell_id
+    """
+    _km_cos = _cos("e.embedding", "s.cent")
+    o["kmeans_2iter"] = f"""
+        WITH seeds AS (
+            SELECT vec_id AS cell_id, embedding AS cent
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        a1 AS ({_KM_ASSIGN.format(cos=_km_cos, cents="seeds")}),
+        c1 AS ({_KM_UPDATE.format(assigned="a1")}),
+        a2 AS ({_KM_ASSIGN.format(cos=_km_cos, cents="c1")}),
+        c2 AS ({_KM_UPDATE.format(assigned="a2")}),
+        fin AS ({_KM_ASSIGN.format(cos=_km_cos, cents="c2")})
+        SELECT vec_id, cell_id AS cluster_id, sim AS cosine FROM fin
+    """
     o["lsh_jaccard_rerank"] = f"""
         WITH pairs AS ({o["lsh_candidate_pairs"]}),
         sh AS ({_SHINGLES_SQL}),

@@ -1462,10 +1462,16 @@ def cocitation_pairs(
     graph: GraphFrame,
     min_shared: int = 2,
     max_out_degree: int = 1000,
+    direction: str = "cocitation",
 ) -> DataFrame:
     """Co-citation similarity (Small 1973 — the classic bibliometric
     measure; on the web graph: two URLs are related if the same pages link
     to both): pairs of targets cited by ≥ ``min_shared`` common sources.
+
+    ``direction="coupling"`` computes bibliographic coupling instead
+    (Kessler 1963): pairs of SOURCES sharing ≥ ``min_shared`` common
+    targets — the identical join on the transposed edge table, so the cap
+    then bounds target in-degree.
 
     Scale shape: ONE self equi-join of the distinct edge table on
     ``subject`` + a count aggregation — pairwise work is generated per
@@ -1481,7 +1487,16 @@ def cocitation_pairs(
 
     Returns ``(page_a, page_b, n_shared)`` with page_a < page_b.
     """
-    e = graph.edges.select(SUBJECT, OBJECT).distinct()
+    if direction not in ("cocitation", "coupling"):
+        raise ValueError(
+            f"direction must be 'cocitation' or 'coupling', got {direction!r}"
+        )
+    if direction == "coupling":
+        e = graph.edges.select(
+            F.col(OBJECT).alias(SUBJECT), F.col(SUBJECT).alias(OBJECT)
+        ).distinct()
+    else:
+        e = graph.edges.select(SUBJECT, OBJECT).distinct()
     ok = (
         e.groupBy(SUBJECT)
         .agg(F.count(F.lit(1)).alias("__d__"))

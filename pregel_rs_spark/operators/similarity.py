@@ -198,7 +198,7 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
 
 
 def _nearest_cells(vecs: DataFrame, cents: DataFrame, id_col: str,
-                   vec_col: str, n: int) -> DataFrame:
+                   vec_col: str, n: int, keep_sim: bool = False) -> DataFrame:
     """Top-``n`` centroids per vector by cosine (rounded to 6 dp so the
     ordering is engine-portable; ties broken by cell_id ASC).  The centroid
     table is tiny by construction — Catalyst broadcasts the join, so this
@@ -209,10 +209,84 @@ def _nearest_cells(vecs: DataFrame, cents: DataFrame, id_col: str,
     w = Window.partitionBy(id_col).orderBy(
         F.desc("__sim__"), F.asc("cell_id")
     )
+    cols = [id_col, vec_col, "cell_id"] + (["__sim__"] if keep_sim else [])
     return (
         scored.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= n)
-        .select(id_col, vec_col, "cell_id")
+        .select(*cols)
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Lloyd k-means over the embedding corpus (cosine assignment) —
+    the semantic-clustering primitive for corpus curation (SemDeDup-style
+    cluster-then-dedup, topic bucketing, per-cluster sampling; public
+    technique).  Fully deterministic and engine-portable:
+
+      * seeds = :func:`ivf_centroids`' md5-ordered corpus sample, so the
+        initial centroids are reproducible from the data alone;
+      * assignment = broadcast centroids + cosine rounded to 6 dp, ties
+        broken by cluster id ASC (a map-only pass, no shuffle on the
+        corpus side);
+      * centroid update sums each dimension as a SCALED INTEGER
+        (``round(v · 2^scale_bits)`` as int64) — integer addition is
+        order-independent, so the new centroids are bit-identical under
+        any partitioning AND in the SQL oracle (the same trick as the HLL
+        register sums); the mean divides two exact integers in double.
+
+    Cluster ids are the seed vectors' ``vec_id`` (stable across
+    iterations; a cluster that loses all members disappears rather than
+    being re-seeded).  Scale shape per iteration: one broadcast-join
+    assignment pass + one (cluster, dim)-keyed aggregation whose output
+    is ``n_clusters × dim`` rows — the classic distributed-Lloyd layout;
+    ``iters`` is a fixed small constant, so the whole job is
+    ``iters + 1`` scans of the corpus.
+
+    int64 bound: |v| · 2^scale_bits · corpus_rows must stay < 2^63 —
+    with unit-normalized embeddings and the default 2^20 scale that
+    allows ~8·10^12 rows per cluster.
+
+    Returns ``(vec_id, cluster_id, cosine)`` — the final assignment and
+    its rounded cosine to the final centroid.
+    """
+    cents = ivf_centroids(emb, n_clusters)
+    c = emb.select("vec_id", "embedding")
+    s = float(1 << scale_bits)
+    for _ in range(iters):
+        assigned = _nearest_cells(c, cents, "vec_id", "embedding", 1)
+        sums = (
+            assigned.select(
+                "cell_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("v").cast("double") * s).cast("long")
+                ).alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = (
+            sums.withColumn("m", F.col("sv") / (F.col("n") * F.lit(s)))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cell_id",
+                F.transform("pm", lambda x: x["m"]).alias("cent"),
+            )
+        )
+    final = _nearest_cells(c, cents, "vec_id", "embedding", 1, keep_sim=True)
+    return final.select(
+        "vec_id",
+        F.col("cell_id").alias("cluster_id"),
+        F.col("__sim__").alias("cosine"),
     )
 
 

@@ -857,3 +857,20 @@ def test_sssp_weighted_matches_bellman_ford(spark):
                 dist[o] = dist[s] + w
     assert res == dist
     assert res[1] == 3.0 and res[4] == 5.0 and res[5] == float("inf")
+
+
+def test_bibliographic_coupling_is_transposed_cocitation(spark):
+    from pregel_rs_spark.algorithms import cocitation_pairs
+
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (3, 12)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {
+        (r.page_a, r.page_b): r.n_shared
+        for r in cocitation_pairs(g, min_shared=1, direction="coupling").collect()
+    }
+    # sources sharing targets: 1&2 share {10,11}; 1&3 and 2&3 share {11}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    with pytest.raises(ValueError):
+        cocitation_pairs(g, direction="nope")

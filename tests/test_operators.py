@@ -636,3 +636,64 @@ def test_gopher_quality_rules(spark):
     assert r[2].keep == 0
     assert r[3].n_words == 0 and r[3].keep == 0
     assert r[4].frac_alpha_words == 0.0 and r[4].keep == 0
+
+
+def test_kmeans_assign_matches_python_replay(spark):
+    """Full deterministic replay of 1 Lloyd iteration in pure Python:
+    md5-ordered seeds, cosine assignment (round 6, tie → cluster asc),
+    scaled-integer centroid means — the Spark result must be identical."""
+    import hashlib
+    import math
+
+    from pregel_rs_spark.operators.similarity import kmeans_assign
+
+    vecs = {
+        i: [float((i * 7 + d * 3) % 5) / 4.0 + (0.5 if i % 2 else 0.0)
+            for d in range(4)]
+        for i in range(10)
+    }
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # replay in python (float32-quantize inputs the way parquet/Spark sees them)
+    import numpy as np
+
+    vecs32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 6)
+
+    seeds = sorted(vecs32, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:2]
+    cents = {i: vecs32[i] for i in seeds}
+
+    def assign(cents):
+        out = {}
+        for i, v in vecs32.items():
+            best = max(cents, key=lambda c: (cos(v, cents[c]), -c))
+            out[i] = best
+        return out
+
+    a = assign(cents)
+    s = 1 << 20
+    new_cents = {}
+    for c in set(a.values()):
+        members = [vecs32[i] for i in a if a[i] == c]
+        new_cents[c] = [
+            sum(int(round(v[d] * s)) for v in members) / (len(members) * s)
+            for d in range(4)
+        ]
+    expect = {
+        i: (c, cos(vecs32[i], new_cents[c]))
+        for i, c in assign(new_cents).items()
+    }
+    got = {
+        r.vec_id: (r.cluster_id, r.cosine)
+        for r in kmeans_assign(emb, n_clusters=2, iters=1).collect()
+    }
+    assert got == expect
