@@ -29,7 +29,8 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("algo", choices=[
         "pagerank", "cc", "cc_star", "scc", "lpa", "triangles",
         "clustering", "sssp", "hits", "kcore", "degrees", "histogram",
-        "reciprocity", "harmonic", "walks",
+        "reciprocity", "harmonic", "walks", "cocitation", "coupling",
+        "assortativity",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -40,6 +41,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--weight-col", default=None,
                     help="edge weight column (pagerank)")
     ap.add_argument("--source", type=int, default=None, help="sssp source")
+    ap.add_argument("--min-shared", type=int, default=2,
+                    help="cocitation/coupling: min common neighbors")
+    ap.add_argument("--max-degree", type=int, default=1000,
+                    help="cocitation/coupling: hub cap on the join side")
     ap.add_argument("--k", type=int, default=3,
                     help="kcore k / harmonic radius / walks length")
     ap.add_argument("--checkpoint-root", default=None)
@@ -124,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
         res = A.harmonic_centrality(g, k=args.k)
     elif args.algo == "walks":
         res = A.random_walks(g, length=args.k)
+    elif args.algo in ("cocitation", "coupling"):
+        res = A.cocitation_pairs(
+            g, min_shared=args.min_shared,
+            max_out_degree=args.max_degree, direction=args.algo,
+        )
+    elif args.algo == "assortativity":
+        res = A.degree_assortativity(g)
     else:  # pragma: no cover - argparse choices guard
         raise AssertionError(args.algo)
 

@@ -76,3 +76,20 @@ def test_cli_resume_fresh_process(spark, tmp_path):
     res = {x.vertex_id: x.rank for x in spark.read.parquet(res_out).collect()}
     assert full.keys() == res.keys()
     assert all(abs(full[k] - res[k]) <= 1e-12 for k in full)
+
+
+def test_cli_cocitation_coupling_assortativity(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e3")
+    edges.write.parquet(epath)
+    for algo, ncols in (
+        ("cocitation", 3), ("coupling", 3), ("assortativity", 2),
+    ):
+        opath = os.path.join(tmp_path, f"out_{algo}")
+        assert main([algo, "--edges", epath, "--out", opath,
+                     "--min-shared", "1", "--cores", "4"]) == 0
+        df = spark.read.parquet(opath)
+        assert len(df.columns) == ncols and df.count() >= 1
