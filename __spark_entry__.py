@@ -748,6 +748,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), n_clusters=8, iters=2
         )
 
+    def dedup_clusters_verified_q(spark, sf):
+        """End-to-end near-dup clustering WITH the exact-Jaccard
+        verification stage (LSH candidates → true Jaccard ≥ 0.4 →
+        star-CC → survivors): kills the transitive chaining that banded
+        LSH's false positives cause on homogeneous corpora (477/500 docs
+        fuse into one cluster unverified)."""
+        from pregel_rs_spark.operators.dedup import dedup_clusters
+
+        return dedup_clusters(
+            load_table(spark, sf, "documents"), verify_threshold=0.4
+        )
+
     def lsh_jaccard_rerank_q(spark, sf):
         """Exact k-gram Jaccard re-ranked over LSH candidate pairs — the
         web-scale exact-Jaccard path (candidates bucketed + capped, exact
@@ -816,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prior relative order, so across rounds every query holds a green row.
     q.update(
         kmeans_2iter=kmeans_q,
+        dedup_clusters_verified=dedup_clusters_verified_q,
         lsh_jaccard_rerank=lsh_jaccard_rerank_q,
         simhash_pairs=simhash_pairs_q,
         gopher_quality=gopher_quality_q,
@@ -1894,7 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         fin AS ({_KM_ASSIGN.format(cos=_km_cos, cents="c2")})
         SELECT vec_id, cell_id AS cluster_id, sim AS cosine FROM fin
     """
-    o["lsh_jaccard_rerank"] = f"""
+    _RERANK_SQL = f"""
         WITH pairs AS ({o["lsh_candidate_pairs"]}),
         sh AS ({_SHINGLES_SQL}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -1910,6 +1923,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
         WHERE jac >= 0.4
+    """
+    o["lsh_jaccard_rerank"] = _RERANK_SQL
+    # verified end-to-end clustering: transitive closure over the
+    # exact-Jaccard-verified pairs only (same recursive-CTE shape as
+    # o["dedup_clusters"], different edge set)
+    o["dedup_clusters_verified"] = f"""
+        WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({_RERANK_SQL})),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(v, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.v
+        )
+        SELECT v AS doc_id, MIN(lbl) AS cluster_id,
+               CAST(v = MIN(lbl) AS BIGINT) AS survivor
+        FROM reach GROUP BY v
     """
     # banded SimHash near-dup pairs: bands of 4 bits over the 16-bit
     # fingerprint (o["simhash"]), hot bands capped at 1000, exact Hamming

@@ -1,6 +1,7 @@
-"""Training-corpus assembly end-to-end: documents → near-dup clustering
-(MinHash/LSH → star connected components) → per-document verdicts (dedup
-survivorship, token bounds, quality floor) → surviving corpus written out.
+"""Training-corpus assembly end-to-end: documents → Gopher-rule quality
+screen → near-dup clustering (MinHash/LSH → star connected components) →
+per-document verdicts (dedup survivorship, token bounds, quality floor) →
+surviving corpus written out.
 
 This is the LLM-data-pipeline composition at example scale; every stage is
 the same operator the driver contract verifies against exact SQL oracles.
@@ -20,7 +21,11 @@ from pyspark.sql import functions as F
 
 from pregel_rs_spark.operators.dedup import dedup_clusters
 from pregel_rs_spark.operators.pipeline import corpus_filter
-from pregel_rs_spark.operators.text import quality_scores, token_counts
+from pregel_rs_spark.operators.text import (
+    gopher_quality,
+    quality_scores,
+    token_counts,
+)
 from pregel_rs_spark.sources.io import get_spark
 
 
@@ -35,10 +40,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
 
-    # 1. near-dup clusters: banded LSH candidates -> star-CC -> survivors
-    clusters = dedup_clusters(docs, k=5, num_hashes=8, bands=4, max_bucket=50)
+    # 0. Gopher-rule screen: repetition/format heuristics, one map-only
+    #    scan (at 100 TB this is the cheapest stage — run it first so every
+    #    later pairwise stage sees a smaller corpus)
+    gq = gopher_quality(docs)
+    n_gopher = gq.filter("keep = 1").count()
+    print(f"gopher keep: {n_gopher}/{docs.count()}")
+    docs = docs.join(gq.filter("keep = 1").select("doc_id"), "doc_id", "left_semi")
+
+    # 1. near-dup clusters: banded LSH candidates -> EXACT-JACCARD
+    #    verification (>= 0.4) -> star-CC -> survivors.  Verification
+    #    matters: unverified LSH false positives chain under the
+    #    transitive closure and fuse most of a homogeneous corpus into
+    #    one giant cluster.
+    clusters = dedup_clusters(docs, k=5, num_hashes=8, bands=4,
+                              max_bucket=50, verify_threshold=0.4)
     n_clusters = clusters.filter("survivor = 1").count()
-    print(f"documents: {docs.count()}  near-dup clusters: {n_clusters}")
+    print(f"screened documents: {docs.count()}  near-dup clusters: {n_clusters}")
 
     # 2. per-document verdicts (first failing rule wins, auditable)
     verdicts = corpus_filter(docs, min_tokens=20, min_score=0.6)

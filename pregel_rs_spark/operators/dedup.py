@@ -467,6 +467,7 @@ def dedup_clusters(
     bands: int = 4,
     max_bucket: int = 50,
     text_col: str = "text",
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate deduplication — the production composition
     at corpus scale: banded-LSH candidate pairs (bucket-capped, never
@@ -479,13 +480,33 @@ def dedup_clusters(
     at 100 TB the pair graph's diameter is unbounded (transitive chains of
     86%%-similar docs), which is exactly the case min-label cannot survive.
 
+    ``verify_threshold`` inserts the exact-Jaccard verification stage
+    between candidate generation and clustering
+    (:func:`lsh_jaccard_rerank`): only candidate pairs whose TRUE k-gram
+    Jaccard is ≥ the threshold become cluster edges.  Without it, banded
+    LSH's false-positive pairs (per-band collision probability ≈ j^r)
+    CHAIN under the transitive closure — on a homogeneous corpus a few
+    percent pair-level FP rate is enough to fuse most of the corpus into
+    one giant cluster (measured: 477/500 synthetic docs in one component
+    unverified vs exact clusters at 0.4).  At 100 TB the verification is
+    the standard MinHashLSH shape: exact intersection over candidates
+    only, never doc×doc.
+
     Returns ``(doc_id, cluster_id, survivor)`` for EVERY input document
     (docs with no near-dup are their own singleton cluster, survivor=1).
     """
     from ..algorithms import connected_components
     from ..graphframe import GraphFrame
 
-    pairs = lsh_candidate_pairs(docs, k, num_hashes, bands, max_bucket, text_col)
+    if verify_threshold is None:
+        pairs = lsh_candidate_pairs(
+            docs, k, num_hashes, bands, max_bucket, text_col
+        )
+    else:
+        pairs = lsh_jaccard_rerank(
+            docs, k, num_hashes, bands, max_bucket,
+            threshold=verify_threshold, text_col=text_col,
+        )
     vertices = docs.select(F.col("doc_id").alias("vertex_id"))
     edges = pairs.select(
         F.col("doc_a").alias("subject"), F.col("doc_b").alias("object")

@@ -697,3 +697,28 @@ def test_kmeans_assign_matches_python_replay(spark):
         for r in kmeans_assign(emb, n_clusters=2, iters=1).collect()
     }
     assert got == expect
+
+
+def test_dedup_clusters_verification_stops_fp_chaining(spark):
+    """Banded-LSH false positives chain under transitive closure; the
+    verify_threshold stage must keep true near-dup clusters together
+    while refusing edges between genuinely different docs."""
+    from pregel_rs_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    other = "numerical weather prediction uses spectral transforms on spheres"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),                    # exact dup of 1
+        (3, base.replace("lazy", "sleepy"), "en", "s", 60), # near dup of 1
+        (4, other, "en", "s", len(other)),
+        (5, other + " daily", "en", "s", 60),               # near dup of 4
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, verify_threshold=0.4).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1      # true near-dups cluster
+    assert got[4] == got[5] == 4                # the other family clusters
+    assert got[1] != got[4]                     # families never fuse
