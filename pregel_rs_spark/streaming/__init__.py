@@ -1,4 +1,5 @@
 from pregel_rs_spark.streaming.ingest import (
+    dedup_content_stream,
     dedup_pages_stream,
     run_edges_stream,
     stream_pages,
@@ -10,6 +11,7 @@ __all__ = [
     "stream_pages",
     "stream_pages_to_edges",
     "dedup_pages_stream",
+    "dedup_content_stream",
     "run_edges_stream",
     "sessionize_stream",
 ]

@@ -56,6 +56,33 @@ def dedup_pages_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def dedup_content_stream(
+    docs: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact CONTENT dedup on a document stream: key = ``md5(text)``
+    within the watermark horizon — mirrors the batch ``dedup_exact`` /
+    ``dedup_exact_survivors`` pair for continuous ingestion (two crawls of
+    different urls carrying identical extracted text keep one copy).
+
+    Semantics vs batch: batch keeps the MIN doc_id per content hash; the
+    stream keeps the FIRST-ARRIVING row per hash inside the horizon — the
+    set of distinct contents kept is identical (parity-tested on the hash
+    set), the chosen representative may differ.  State is one 32-byte key
+    per distinct content within the horizon, evicted by the watermark —
+    bounded by the horizon's distinct-content volume, never the crawl
+    history.
+    """
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("__content_hash__", F.md5(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["__content_hash__"])
+        .drop("__content_hash__")
+    )
+
+
 def stream_pages_to_edges(pages: DataFrame) -> DataFrame:
     """Incremental link extraction — identical expression tree to the batch
     ``pages_to_edges`` minus the closed-world semi-join (unbounded corpus

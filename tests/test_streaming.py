@@ -159,3 +159,51 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert len(want) == 4  # two sessions per user
+
+
+def test_stream_content_dedup_matches_batch_hash_set(spark, tmp_path_factory):
+    """Exact-content dedup on a stream: the set of distinct content hashes
+    kept must equal the batch dedup_exact hash set (the representative row
+    may differ — stream keeps first-arriving, batch keeps min doc_id)."""
+    import datetime
+
+    from pregel_rs_spark.streaming import dedup_content_stream
+
+    root = tmp_path_factory.mktemp("cdedup")
+    src = os.path.join(str(root), "docs")
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (i, f"u{i}", t0 + datetime.timedelta(minutes=i), txt)
+        for i, txt in enumerate(
+            ["alpha text", "beta text", "alpha text", "gamma text",
+             "beta text", "alpha text"]
+        )
+    ]
+    schema = "doc_id long, url string, warc_ts timestamp, text string"
+    df = spark.createDataFrame(rows[:3], schema)
+    df.write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(rows[3:], schema).write.parquet(
+        os.path.join(src, "b1")
+    )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out = os.path.join(str(root), "out")
+    q = (
+        dedup_content_stream(stream, watermark="10 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(str(root), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = spark.createDataFrame(rows, schema)
+    got_hashes = {r[0] for r in got.select(F.md5("text")).collect()}
+    want_hashes = {r[0] for r in batch.select(F.md5("text")).distinct().collect()}
+    assert got.count() == 3                 # one per distinct content
+    assert got_hashes == want_hashes
