@@ -189,6 +189,13 @@ def main() -> None:
             dedup_clusters(docs, k=5, num_hashes=8, bands=4, max_bucket=50)
         ),
     )
+    bench(
+        "dedup_clusters_verified",
+        lambda: _consume(
+            dedup_clusters(docs, k=5, num_hashes=8, bands=4, max_bucket=50,
+                           verify_threshold=0.4)
+        ),
+    )
     bench("corpus_filter", lambda: _consume(corpus_filter(docs)))
     bench(
         "token_quality",
