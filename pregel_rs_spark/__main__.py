@@ -40,6 +40,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--weight-col", default=None,
                     help="edge weight column (pagerank)")
+    ap.add_argument("--init-ranks", default=None,
+                    help="pagerank: parquet of (vertex_id, rank) from a "
+                         "previous run — warm-start the iteration "
+                         "(incremental crawl update)")
     ap.add_argument("--source", type=int, default=None, help="sssp source")
     ap.add_argument("--min-shared", type=int, default=2,
                     help="cocitation/coupling: min common neighbors")
@@ -89,11 +93,14 @@ def main(argv: list[str] | None = None) -> int:
     from pregel_rs_spark import algorithms as A
 
     if args.algo == "pagerank":
+        init_ranks = (
+            spark.read.parquet(args.init_ranks) if args.init_ranks else None
+        )
         res = A.pagerank(
             g, damping=args.damping, tol=args.tol,
             max_iterations=args.max_iter, weight=args.weight_col,
             checkpoint_store=store, checkpoint_every=args.checkpoint_every,
-            resume=args.resume,
+            resume=args.resume, init_ranks=init_ranks,
         )
     elif args.algo == "cc":
         res = A.connected_components(g, max_iterations=args.max_iter)

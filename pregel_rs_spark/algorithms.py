@@ -41,6 +41,7 @@ def pagerank(
     resume: bool = False,
     weight: str | None = None,
     prepartitioned_edges: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Standard PageRank with damping and dangling-mass redistribution.
 
@@ -60,6 +61,16 @@ def pagerank(
 
     Converges when max|rank'−rank| ≤ tol (north rule: 1e-6).
     Oracle for tests: NumPy power iteration (FIXTURES.md F3).
+
+    ``init_ranks`` warm-starts the iteration from a previous run's
+    ``(vertex_id, rank)`` table — the incremental-crawl-update path: after
+    appending a day's edges, restart from yesterday's ranks instead of
+    uniform.  The update map ``r → d·(P+D)ᵀr + (1−d)/n`` is an affine
+    contraction (‖d(P+D)‖₁ = d < 1), so ANY start vector converges to the
+    SAME fixpoint — warm-starting changes the superstep count, never the
+    answer (pinned in tests).  Vertices absent from ``init_ranks`` (newly
+    crawled pages) start at the uniform 1/n; no renormalization is needed
+    because total mass converges to 1 on its own.
 
     Returns ``(vertex_id, …props, out_degree, rank)``.
     """
@@ -87,6 +98,14 @@ def pagerank(
             truncate_plan(graph.out_degrees_full()), graph.edges,
             closed=graph.closed,
         ) if "out_degree" not in graph.vertices.columns else graph
+    if init_ranks is not None:
+        prev = init_ranks.select(
+            VERTEX_ID, F.col("rank").alias("__warm_rank__")
+        )
+        g = GraphFrame(
+            truncate_plan(g.vertices.join(prev, VERTEX_ID, "left")),
+            g.edges, closed=g.closed,
+        )
     counts = g.vertices.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("out_degree") == 0).cast("long")).alias("n_dangling"),
@@ -111,7 +130,11 @@ def pagerank(
         PregelBuilder(g)
         .max_iterations(max_iterations)
         .with_vertex_column("rank")
-        .initial_message(F.lit(1.0 / n))
+        .initial_message(
+            F.coalesce(F.col("__warm_rank__"), F.lit(1.0 / n))
+            if init_ranks is not None
+            else F.lit(1.0 / n)
+        )
         .send_messages(
             MessageReceiver.OBJECT,
             subject("rank") * edge_(weight) / subject("out_weight")
@@ -138,6 +161,8 @@ def pagerank(
         builder = builder.with_prepartitioned_edges()
     engine = builder.build()
     res = engine.run(resume=resume)
+    if init_ranks is not None:
+        res = res.drop("__warm_rank__")
     # the final state is its own checkpoint; free the materialized vertex
     # table (safe: lineage was severed at every superstep)
     vrdd = getattr(g.vertices, "_ck_rdd", None)

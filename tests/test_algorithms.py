@@ -874,3 +874,42 @@ def test_bibliographic_coupling_is_transposed_cocitation(spark):
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
     with pytest.raises(ValueError):
         cocitation_pairs(g, direction="nope")
+
+
+def test_pagerank_warm_start_same_fixpoint_fewer_supersteps(spark):
+    """init_ranks warm start: the update map is an affine contraction, so
+    any start converges to the SAME ranks; after a LOCAL edge append on an
+    irregular graph, starting from yesterday's fixpoint must cost strictly
+    fewer supersteps than uniform (incremental crawl-update path)."""
+    N = 300
+    edges = sorted(
+        {(a, (a * a * 7 + b * 13 + 1) % N)
+         for a in range(N) for b in range(1 + a % 3)
+         if a != (a * a * 7 + b * 13 + 1) % N}
+    )
+    e0 = spark.createDataFrame(edges, "subject long, object long")
+    g0 = GraphFrame.from_edges(e0)
+    r0 = pagerank(g0, tol=1e-9, max_iterations=300)
+    assert len(r0.pregel_metrics) > 10  # irregular: actually iterates
+
+    # same graph, warm-started from its own fixpoint: near-instant
+    rw = pagerank(g0, tol=1e-9, max_iterations=300,
+                  init_ranks=r0.select("vertex_id", "rank"))
+    assert len(rw.pregel_metrics) <= 2
+    got = {r.vertex_id: r.rank for r in rw.collect()}
+    want = {r.vertex_id: r.rank for r in r0.collect()}
+    assert all(abs(got[v] - want[v]) <= 1e-8 for v in want)
+
+    # incremental crawl: append 3 edges, warm-start from the old ranks
+    e1 = e0.union(
+        spark.createDataFrame([(0, 150), (150, 75), (299, 3)],
+                              "subject long, object long")
+    )
+    g1 = GraphFrame.from_edges(e1)
+    cold = pagerank(g1, tol=1e-9, max_iterations=300)
+    warm = pagerank(g1, tol=1e-9, max_iterations=300,
+                    init_ranks=r0.select("vertex_id", "rank"))
+    got = {r.vertex_id: r.rank for r in warm.collect()}
+    want = {r.vertex_id: r.rank for r in cold.collect()}
+    assert all(abs(got[v] - want[v]) <= 1e-7 for v in want)
+    assert len(warm.pregel_metrics) < len(cold.pregel_metrics)

@@ -93,3 +93,22 @@ def test_cli_cocitation_coupling_assortativity(spark, tmp_path):
                      "--min-shared", "1", "--cores", "4"]) == 0
         df = spark.read.parquet(opath)
         assert len(df.columns) == ncols and df.count() >= 1
+
+
+def test_cli_pagerank_warm_start(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e_warm")
+    r1 = os.path.join(tmp_path, "ranks1")
+    r2 = os.path.join(tmp_path, "ranks2")
+    edges.write.parquet(epath)
+    assert main(["pagerank", "--edges", epath, "--out", r1,
+                 "--tol", "1e-9", "--max-iter", "100", "--cores", "4"]) == 0
+    assert main(["pagerank", "--edges", epath, "--out", r2,
+                 "--tol", "1e-9", "--max-iter", "100", "--cores", "4",
+                 "--init-ranks", r1]) == 0
+    a = {r.vertex_id: r.rank for r in spark.read.parquet(r1).collect()}
+    b = {r.vertex_id: r.rank for r in spark.read.parquet(r2).collect()}
+    assert all(abs(a[v] - b[v]) <= 1e-8 for v in a)
