@@ -748,6 +748,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), n_clusters=8, iters=2
         )
 
+    def pii_scrub_q(spark, sf):
+        """C4/Dolma-style PII redaction: email/IPv4/phone regexes →
+        <EMAIL>/<IP>/<PHONE> tokens + per-pattern counts, map-only."""
+        from pregel_rs_spark.operators.text import pii_scrub
+
+        return pii_scrub(load_table(spark, sf, "documents"))
+
+    def corpus_stats_q(spark, sf):
+        """Per-(lang, source) corpus observability rollup: doc counts,
+        char/token mass, exact-distinct contents."""
+        from pregel_rs_spark.operators.pipeline import corpus_stats
+
+        return corpus_stats(load_table(spark, sf, "documents"))
+
     def dedup_clusters_verified_q(spark, sf):
         """End-to-end near-dup clustering WITH the exact-Jaccard
         verification stage (LSH candidates → true Jaccard ≥ 0.4 →
@@ -828,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prior relative order, so across rounds every query holds a green row.
     q.update(
         kmeans_2iter=kmeans_q,
+        pii_scrub=pii_scrub_q,
+        corpus_stats=corpus_stats_q,
         dedup_clusters_verified=dedup_clusters_verified_q,
         lsh_jaccard_rerank=lsh_jaccard_rerank_q,
         simhash_pairs=simhash_pairs_q,
@@ -1923,6 +1939,37 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
         WHERE jac >= 0.4
+    """
+    # PII patterns mirrored from operators/text.py (PII_EMAIL/IP/PHONE);
+    # duckdb regexp_replace needs the 'g' flag to match Spark's replace-all
+    _EM = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    _IPP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    _PH = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+    o["pii_scrub"] = f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{_EM}', '<EMAIL>', 'g'),
+                   '{_IPP}', '<IP>', 'g'),
+                   '{_PH}', '<PHONE>', 'g') AS text_scrubbed,
+               CAST(len(regexp_extract_all(text, '{_EM}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_IPP}')) AS BIGINT)
+                   AS n_ips,
+               CAST(len(regexp_extract_all(text, '{_PH}')) AS BIGINT)
+                   AS n_phones
+        FROM documents
+    """
+    o["corpus_stats"] = """
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_chars,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END) AS BIGINT) AS total_ws_tokens,
+               COUNT(DISTINCT md5(text)) AS distinct_contents
+        FROM documents GROUP BY lang, source
     """
     o["lsh_jaccard_rerank"] = _RERANK_SQL
     # verified end-to-end clustering: transitive closure over the

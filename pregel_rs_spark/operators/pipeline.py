@@ -203,3 +203,43 @@ def sample_threshold_hex(rate: float) -> str:
     8 hex chars of md5(key) are lexicographically < this (fixed-width
     lowercase hex compares like the integer floor(rate·2^32))."""
     return format(min(max(int(rate * 4294967296.0), 0), 0xFFFFFFFF), "08x")
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus observability rollup — the summary table
+    every curation pipeline publishes next to its output (doc counts,
+    volume, token mass, quality-relevant aggregates) so a 100 TB run's
+    composition drift is visible without scanning the corpus.
+
+    One hash aggregation over (lang, source) — map-side partial combine
+    collapses each partition to ≤ |langs × sources| rows before the
+    shuffle, so the exchange is O(groups), not O(docs).
+
+    Returns ``(lang, source, n_docs, total_chars, mean_chars,
+    total_ws_tokens, distinct_contents)`` — ``distinct_contents`` counts
+    exact-distinct documents (md5) per group, the dedup-pressure signal;
+    mean rounded 6 dp for oracle parity.
+    """
+    t = F.col(text_col)
+    ws_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.length(t).alias("__chars__"),
+            ws_tokens.alias("__toks__"),
+            F.md5(t).alias("__h__"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars__").cast("long").alias("total_chars"),
+            F.round(F.sum("__chars__") / F.count(F.lit(1)), 6).alias(
+                "mean_chars"
+            ),
+            F.sum("__toks__").cast("long").alias("total_ws_tokens"),
+            F.countDistinct("__h__").alias("distinct_contents"),
+        )
+    )

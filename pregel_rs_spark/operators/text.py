@@ -168,6 +168,46 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the C4/Dolma-style privacy pass over web text
+    (public pipeline step): emails, IPv4 addresses, and phone-shaped digit
+    runs are replaced by ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` tokens, in
+    that order (each pass runs on the previous pass's output, so a digit
+    run inside an already-redacted token is never double-matched).
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` — whole-stage
+    codegen, map-only, one scan; the patterns avoid engine-specific
+    syntax so Spark (Java regex) and the SQL oracle (RE2) match exactly.
+    Counts are per-pattern over the ORIGINAL text.
+
+    Returns ``(doc_id, text_scrubbed, n_emails, n_ips, n_phones)``.
+    """
+    t = F.col(text_col)
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IP).alias("n_ips"),
+        n(PII_PHONE).alias("n_phones"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the canonicalized text (lowercase,
     non-alphanumerics → space, whitespace collapsed, trimmed) — robust to

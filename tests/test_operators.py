@@ -722,3 +722,44 @@ def test_dedup_clusters_verification_stops_fp_chaining(spark):
     assert got[1] == got[2] == got[3] == 1      # true near-dups cluster
     assert got[4] == got[5] == 4                # the other family clusters
     assert got[1] != got[4]                     # families never fuse
+
+
+def test_pii_scrub(spark):
+    """Email / IPv4 / phone redaction with exact expected output."""
+    from pregel_rs_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@site.co and 10.0.255.7 or call "
+            "+1 (415) 555-0199 now", "en", "s", 70),
+        (2, "two mails a@b.io c@d.org one ip 1.2.3.4", "en", "s", 40),
+        (3, "clean text with no pii at all here", "en", "s", 34),
+    ]
+    r = {x.doc_id: x for x in pii_scrub(
+        spark.createDataFrame(rows, DOCS_SCHEMA)).collect()}
+    assert r[1].text_scrubbed == (
+        "mail me at <EMAIL> and <IP> or call <PHONE> now"
+    )
+    assert (r[1].n_emails, r[1].n_ips, r[1].n_phones) == (1, 1, 1)
+    assert r[2].n_emails == 2 and r[2].n_ips == 1
+    assert "a@b.io" not in r[2].text_scrubbed
+    assert r[3].text_scrubbed == rows[2][1]
+    assert (r[3].n_emails, r[3].n_ips, r[3].n_phones) == (0, 0, 0)
+
+
+def test_corpus_stats_rollup(spark):
+    from pregel_rs_spark.operators.pipeline import corpus_stats
+
+    rows = [
+        (1, "one two three", "en", "web", 13),
+        (2, "one two three", "en", "web", 13),      # exact dup of 1
+        (3, "vier", "de", "web", 4),
+        (4, "", "en", "book", 0),
+    ]
+    r = {(x.lang, x.source): x for x in corpus_stats(
+        spark.createDataFrame(rows, DOCS_SCHEMA)).collect()}
+    en_web = r[("en", "web")]
+    assert en_web.n_docs == 2 and en_web.distinct_contents == 1
+    assert en_web.total_chars == 26 and en_web.total_ws_tokens == 6
+    assert en_web.mean_chars == 13.0
+    assert r[("de", "web")].total_ws_tokens == 1
+    assert r[("en", "book")].total_ws_tokens == 0
