@@ -91,6 +91,15 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # PII redaction: pure regexp_replace/extract — one map-only 2-col scan
+    "pii_scrub": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["Exchange"],
+    },
+    # observability rollup: ONE hash aggregation (partial+final = one
+    # exchange); countDistinct adds its expand-aggregate pair, so allow 2
+    "corpus_stats": {"read_cols_max": 3, "codegen": True},
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
