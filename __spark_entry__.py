@@ -836,8 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
-    # for exactly the first 50 of 57).  The six never-yet-verified
-    # session-6 additions go FIRST, then the seven that missed an r2 row —
+    # for exactly the first 50 of 57).  The ten never-yet-verified
+    # round-3 additions go FIRST, then the seven that missed an r2 row —
     # including the two ANN scale paths — then everything else in its
     # prior relative order, so across rounds every query holds a green row.
     q.update(
