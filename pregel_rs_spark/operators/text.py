@@ -3,6 +3,14 @@
 All pure Catalyst expressions (regexp/len/split — whole-stage codegen, no
 UDFs), designed so the identical formula is expressible in ANSI SQL for the
 DuckDB oracle.  Each function returns a DataFrame keyed by ``doc_id``.
+
+NULL contract: a NULL ``text`` propagates to NULL outputs (SQL-standard
+three-valued logic, identical in the oracle engine) — boolean verdicts
+like ``gopher_quality.keep`` are then NULL, which every downstream
+``filter("keep = 1")`` treats as not-kept.  Callers wanting
+empty-string semantics coalesce upstream; silently conflating missing
+and empty documents here would corrupt corpus accounting.  Pinned in
+``test_null_text_propagates``.
 """
 
 from __future__ import annotations

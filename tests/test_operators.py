@@ -763,3 +763,22 @@ def test_corpus_stats_rollup(spark):
     assert en_web.mean_chars == 13.0
     assert r[("de", "web")].total_ws_tokens == 1
     assert r[("en", "book")].total_ws_tokens == 0
+
+
+def test_null_text_propagates(spark):
+    """NULL-text contract: text operators must not crash on NULL text and
+    must propagate NULL (not fabricate empty-doc values); a NULL keep
+    verdict is never kept by filter('keep = 1')."""
+    from pregel_rs_spark.operators.text import gopher_quality, pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "ok text here", "en", "s", 12)],
+        DOCS_SCHEMA,
+    )
+    gq = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert gq[1].keep is None and gq[1].n_words is None
+    assert gq[2].n_words == 3
+    assert gopher_quality(docs).filter("keep = 1").count() == 0  # 2 is short
+    pii = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert pii[1].text_scrubbed is None and pii[1].n_emails is None
+    assert token_counts(docs).filter("doc_id = 1").collect()[0].ws_tokens is None
