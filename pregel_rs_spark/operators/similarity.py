@@ -297,6 +297,8 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     max_cell: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    rerank: str = "catalyst",
 ) -> DataFrame:
     """IVF-flat ANN top-k: inverted-file coarse quantization + exact cosine
     re-rank inside the probed cells (the FAISS IVF-Flat layout, public
@@ -315,13 +317,34 @@ def ivf_topk(
     quantizer or clustered corpus can put O(corpus) in one cell; capping
     trades recall for a hard bound on the per-cell join).
 
+    ``rerank`` picks the in-cell exact-scoring engine: ``"catalyst"``
+    (pure-expression fold — the SQL-oracle-parity default) or ``"arrow"``
+    (vectorized numpy over Arrow batches — ~30× less CPU per candidate;
+    measured: at 200k×64 the Catalyst fold costs more than its 16×
+    candidate reduction saves, the Arrow re-rank restores the win —
+    tools/bench_ann.py).  Both rank on the ROUNDED cosine, so the top-k
+    sets are identical (same contract as :func:`brute_force_topk_arrow`;
+    equality pytest-pinned).
+
+    ``index=(cents, assigned)`` supplies a PREBUILT index — ``cents`` as
+    ``(cell_id, cent)`` and ``assigned`` as ``(neighbor_id, ce, cell_id)``
+    (exactly what :func:`ivf_centroids` + :func:`_nearest_cells` or a
+    trained external quantizer produce).  That is the production shape:
+    the assignment pass runs once at ingest and is persisted partitioned
+    by ``cell_id``; queries then pay only the probe + in-cell re-rank
+    (~nprobe/n_cells of a full scan).
+
     Returns ``(query_id, neighbor_id, cosine, rank)``.
     """
-    cents = ivf_centroids(emb, n_cells)
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    )
-    assigned = _nearest_cells(c, cents, "neighbor_id", "ce", 1)
+    if index is not None:
+        cents, assigned = index
+    else:
+        cents = ivf_centroids(emb, n_cells)
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+        )
+        assigned = _nearest_cells(c, cents, "neighbor_id", "ce", 1)
     if max_cell is not None:
         wcap = Window.partitionBy("cell_id").orderBy(F.asc("neighbor_id"))
         assigned = (
@@ -333,11 +356,43 @@ def ivf_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     probes = _nearest_cells(q, cents, "query_id", "qe", nprobe)
-    scored = (
-        probes.join(assigned, "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qe"), F.col("ce")), 6))
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    if rerank == "catalyst":
+        scored = cand.withColumn(
+            "cosine", F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+        ).select("query_id", "neighbor_id", "cosine")
+    elif rerank == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        def batch_cos(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = np.array(pdf["qe"].tolist(), dtype=np.float64)
+                b = np.array(pdf["ce"].tolist(), dtype=np.float64)
+                dot = np.einsum("ij,ij->i", a, b)
+                na = np.maximum(np.linalg.norm(a, axis=1), 1e-300)
+                nb = np.maximum(np.linalg.norm(b, axis=1), 1e-300)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cosine": dot / (na * nb),
+                    }
+                )
+
+        scored = cand.select(
+            "query_id", "qe", "neighbor_id", "ce"
+        ).mapInPandas(
+            batch_cos, "query_id long, neighbor_id long, cosine double"
+        ).withColumn("cosine", F.round("cosine", 6))
+    else:
+        raise ValueError(
+            f"rerank must be 'catalyst' or 'arrow', got {rerank!r}"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

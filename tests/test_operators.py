@@ -782,3 +782,33 @@ def test_null_text_propagates(spark):
     pii = {r.doc_id: r for r in pii_scrub(docs).collect()}
     assert pii[1].text_scrubbed is None and pii[1].n_emails is None
     assert token_counts(docs).filter("doc_id = 1").collect()[0].ws_tokens is None
+
+
+def test_ivf_rerank_modes_identical(spark):
+    """The Arrow in-cell re-rank must return the IDENTICAL result set as
+    the Catalyst fold (both rank on the rounded cosine), and a prebuilt
+    index must behave exactly like the self-built one."""
+    from pregel_rs_spark.operators.similarity import (
+        _nearest_cells,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    a = ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4, rerank="catalyst")
+    b = ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4, rerank="arrow")
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b
+    cents = ivf_centroids(emb, 16)
+    assigned = _nearest_cells(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce")),
+        cents, "neighbor_id", "ce", 1,
+    )
+    c = ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4,
+                 index=(cents, assigned), rerank="arrow")
+    assert {tuple(r) for r in c.collect()} == rows_a
+    with pytest.raises(ValueError):
+        ivf_topk(emb, qs, rerank="nope").collect()
