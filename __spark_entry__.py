@@ -551,6 +551,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_cells=16, nprobe=4,
         )
 
+    def ann_topk_ivf_arrow_q(spark, sf):
+        """IVF with the Arrow in-cell re-rank (the measured scale path —
+        BENCH_ANN.json): identical result set to the Catalyst re-rank by
+        the rounded-cosine ranking contract, so it shares its oracle."""
+        from pregel_rs_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10),
+            k=5, n_cells=16, nprobe=4, rerank="arrow",
+        )
+
     def ann_topk_lsh_q(spark, sf):
         """The 100 TB candidate-pruning path: hyperplane-bucket join +
         exact re-rank inside the bucket.  The md5-derived dyadic weights
@@ -845,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
         dedup_clusters_verified=dedup_clusters_verified_q,
+        ann_topk_ivf_arrow=ann_topk_ivf_arrow_q,
         lsh_jaccard_rerank=lsh_jaccard_rerank_q,
         simhash_pairs=simhash_pairs_q,
         gopher_quality=gopher_quality_q,
@@ -1534,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF-flat: identical deterministic quantizer (16 smallest md5(vec_id)
     # seeds), identical nearest-cell assignment (cosine rounded 6dp, ties
     # by cell_id), nprobe=4 probes, exact re-rank inside probed cells
-    o["ann_topk_ivf"] = f"""
+    o["ann_topk_ivf"] = o["ann_topk_ivf_arrow"] = f"""
         WITH cents AS (
             SELECT vec_id AS cell_id, embedding AS cent
             FROM embeddings

@@ -39,7 +39,7 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--weight-col", default=None,
-                    help="edge weight column (pagerank)")
+                    help="edge weight column (pagerank / sssp)")
     ap.add_argument("--init-ranks", default=None,
                     help="pagerank: parquet of (vertex_id, rank) from a "
                          "previous run — warm-start the iteration "
@@ -119,7 +119,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.source is None:
             print("sssp requires --source", file=sys.stderr)
             return 2
-        res = A.sssp(g, source=args.source, max_iterations=args.max_iter)
+        res = A.sssp(g, source=args.source, weight_column=args.weight_col,
+                     max_iterations=args.max_iter)
     elif args.algo == "hits":
         res = A.hits(g, iterations=args.max_iter)
     elif args.algo == "kcore":

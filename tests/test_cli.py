@@ -112,3 +112,17 @@ def test_cli_pagerank_warm_start(spark, tmp_path):
     a = {r.vertex_id: r.rank for r in spark.read.parquet(r1).collect()}
     b = {r.vertex_id: r.rank for r in spark.read.parquet(r2).collect()}
     assert all(abs(a[v] - b[v]) <= 1e-8 for v in a)
+
+
+def test_cli_sssp_weighted(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 1.0), (3, 2, 1.0)],
+        "subject long, object long, w double",
+    )
+    epath = os.path.join(tmp_path, "e_w")
+    opath = os.path.join(tmp_path, "d_w")
+    edges.write.parquet(epath)
+    assert main(["sssp", "--edges", epath, "--out", opath, "--source", "1",
+                 "--weight-col", "w", "--cores", "4"]) == 0
+    d = {r.vertex_id: r.distance for r in spark.read.parquet(opath).collect()}
+    assert d[2] == 2.0 and d[3] == 1.0   # cheaper 2-hop route wins
