@@ -240,6 +240,13 @@ def main() -> None:
                      k=10, n_cells=32, nprobe=4)
         ),
     )
+    bench(
+        "ann_topk_ivf_arrow",
+        lambda: _consume(
+            ivf_topk(emb, emb.filter(F.col("vec_id") < 50),
+                     k=10, n_cells=32, nprobe=4, rerank="arrow")
+        ),
+    )
 
     from pregel_rs_spark.algorithms import k_core, random_walks
 
