@@ -357,6 +357,13 @@ def simhash_candidate_pairs(
             f"banded blocking guarantees recall only for max_hamming <= "
             f"bands - 1, got max_hamming={max_hamming} bands={bands}"
         )
+    if bits % bands != 0:
+        # the pigeonhole argument needs the bands to PARTITION the bits —
+        # a leftover high bit would be examined by no band, so two
+        # fingerprints differing only there would never collide
+        raise ValueError(
+            f"bands must divide bits exactly, got bits={bits} bands={bands}"
+        )
     band_bits = bits // bands
     fp = simhash(docs, bits=bits, text_col=text_col)
     banded = fp.select(

@@ -605,6 +605,9 @@ def test_simhash_pairs_banded_recall_is_exact(spark, docs):
     assert got[(1, 2)] == 0               # exact dups → identical fingerprints
     with pytest.raises(ValueError):
         simhash_candidate_pairs(docs, bands=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        # bands must partition the bits or pigeonhole recall breaks
+        simhash_candidate_pairs(docs, bits=16, bands=3, max_hamming=2)
 
 
 def test_gopher_quality_rules(spark):
