@@ -760,6 +760,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), n_clusters=8, iters=2
         )
 
+    def ktruss_q(spark, sf):
+        """k-truss (k=3) bounded to 2 peel rounds on the supplier graph —
+        surviving canonical edges + final-subgraph support, mirroring the
+        kcore3_r2 bounded-prefix contract (fixpoint before the bound ⇒
+        bounded ≡ converged)."""
+        from pregel_rs_spark.algorithms import k_truss
+
+        return k_truss(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), k=3, max_rounds=2
+        )
+
     def pii_scrub_q(spark, sf):
         """C4/Dolma-style PII redaction: email/IPv4/phone regexes →
         <EMAIL>/<IP>/<PHONE> tokens + per-pattern counts, map-only."""
@@ -854,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prior relative order, so across rounds every query holds a green row.
     q.update(
         kmeans_2iter=kmeans_q,
+        ktruss3_r2=ktruss_q,
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
         dedup_clusters_verified=dedup_clusters_verified_q,
@@ -1958,6 +1970,34 @@ def oracle_sql() -> dict[str, str]:
     _EM = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
     _IPP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
     _PH = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+    # k-truss oracle: id-ordered triangle enumeration (u < v < w via
+    # canonical a < b edges) — the orientation differs from the engine's
+    # degree-ordered join but the enumerated triangle SET is identical
+    _KT_E = (f"SELECT DISTINCT LEAST(subject, object) AS a, "
+             f"GREATEST(subject, object) AS b FROM {_SG_SQL} "
+             f"WHERE subject != object")
+    _KT_TRI = ("SELECT x.a AS u, x.b AS v, y.b AS w FROM {e} x "
+               "JOIN {e} y ON y.a = x.a AND y.b > x.b "
+               "JOIN {e} z ON z.a = x.b AND z.b = y.b")
+    _KT_SUP = ("SELECT a, b, COUNT(*) AS c FROM ("
+               "SELECT u AS a, v AS b FROM {t} "
+               "UNION ALL SELECT u, w FROM {t} "
+               "UNION ALL SELECT v, w FROM {t}) GROUP BY a, b")
+    o["ktruss3_r2"] = f"""
+        WITH e0 AS ({_KT_E}),
+        t0 AS ({_KT_TRI.format(e="e0")}),
+        s0 AS ({_KT_SUP.format(t="t0")}),
+        e1 AS (SELECT e0.a, e0.b FROM e0 JOIN s0 USING (a, b)
+               WHERE s0.c >= 1),
+        t1 AS ({_KT_TRI.format(e="e1")}),
+        s1 AS ({_KT_SUP.format(t="t1")}),
+        e2 AS (SELECT e1.a, e1.b FROM e1 JOIN s1 USING (a, b)
+               WHERE s1.c >= 1),
+        t2 AS ({_KT_TRI.format(e="e2")}),
+        s2 AS ({_KT_SUP.format(t="t2")})
+        SELECT e2.a, e2.b, CAST(COALESCE(s2.c, 0) AS BIGINT) AS support
+        FROM e2 LEFT JOIN s2 USING (a, b)
+    """
     o["pii_scrub"] = f"""
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(

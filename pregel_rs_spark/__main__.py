@@ -30,7 +30,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "pagerank", "cc", "cc_star", "scc", "lpa", "triangles",
         "clustering", "sssp", "hits", "kcore", "degrees", "histogram",
         "reciprocity", "harmonic", "walks", "cocitation", "coupling",
-        "assortativity",
+        "assortativity", "ktruss",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -125,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
         res = A.hits(g, iterations=args.max_iter)
     elif args.algo == "kcore":
         res = A.k_core(g, k=args.k)
+    elif args.algo == "ktruss":
+        res = A.k_truss(g, k=args.k)
     elif args.algo == "degrees":
         res = g.out_degrees_full().join(
             g.in_degrees_full().select("vertex_id", "in_degree"), "vertex_id"

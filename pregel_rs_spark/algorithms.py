@@ -428,34 +428,16 @@ def label_propagation(
     return labels
 
 
-def triangle_count(graph: GraphFrame) -> DataFrame:
-    """Per-vertex triangle counts via neighbour-set intersection joins.
+def _triangles_from_undirected(und: DataFrame) -> DataFrame:
+    """Enumerate each triangle of a canonical undirected simple edge table
+    ``(a, b)`` with a < b EXACTLY ONCE, as ``(u, v, w)`` (u = minimum-RANK
+    corner, rank(v) < rank(w)) — the degree-ordered compact-forward join
+    shared by :func:`triangle_count` and :func:`k_truss`.
 
-    Not message passing (north rule lists it as a built-in; SURVEY §7.2.4):
-    compact-forward / degree-ordered wedge counting.  Each undirected edge
-    is oriented from its lower-(degree, id) endpoint to the higher one —
-    an acyclic orientation in which every vertex's out-degree is bounded by
-    O(sqrt(m)), so the wedge intermediate is Σ out_deg² = O(m^1.5) instead
-    of the O(Σ deg²) a naive id-canonicalization pays on power-law hubs
-    (one mega-hub of degree d would otherwise alone contribute d²):
-
-        o(u,v) ⋈ o(u,w) on u, rank(v) < rank(w)  →  wedge (v, u, w)
-        wedge  ⋈  o(v,w)                          →  triangle
-
-    Each triangle is found exactly once (its minimum-rank corner is the
-    wedge center); each corner gets +1.  Both joins are equi-joins on
-    vertex ids — sort-merge/shuffled-hash by Catalyst; the wedge frame is
-    never collected.
-
-    Returns ``(vertex_id, triangles)`` for ALL vertices (0 for none).
+    Rank = (degree, id): orienting every edge low→high bounds each
+    vertex's oriented out-degree by O(sqrt(m)), so the wedge intermediate
+    is Σ out_deg² = O(m^1.5) — skew-safe on power-law hubs.
     """
-    und = graph.edges.select(
-        F.least(SUBJECT, OBJECT).alias("a"), F.greatest(SUBJECT, OBJECT).alias("b")
-    ).filter(F.col("a") != F.col("b")).distinct()
-
-    # degree-ordered rank: (degree, id) as a single orderable struct is
-    # equivalent to comparing (deg, id) lexicographically; materialize the
-    # degree per endpoint and orient each edge low → high.
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b")))
@@ -491,7 +473,34 @@ def triangle_count(graph: GraphFrame) -> DataFrame:
         .select("u", "v", "w")
     )
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tris = wedges.join(closing, ["v", "w"], "inner").select("u", "v", "w")
+    return wedges.join(closing, ["v", "w"], "inner").select("u", "v", "w")
+
+
+def triangle_count(graph: GraphFrame) -> DataFrame:
+    """Per-vertex triangle counts via neighbour-set intersection joins.
+
+    Not message passing (north rule lists it as a built-in; SURVEY §7.2.4):
+    compact-forward / degree-ordered wedge counting.  Each undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher one —
+    an acyclic orientation in which every vertex's out-degree is bounded by
+    O(sqrt(m)), so the wedge intermediate is Σ out_deg² = O(m^1.5) instead
+    of the O(Σ deg²) a naive id-canonicalization pays on power-law hubs
+    (one mega-hub of degree d would otherwise alone contribute d²):
+
+        o(u,v) ⋈ o(u,w) on u, rank(v) < rank(w)  →  wedge (v, u, w)
+        wedge  ⋈  o(v,w)                          →  triangle
+
+    Each triangle is found exactly once (its minimum-rank corner is the
+    wedge center); each corner gets +1.  Both joins are equi-joins on
+    vertex ids — sort-merge/shuffled-hash by Catalyst; the wedge frame is
+    never collected.
+
+    Returns ``(vertex_id, triangles)`` for ALL vertices (0 for none).
+    """
+    und = graph.edges.select(
+        F.least(SUBJECT, OBJECT).alias("a"), F.greatest(SUBJECT, OBJECT).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    tris = _triangles_from_undirected(und)
 
     corners = (
         tris.select(F.col("u").alias(VERTEX_ID))
@@ -923,6 +932,87 @@ def k_core(
     # materialize the (small, O(V)) result BEFORE freeing the edge blocks it
     # reads — the returned frame is lazy and must not depend on them
     res = truncate_plan(_degrees(und).filter(F.col("degree") >= k))
+    _free(und)
+    return res
+
+
+def k_truss(
+    graph: GraphFrame,
+    k: int = 3,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge sits in
+    ≥ k−2 triangles (Cohen 2008 — public literature; the edge-level
+    cohesion companion to :func:`k_core`, and a sharper community /
+    link-farm signal on web graphs: a k-truss is always inside the
+    (k−1)-core but ignores degree inflated by non-clustered edges).
+
+    Per round: enumerate triangles of the CURRENT surviving subgraph with
+    the shared degree-ordered compact-forward join
+    (:func:`_triangles_from_undirected` — O(m^1.5) wedge bound,
+    skew-safe), count per-edge support as three corner-edge projections +
+    one hash aggregation, and peel edges with support < k−2.  Removing an
+    edge can drop another edge's support, so the loop runs to fixpoint
+    (or ``max_rounds`` — a bounded prefix is deterministic and is what
+    the driver row verifies, mirroring ``kcore3_r2``).  Each round ends
+    in a ``truncate_plan`` materialization + an O(1) count action for the
+    fixpoint test; previous-round blocks are freed.
+
+    Returns the surviving canonical undirected edges with their support
+    measured ON THE FINAL SUBGRAPH: ``(a, b, support)``, a < b.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pregel_rs_spark.pregel import truncate_plan
+
+    def _free(df) -> None:
+        rdd = getattr(df, "_ck_rdd", None)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+
+    def _support(e: DataFrame) -> DataFrame:
+        tris = _triangles_from_undirected(e)
+        # each triangle (u, v, w) supports its three canonical edges
+        edges3 = (
+            tris.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .unionAll(tris.select(F.least("u", "w"), F.greatest("u", "w")))
+            .unionAll(tris.select(F.least("v", "w"), F.greatest("v", "w")))
+        )
+        sup = edges3.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        return e.join(sup, ["a", "b"], "left").withColumn(
+            "support", F.coalesce(F.col("support"), F.lit(0)).cast("long")
+        )
+
+    und = truncate_plan(
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        nxt = truncate_plan(
+            _support(und)
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+        )
+        n_prev, n_now = und.count(), nxt.count()
+        _free(und)
+        und = nxt
+        if n_now == n_prev or n_now == 0:
+            break
+
+    res = truncate_plan(_support(und))
     _free(und)
     return res
 

@@ -85,3 +85,23 @@ def write_bucketed_edges(
             f"got {edges.columns}"
         )
     write_bucketed(edges, name, buckets, key=SUBJECT, path=path)
+
+
+def write_bucketed_edges_by_object(
+    edges: DataFrame,
+    name: str,
+    buckets: int,
+    path: str | None = None,
+) -> None:
+    """The second standard layout: bucketed by ``object`` — makes
+    in-degree aggregation and any object-keyed join Exchange-free (the
+    dual of :func:`write_bucketed_edges`; "two layouts of the edge list"
+    is the web-scale trade the subject-bucketed docstring describes —
+    storage is cheap, the per-job 100 TB shuffle is not).  Plan shape
+    pinned in tests/test_bucketed.py."""
+    if SUBJECT not in edges.columns or OBJECT not in edges.columns:
+        raise ValueError(
+            f"edge table must have ({SUBJECT}, {OBJECT}) columns; "
+            f"got {edges.columns}"
+        )
+    write_bucketed(edges, name, buckets, key=OBJECT, path=path)

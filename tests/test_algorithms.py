@@ -913,3 +913,34 @@ def test_pagerank_warm_start_same_fixpoint_fewer_supersteps(spark):
     want = {r.vertex_id: r.rank for r in cold.collect()}
     assert all(abs(got[v] - want[v]) <= 1e-7 for v in want)
     assert len(warm.pregel_metrics) < len(cold.pregel_metrics)
+
+
+def test_k_truss_peels_to_fixpoint(spark):
+    """K4 + pendant triangle + dangling edge: 3-truss keeps K4 and the
+    triangle (dangling edge peeled); 4-truss keeps only the K4 with
+    support 2 on every edge; peeling cascades (an edge losing its
+    triangle partner is removed in a LATER round)."""
+    from pregel_rs_spark.algorithms import k_truss
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (4, 6), (5, 6), (6, 7)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    t3 = {(r.a, r.b): r.support for r in k_truss(g, k=3).collect()}
+    assert set(t3) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (4, 5), (4, 6), (5, 6)}
+    assert t3[(4, 5)] == 1 and t3[(1, 2)] == 2
+    t4 = {(r.a, r.b): r.support for r in k_truss(g, k=4).collect()}
+    assert set(t4) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(v == 2 for v in t4.values())
+    # cascade: a triangle chain where peeling the weakest edge collapses
+    # the rest over multiple rounds
+    chain = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    g2 = GraphFrame.from_edges(
+        spark.createDataFrame(chain, "subject long, object long")
+    )
+    t4c = k_truss(g2, k=4).collect()
+    assert t4c == []  # neither triangle has edge-support 2 → all peeled
+    with pytest.raises(ValueError):
+        k_truss(g, k=1)

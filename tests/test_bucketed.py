@@ -136,3 +136,26 @@ def test_write_bucketed_edges_requires_edge_columns(spark):
     bad = spark.range(3).select(F.col("id").alias("src"))
     with pytest.raises(ValueError, match="subject"):
         write_bucketed_edges(bad, "nope", buckets=4)
+
+
+def test_object_bucketed_indegrees_no_exchange(spark, edges_df, tmp_path):
+    """The dual layout: bucketed by object → in-degree aggregation plans
+    with zero Exchange, and values equal the plain-scan in-degrees."""
+    from pregel_rs_spark.sources.bucketed import write_bucketed_edges_by_object
+
+    write_bucketed_edges_by_object(
+        edges_df, "t_edges_by_object", buckets=8,
+        path=str(tmp_path / "by_object"),
+    )
+    be = read_bucketed(spark, "t_edges_by_object")
+    agg = be.groupBy("object").agg(F.count(F.lit(1)).alias("in_degree"))
+    plan = _formatted_plan(spark, agg)
+    assert "Exchange" not in plan
+    got = {r.object: r.in_degree for r in agg.collect()}
+    want = {
+        r.object: r.in_degree
+        for r in edges_df.groupBy("object")
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+        .collect()
+    }
+    assert got == want

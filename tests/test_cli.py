@@ -126,3 +126,16 @@ def test_cli_sssp_weighted(spark, tmp_path):
                  "--weight-col", "w", "--cores", "4"]) == 0
     d = {r.vertex_id: r.distance for r in spark.read.parquet(opath).collect()}
     assert d[2] == 2.0 and d[3] == 1.0   # cheaper 2-hop route wins
+
+
+def test_cli_ktruss(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "subject long, object long"
+    )
+    epath = os.path.join(tmp_path, "e_kt")
+    opath = os.path.join(tmp_path, "o_kt")
+    edges.write.parquet(epath)
+    assert main(["ktruss", "--edges", epath, "--out", opath,
+                 "--k", "3", "--cores", "4"]) == 0
+    rows = {(r.a, r.b) for r in spark.read.parquet(opath).collect()}
+    assert rows == {(1, 2), (1, 3), (2, 3)}
