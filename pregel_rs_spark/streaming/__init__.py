@@ -1,5 +1,6 @@
 from pregel_rs_spark.streaming.ingest import (
     dedup_content_stream,
+    degree_stream,
     dedup_pages_stream,
     run_edges_stream,
     stream_pages,
@@ -12,6 +13,7 @@ __all__ = [
     "stream_pages_to_edges",
     "dedup_pages_stream",
     "dedup_content_stream",
+    "degree_stream",
     "run_edges_stream",
     "sessionize_stream",
 ]

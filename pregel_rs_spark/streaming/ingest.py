@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pregel_rs_spark.columns import OBJECT, SUBJECT
 from pregel_rs_spark.functions.extract import extract_links_udf, url_id
 from pregel_rs_spark.sources.synth import PAGES_SCHEMA
 
@@ -100,6 +101,30 @@ def stream_pages_to_edges(pages: DataFrame) -> DataFrame:
         "src_url",
         "dst_url",
         "warc_ts",
+    )
+
+
+def degree_stream(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """Continuously-maintained degree counts over the incremental edge
+    stream — the graph-health dashboard companion to
+    :func:`stream_pages_to_edges` (hub emergence, crawl-frontier growth,
+    degree-skew alerts without re-scanning the accumulated snapshot).
+
+    A plain streaming ``groupBy(key).count()`` — Spark maintains the
+    per-key running count in the state store (one stateful shuffle;
+    state is one long per distinct vertex, the same O(V) the batch
+    aggregation would materialize).  Emit with ``outputMode("update")``
+    (or ``"complete"`` for small dashboards); counts after processing all
+    input equal the batch degree aggregation exactly (parity-tested).
+    """
+    if direction == "out":
+        key = SUBJECT
+    elif direction == "in":
+        key = OBJECT
+    else:
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    return edges.groupBy(F.col(key).alias("vertex_id")).agg(
+        F.count(F.lit(1)).alias("degree")
     )
 
 

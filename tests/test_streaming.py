@@ -207,3 +207,41 @@ def test_stream_content_dedup_matches_batch_hash_set(spark, tmp_path_factory):
     want_hashes = {r[0] for r in batch.select(F.md5("text")).distinct().collect()}
     assert got.count() == 3                 # one per distinct content
     assert got_hashes == want_hashes
+
+
+def test_stream_degrees_match_batch(spark, staged):
+    """Update-mode streaming degree counts: after availableNow drains the
+    source, the state-store counts equal the batch degree aggregation."""
+    from pregel_rs_spark.streaming import degree_stream
+
+    root, src, pages = staged
+    stream = stream_pages(spark, src + "/*", max_files_per_trigger=1)
+    edges = stream_pages_to_edges(stream)
+    deg = degree_stream(edges, direction="out")
+    q = (
+        deg.writeStream.format("memory")
+        .queryName("deg_stream")
+        .option("checkpointLocation", os.path.join(root, "deg_ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vertex_id: r.degree
+        for r in spark.sql("SELECT * FROM deg_stream").collect()
+    }
+    from pregel_rs_spark.functions.extract import pages_to_edges
+
+    want = {
+        r.vertex_id: r.degree
+        for r in pages_to_edges(pages, closed_world=False)
+        .groupBy(F.col("subject").alias("vertex_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .collect()
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        degree_stream(edges, direction="sideways")
