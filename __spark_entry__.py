@@ -771,6 +771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GraphFrame.from_edges(_edges_sg(spark, sf)), k=3, max_rounds=2
         )
 
+    def repetition_q(spark, sf):
+        """Word-2-gram repetition ratios (the Gopher repetition signal):
+        dup-2gram fraction + top-2gram share per document."""
+        from pregel_rs_spark.operators.text import repetition_ratios
+
+        return repetition_ratios(load_table(spark, sf, "documents"))
+
     def pii_scrub_q(spark, sf):
         """C4/Dolma-style PII redaction: email/IPv4/phone regexes →
         <EMAIL>/<IP>/<PHONE> tokens + per-pattern counts, map-only."""
@@ -866,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         kmeans_2iter=kmeans_q,
         ktruss3_r2=ktruss_q,
+        repetition=repetition_q,
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
         dedup_clusters_verified=dedup_clusters_verified_q,
@@ -1997,6 +2005,41 @@ def oracle_sql() -> dict[str, str]:
         s2 AS ({_KT_SUP.format(t="t2")})
         SELECT e2.a, e2.b, CAST(COALESCE(s2.c, 0) AS BIGINT) AS support
         FROM e2 LEFT JOIN s2 USING (a, b)
+    """
+    o["repetition"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS tk
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) < 2 THEN []
+                        ELSE list_transform(range(1, len(tk)),
+                             i -> tk[CAST(i AS INT)] || ' ' ||
+                                  tk[CAST(i + 1 AS INT)])
+                   END AS gs
+            FROM toks),
+        counts AS (
+            SELECT doc_id, g.gram, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) g
+            GROUP BY doc_id, g.gram),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_2grams,
+                   COUNT(*) AS n_distinct,
+                   MAX(c) AS top_c
+            FROM counts GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_2grams, 0) AS BIGINT) AS n_2grams,
+               ROUND(CAST(COALESCE(a.n_2grams, 0) - COALESCE(a.n_distinct, 0)
+                     AS DOUBLE) / GREATEST(COALESCE(a.n_2grams, 0), 1), 6)
+                   AS dup_2gram_frac,
+               ROUND(CAST(COALESCE(a.top_c, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(a.n_2grams, 0), 1), 6)
+                   AS top_2gram_share
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     o["pii_scrub"] = f"""
         SELECT doc_id,

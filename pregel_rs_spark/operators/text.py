@@ -176,6 +176,62 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
+def repetition_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-2-gram repetition — the signature Gopher repetition signal at
+    word granularity (Rae et al. 2021 §A1.1 "fraction of characters in
+    duplicate n-grams"; public heuristic):
+
+      n_2grams        — word 2-grams (n_words − 1, 0 for short docs)
+      dup_2gram_frac  — 1 − distinct 2-grams / 2-grams
+      top_2gram_share — occurrences of the most frequent 2-gram / 2-grams
+                        (ties don't matter: the share is the same)
+
+    Unlike :func:`gopher_quality`'s in-row array rules, the top-gram
+    share needs a per-(doc, gram) count — one explode + one hash
+    aggregation keyed by (doc_id, gram), then a per-doc max; at corpus
+    scale that shuffle is keyed by doc_id-dominated composite keys, so
+    it partitions evenly (no hot keys — a gram is only hot WITHIN its
+    document).  Ratios rounded 6 dp.  Returns
+    ``(doc_id, n_2grams, dup_2gram_frac, top_2gram_share)``.
+    """
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    base = docs.select("doc_id", grams.alias("grams"))
+    counts = (
+        base.select("doc_id", F.explode_outer("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_2grams"),
+            F.count(F.when(F.col("gram").isNotNull(), 1)).alias("n_distinct"),
+            F.max(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0))
+            .alias("top_c"),
+        )
+    )
+    z = F.greatest(F.col("n_2grams"), F.lit(1))
+    return counts.select(
+        "doc_id",
+        "n_2grams",
+        F.round((F.col("n_2grams") - F.col("n_distinct")) / z, 6).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(F.col("top_c") / z, 6).alias("top_2gram_share"),
+    )
+
+
 PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"

@@ -815,3 +815,22 @@ def test_ivf_rerank_modes_identical(spark):
     assert {tuple(r) for r in c.collect()} == rows_a
     with pytest.raises(ValueError):
         ivf_topk(emb, qs, rerank="nope").collect()
+
+
+def test_repetition_ratios(spark):
+    from pregel_rs_spark.operators.text import repetition_ratios
+
+    rows = [
+        (1, "a b a b a", "en", "s", 9),       # grams: ab ba ab ba
+        (2, "w x y z", "en", "s", 7),         # all distinct
+        (3, "", "en", "s", 0),                # no grams
+        (4, "solo", "en", "s", 4),            # single word: no grams
+        (5, "t t t t", "en", "s", 7),         # one gram repeated 3x
+    ]
+    r = {x.doc_id: x for x in repetition_ratios(
+        spark.createDataFrame(rows, DOCS_SCHEMA)).collect()}
+    assert (r[1].n_2grams, r[1].dup_2gram_frac, r[1].top_2gram_share) == (4, 0.5, 0.5)
+    assert (r[2].n_2grams, r[2].dup_2gram_frac, r[2].top_2gram_share) == (3, 0.0, round(1/3, 6))
+    assert (r[3].n_2grams, r[3].dup_2gram_frac, r[3].top_2gram_share) == (0, 0.0, 0.0)
+    assert (r[4].n_2grams, r[4].top_2gram_share) == (0, 0.0)
+    assert (r[5].n_2grams, r[5].dup_2gram_frac, r[5].top_2gram_share) == (3, round(2/3, 6), 1.0)
