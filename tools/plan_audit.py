@@ -100,6 +100,13 @@ EXPECT: dict[str, dict] = {
     # observability rollup: ONE hash aggregation (partial+final = one
     # exchange); countDistinct adds its expand-aggregate pair, so allow 2
     "corpus_stats": {"read_cols_max": 3, "codegen": True},
+    # 2-gram repetition: explode + one (doc, gram) hash agg — 2-col scan,
+    # equi-only
+    "repetition": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
