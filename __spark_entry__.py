@@ -864,12 +864,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ~F.isnan("distance") & (F.col("distance") != float("inf"))
         ).select("vertex_id", F.round("distance", 6).alias("distance"))
 
+    def link_prediction_q(spark, sf):
+        """Common-neighbors + Adamic-Adar link prediction on the supplier
+        graph: non-adjacent undirected pairs sharing >= 2 neighbors, hub
+        wedge-centers capped at degree 1000 (same guard as cocitation)."""
+        from pregel_rs_spark.algorithms import link_prediction
+
+        return link_prediction(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), min_shared=2
+        )
+
+    def transitivity_q(spark, sf):
+        """Global clustering coefficient (3*triangles / wedges) of the
+        supplier graph — one-row exact-integer summary."""
+        from pregel_rs_spark.algorithms import transitivity
+
+        return transitivity(GraphFrame.from_edges(_edges_sg(spark, sf)))
+
+    def modularity_lpa_q(spark, sf):
+        """Newman-Girvan modularity Q of the 1-round label-propagation
+        partition of the supplier graph — one-row quality score; the label
+        frame is the exact lpa_1round result, so the oracle reuses that
+        row's deterministic-tie-break CTE."""
+        from pregel_rs_spark.algorithms import modularity
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        return modularity(g, label_propagation(g, max_iterations=1))
+
+    def katz_k3_q(spark, sf):
+        """Truncated Katz centrality (beta=0.1, k=3) on the lineitem link
+        graph: exact integer walk counts per level, beta powers built by
+        identical repeated multiplication on both sides."""
+        from pregel_rs_spark.algorithms import katz_centrality
+
+        return katz_centrality(
+            GraphFrame.from_edges(_edges_li(spark, sf)), beta=0.1, k=3
+        )
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
-    # for exactly the first 50 of 57).  The ten never-yet-verified
-    # round-3 additions go FIRST, then the seven that missed an r2 row —
-    # including the two ANN scale paths — then everything else in its
-    # prior relative order, so across rounds every query holds a green row.
+    # for exactly the first 50 of 57).  Never-driver-verified additions go
+    # FIRST (this session's four new rows, then the earlier round-3 batch),
+    # then the seven that missed an r2 row — including the two ANN scale
+    # paths — then everything else in its prior relative order, so across
+    # rounds every query holds a green row.
+    q.update(
+        link_prediction=link_prediction_q,
+        transitivity=transitivity_q,
+        modularity_lpa=modularity_lpa_q,
+        katz_k3=katz_k3_q,
+    )
     q.update(
         kmeans_2iter=kmeans_q,
         ktruss3_r2=ktruss_q,
@@ -2188,5 +2232,106 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vid AS vertex_id, ROUND(MIN(d), 6) AS distance
         FROM reach GROUP BY vid
+    """
+    o["link_prediction"] = f"""
+        WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                   GREATEST(subject, object) AS b
+                   FROM {_SG_SQL} WHERE subject != object),
+        n AS (SELECT a AS z, b AS v FROM c UNION ALL SELECT b, a FROM c),
+        deg AS (SELECT z, COUNT(*) AS deg_z FROM n GROUP BY z),
+        w AS (SELECT n.z, deg.deg_z, n.v FROM n JOIN deg USING (z)
+              WHERE deg.deg_z BETWEEN 2 AND 1000),
+        pairs AS (SELECT l.v AS page_a, r.v AS page_b,
+                         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                         ROUND(SUM(1.0 / LN(l.deg_z)), 6) AS adamic_adar
+                  FROM w l JOIN w r ON l.z = r.z AND l.v < r.v
+                  GROUP BY l.v, r.v)
+        SELECT page_a, page_b, common_neighbors, adamic_adar
+        FROM pairs p
+        WHERE common_neighbors >= 2
+          AND NOT EXISTS (SELECT 1 FROM c
+                          WHERE c.a = p.page_a AND c.b = p.page_b)
+    """
+    o["transitivity"] = f"""
+        WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                   GREATEST(subject, object) AS b
+                   FROM {_SG_SQL} WHERE subject != object),
+        tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM c e1 JOIN c e2 ON e1.b = e2.a
+                JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM tri),
+        deg AS (SELECT vertex_id, COUNT(*) AS d FROM
+                (SELECT a AS vertex_id FROM c UNION ALL SELECT b FROM c)
+                GROUP BY vertex_id),
+        wd AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+               FROM deg)
+        SELECT t.triangles, wd.wedges,
+               CASE WHEN wd.wedges > 0
+                    THEN ROUND(3.0 * t.triangles / wd.wedges, 6)
+                    ELSE 0.0 END AS transitivity
+        FROM t, wd
+    """
+    o["modularity_lpa"] = f"""
+        WITH sym AS (SELECT DISTINCT subject AS src, object AS dst FROM
+                     (SELECT subject, object FROM {_SG_SQL}
+                      UNION ALL
+                      SELECT object, subject FROM {_SG_SQL})),
+        v AS (SELECT DISTINCT src AS vertex_id FROM sym),
+        votes AS (SELECT dst, src AS label FROM sym
+                  UNION ALL SELECT vertex_id, vertex_id FROM v),
+        cnts AS (SELECT dst, label, COUNT(*) AS cnt FROM votes
+                 GROUP BY dst, label),
+        ranked AS (SELECT dst, label,
+                          ROW_NUMBER() OVER (PARTITION BY dst
+                              ORDER BY cnt DESC, label ASC) AS rn
+                   FROM cnts),
+        lab AS (SELECT v.vertex_id, r.label
+                FROM v JOIN ranked r ON r.dst = v.vertex_id AND r.rn = 1),
+        c AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                              GREATEST(subject, object) AS b
+              FROM {_SG_SQL} WHERE subject != object),
+        m AS (SELECT COUNT(*) AS m FROM c),
+        tagged AS (SELECT la.label AS label_a, lb.label AS label_b
+                   FROM c JOIN lab la ON la.vertex_id = c.a
+                          JOIN lab lb ON lb.vertex_id = c.b),
+        sides AS (SELECT label_a AS comm, (label_a = label_b) AS w
+                  FROM tagged
+                  UNION ALL
+                  SELECT label_b, (label_a = label_b) FROM tagged),
+        pc AS (SELECT comm, COUNT(*) AS d_c,
+                      SUM(CASE WHEN w THEN 1 ELSE 0 END) AS w2_c
+               FROM sides GROUP BY comm)
+        SELECT CAST(MAX(m.m) AS BIGINT) AS n_edges_und,
+               CAST(COUNT(*) AS BIGINT) AS n_communities,
+               ROUND(SUM(w2_c / (2.0 * m.m)
+                         - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
+        FROM pc, m
+    """
+    # beta powers written as the same left-associated double products the
+    # engine builds by repeated multiplication (0.1, 0.1*0.1, 0.1*0.1*0.1)
+    o["katz_k3"] = f"""
+        WITH e AS (SELECT DISTINCT subject, object FROM {_EV_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        w1 AS (SELECT v.vertex_id,
+                      COALESCE(x.w, 0) AS w FROM v LEFT JOIN
+               (SELECT object AS vid, COUNT(*) AS w FROM e GROUP BY object) x
+               ON x.vid = v.vertex_id),
+        w2 AS (SELECT v.vertex_id,
+                      COALESCE(x.w, 0) AS w FROM v LEFT JOIN
+               (SELECT e.object AS vid, SUM(w1.w) AS w FROM e
+                JOIN w1 ON w1.vertex_id = e.subject GROUP BY e.object) x
+               ON x.vid = v.vertex_id),
+        w3 AS (SELECT v.vertex_id,
+                      COALESCE(x.w, 0) AS w FROM v LEFT JOIN
+               (SELECT e.object AS vid, SUM(w2.w) AS w FROM e
+                JOIN w2 ON w2.vertex_id = e.subject GROUP BY e.object) x
+               ON x.vid = v.vertex_id)
+        SELECT v.vertex_id,
+               ROUND(0.0 + 0.1 * w1.w + (0.1 * 0.1) * w2.w
+                         + (0.1 * 0.1 * 0.1) * w3.w, 6) AS katz
+        FROM v JOIN w1 USING (vertex_id) JOIN w2 USING (vertex_id)
+               JOIN w3 USING (vertex_id)
     """
     return o

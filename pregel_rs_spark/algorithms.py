@@ -1663,3 +1663,223 @@ def degree_assortativity(graph: GraphFrame) -> DataFrame:
             F.corr(F.col("__od__").cast("double"), F.col("__id__").cast("double")), 6
         ).alias("assortativity"),
     )
+
+
+def _und_simple(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edge table ``(a, b)`` with a < b:
+    self-loops dropped, direction and multiplicity collapsed."""
+    return (
+        edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def link_prediction(
+    graph: GraphFrame,
+    min_shared: int = 1,
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction (Liben-Nowell &
+    Kleinberg 2003; Adamic & Adar 2003 — both public literature) on the
+    undirected simple graph: for every NON-adjacent pair (a, b) sharing
+    ≥ ``min_shared`` neighbors, the number of shared neighbors and the
+    Adamic-Adar score Σ_z 1/ln(deg(z)) over shared neighbors z — the
+    classic "which links are missing" primitive for web/social graphs.
+
+    Scale shape: one undirected-degree hash agg, one self equi-join of
+    the neighbor table on the wedge CENTER, one pair aggregation, one
+    anti-join against the edge set — all key-partitioned, nothing
+    collected.  The blow-up knob is a hub center z of degree d emitting
+    C(d, 2) candidate pairs, so centers with degree > ``max_degree`` are
+    dropped first — the same guard as :func:`cocitation_pairs`
+    ``max_out_degree`` and the LSH ``max_bucket`` cap (a 10^5-degree
+    hub contributes ~5·10^9 pairs and no per-pair signal).  Every shared
+    neighbor that survives has degree ≥ 2 (it touches both a and b), so
+    1/ln(deg) is always finite.
+
+    Returns ``(page_a, page_b, common_neighbors, adamic_adar)`` with
+    page_a < page_b, scores rounded 6 dp (engine-portable).
+    """
+    und = _und_simple(graph.edges)
+    nbrs = und.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = nbrs.groupBy("z").agg(F.count(F.lit(1)).alias("deg_z"))
+    centers = deg.filter(
+        (F.col("deg_z") >= 2) & (F.col("deg_z") <= max_degree)
+    )
+    wedges = nbrs.join(centers, "z")
+    lhs = wedges.select("z", "deg_z", F.col("v").alias("page_a"))
+    rhs = wedges.select("z", F.col("v").alias("page_b"))
+    pairs = (
+        lhs.join(rhs, "z")
+        .filter(F.col("page_a") < F.col("page_b"))
+        .groupBy("page_a", "page_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("deg_z").cast("double"))), 6
+            ).alias("adamic_adar"),
+        )
+        .filter(F.col("common_neighbors") >= min_shared)
+    )
+    existing = und.select(
+        F.col("a").alias("page_a"), F.col("b").alias("page_b")
+    )
+    return pairs.join(existing, ["page_a", "page_b"], "left_anti")
+
+
+def transitivity(graph: GraphFrame) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3·triangles / wedges
+    on the undirected simple graph — the one-row corpus summary companion
+    to the per-vertex :func:`clustering_coefficient` (Newman 2003).
+
+    Pure composition: the degree-ordered O(m^1.5) triangle pipeline plus
+    one undirected-degree hash agg; wedges = Σ_v C(deg(v), 2) is computed
+    from the degree table, never enumerated.  Both counts are exact
+    integers; the ratio is a single IEEE double division, rounded 6 dp.
+
+    Returns one row ``(triangles, wedges, transitivity)``; transitivity is
+    0.0 on a wedge-free graph.
+    """
+    und = _und_simple(graph.edges)
+    tri_total = _triangles_from_undirected(und).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    d = F.col("deg")
+    wedge_total = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum((d * (d - F.lit(1))) / F.lit(2)).cast("long").alias("wedges"))
+    )
+    w = F.col("wedges")
+    return (
+        tri_total.crossJoin(wedge_total)  # two 1-row frames — not a data join
+        .select(
+            "triangles",
+            "wedges",
+            F.when(
+                w > 0,
+                F.round(F.lit(3.0) * F.col("triangles") / w, 6),
+            ).otherwise(F.lit(0.0)).alias("transitivity"),
+        )
+    )
+
+
+def modularity(graph: GraphFrame, labels: DataFrame) -> DataFrame:
+    """Newman-Girvan modularity Q of a vertex labeling on the undirected
+    simple graph: Q = Σ_c [ m_c/m − (d_c / 2m)² ] where m is the total
+    undirected edge count, m_c the edges with both endpoints in community
+    c, and d_c the total undirected degree of c — the standard quality
+    score for :func:`label_propagation` / :func:`connected_components`
+    partitions (Newman & Girvan 2004, public literature).
+
+    ``labels`` is any ``(vertex_id, label)`` frame covering the graph's
+    vertices (extra vertices are ignored; a graph vertex absent from
+    ``labels`` forms its own singleton community for the degree term and
+    contributes no within edge — Q stays well-defined).
+
+    Scale shape: two label joins onto the edge table (vertex-hash keyed,
+    broadcast-able when the label frame is small), two hash aggs, one
+    O(#communities) reduction to a single row — no windows, no collect.
+
+    Returns one row ``(n_edges_und, n_communities, modularity)`` rounded
+    6 dp; modularity is NULL on an edgeless graph.
+    """
+    und = _und_simple(graph.edges)
+    la = labels.select(
+        F.col(VERTEX_ID).alias("a"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col(VERTEX_ID).alias("b"), F.col("label").alias("label_b")
+    )
+    tagged = und.join(la, "a", "left").join(lb, "b", "left")
+    # Unlabeled endpoints become singleton communities keyed by vertex id;
+    # struct(is_fallback, id) keeps them disjoint from real labels.
+    ca = F.when(
+        F.col("label_a").isNotNull(),
+        F.struct(F.lit(0).alias("f"), F.col("label_a").alias("k")),
+    ).otherwise(F.struct(F.lit(1).alias("f"), F.col("a").alias("k")))
+    cb = F.when(
+        F.col("label_b").isNotNull(),
+        F.struct(F.lit(0).alias("f"), F.col("label_b").alias("k")),
+    ).otherwise(F.struct(F.lit(1).alias("f"), F.col("b").alias("k")))
+    sides = tagged.select(ca.alias("ca"), cb.alias("cb"))
+    per_comm = (
+        sides.select(F.col("ca").alias("c"), (F.col("ca") == F.col("cb")).alias("w"))
+        .unionAll(
+            sides.select(F.col("cb").alias("c"), (F.col("ca") == F.col("cb")).alias("w"))
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("d_c"),
+            # within edges counted once per endpoint → sum(w)/2 per community
+            F.sum(F.col("w").cast("long")).alias("w2_c"),
+        )
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        per_comm.crossJoin(m)  # 1-row m broadcast onto the community rollup
+        .agg(
+            F.first("m").cast("long").alias("n_edges_und"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(
+                F.sum(
+                    F.col("w2_c") / (F.lit(2.0) * F.col("m"))
+                    - (F.col("d_c") / (F.lit(2.0) * F.col("m"))) ** F.lit(2)
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def katz_centrality(
+    graph: GraphFrame, beta: float = 0.1, k: int = 3
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): score(v) = Σ_{i=1..k} β^i ·
+    walks_i(v) where walks_i(v) counts directed walks of length i ENDING
+    at v — PageRank's un-normalized cousin, a standard web-authority
+    signal.  Finite k keeps every term an exact integer count, so results
+    are engine-portable (the β^i weights are built by repeated
+    multiplication on both sides).
+
+    Scale shape: per level one equi-join of the walk-count state onto the
+    distinct edge table + one hash agg on the destination — the same
+    message-shuffle shape as a Pregel superstep; state is one long per
+    vertex, plans truncated per level so lineage stays O(1).
+
+    Returns ``(vertex_id, katz)`` for all vertices, rounded 6 dp.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = graph.edges.select(SUBJECT, OBJECT).distinct()
+    w = graph.vertices.select(VERTEX_ID, F.lit(1).cast("long").alias("w"))
+    score = graph.vertices.select(VERTEX_ID, F.lit(0.0).alias("katz"))
+    beta_i = 1.0
+    for _ in range(k):
+        beta_i = beta_i * beta
+        msgs = (
+            e.join(w, e[SUBJECT] == w[VERTEX_ID])
+            .groupBy(F.col(OBJECT).alias(VERTEX_ID))
+            .agg(F.sum("w").alias("w"))
+        )
+        w = truncate_plan(
+            graph.vertices.select(VERTEX_ID)
+            .join(msgs, VERTEX_ID, "left")
+            .select(VERTEX_ID, F.coalesce(F.col("w"), F.lit(0)).alias("w"))
+        )
+        score = truncate_plan(
+            score.join(w, VERTEX_ID)
+            .select(
+                VERTEX_ID,
+                (F.col("katz") + F.lit(beta_i) * F.col("w")).alias("katz"),
+            )
+        )
+    return score.select(VERTEX_ID, F.round("katz", 6).alias("katz"))

@@ -944,3 +944,108 @@ def test_k_truss_peels_to_fixpoint(spark):
     assert t4c == []  # neither triangle has edge-support 2 → all peeled
     with pytest.raises(ValueError):
         k_truss(g, k=1)
+
+
+def test_link_prediction_scores_and_hub_cap(spark):
+    """Square 1-2-3-4 + diagonal 1-3 + pendant 5-1: scores match the
+    closed-form Adamic-Adar sums; a low max_degree drops hub centers."""
+    import math
+
+    from pregel_rs_spark.algorithms import link_prediction
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {
+        (r.page_a, r.page_b): (r.common_neighbors, r.adamic_adar)
+        for r in link_prediction(g).collect()
+    }
+    aa4 = round(1 / math.log(4), 6)
+    # (2,4) share {1 (deg 4), 3 (deg 3)}; (x,5) share only hub 1
+    assert got == {
+        (2, 4): (2, round(1 / math.log(4) + 1 / math.log(3), 6)),
+        (2, 5): (1, aa4),
+        (3, 5): (1, aa4),
+        (4, 5): (1, aa4),
+    }
+    # adjacent pairs never appear even when they share neighbors
+    assert (1, 3) not in got and (1, 2) not in got
+    # capping centers at degree 3 removes hub 1 — only (2,4) survives
+    # via center 3, with one fewer shared neighbor
+    capped = {
+        (r.page_a, r.page_b): (r.common_neighbors, r.adamic_adar)
+        for r in link_prediction(g, max_degree=3).collect()
+    }
+    assert capped == {(2, 4): (1, round(1 / math.log(3), 6))}
+
+
+def test_transitivity_exact(spark):
+    from pregel_rs_spark.algorithms import transitivity
+
+    # square + diagonal + pendant: 2 triangles, 11 wedges
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    row = transitivity(g).collect()[0]
+    assert (row.triangles, row.wedges) == (2, 11)
+    assert row.transitivity == round(6 / 11, 6)
+    # wedge-free graph (single edge) → 0.0, not NULL/div-by-zero
+    g2 = GraphFrame.from_edges(
+        spark.createDataFrame([(1, 2)], "subject long, object long")
+    )
+    row2 = transitivity(g2).collect()[0]
+    assert (row2.triangles, row2.wedges, row2.transitivity) == (0, 0, 0.0)
+
+
+def test_modularity_two_cliques(spark):
+    """Two K3 cliques joined by one bridge edge: the natural partition
+    scores the textbook Q; the all-one-community labeling scores 0."""
+    from pregel_rs_spark.algorithms import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)],
+        "vertex_id long, label long",
+    )
+    row = modularity(g, labels).collect()[0]
+    # m=7; within: c1=3, c2=3; d_1=7, d_2=7
+    # Q = (3/7 - (7/14)^2) + (3/7 - (7/14)^2) = 6/7 - 1/2
+    assert row.n_edges_und == 7 and row.n_communities == 2
+    assert row.modularity == round(6 / 7 - 0.5, 6)
+    one = spark.createDataFrame(
+        [(v, 9) for v in range(1, 7)], "vertex_id long, label long"
+    )
+    assert modularity(g, one).collect()[0].modularity == 0.0
+    # unlabeled vertices fall back to singleton communities: labeling
+    # only clique 1 leaves 4,5,6 as singletons with d_c but no within edge
+    part = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "vertex_id long, label long"
+    )
+    rowp = modularity(g, part).collect()[0]
+    assert rowp.n_communities == 4
+    # Q = (3/7 - (7/14)^2) + 3 singletons with within=0:
+    #     4: d=3 → -(3/14)^2 ; 5: d=2 ; 6: d=2
+    expected = (3 / 7 - 0.25) - (3 / 14) ** 2 - 2 * (2 / 14) ** 2
+    assert abs(rowp.modularity - expected) < 2e-6
+
+
+def test_katz_centrality_walk_counts(spark):
+    """Directed 5-vertex fixture: scores equal the hand-enumerated
+    beta-weighted walk counts; k validation raises."""
+    import pytest as _pytest
+
+    from pregel_rs_spark.algorithms import katz_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {r.vertex_id: r.katz for r in katz_centrality(g, 0.1, 3).collect()}
+    assert got == {1: 0.212, 2: 0.121, 3: 0.233, 4: 0.123, 5: 0.0}
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        katz_centrality(g, 0.1, 0)
