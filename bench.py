@@ -263,6 +263,26 @@ def main() -> None:
         ),
     )
 
+    from pregel_rs_spark.algorithms import katz_centrality, link_prediction
+
+    # max_degree=100 exercises the hub-cap path: every supplier-side hub
+    # (degree ~|lineitem|/|supplier|) is dropped, order-side wedge centers
+    # (degree ~4) generate the pairs — the shape a capped 100 TB run has.
+    bench(
+        "link_prediction",
+        lambda: _consume(
+            link_prediction(
+                GraphFrame.from_edges(li_edges), min_shared=2, max_degree=100
+            )
+        ),
+    )
+    bench(
+        "katz_k3",
+        lambda: _consume(
+            katz_centrality(GraphFrame.from_edges(li_edges), beta=0.1, k=3)
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",

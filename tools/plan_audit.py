@@ -107,6 +107,18 @@ EXPECT: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct"],
     },
+    # link prediction: wedge-center self equi-join after the hub cap,
+    # anti-join on the pair key — never all-pairs
+    "link_prediction": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # transitivity: triangle pipeline + degree agg; the only join of
+    # 1-row frames must broadcast, never enumerate
+    "transitivity": {"read_cols_max": 2, "forbid": ["CartesianProduct"]},
+    # modularity: two label equi-joins + community rollup; the 1-row m
+    # frame broadcasts
+    "modularity_lpa": {"forbid": ["CartesianProduct"]},
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
