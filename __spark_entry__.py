@@ -901,14 +901,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GraphFrame.from_edges(_edges_li(spark, sf)), beta=0.1, k=3
         )
 
+    def squares_sg_q(spark, sf):
+        """Global 4-cycle (rectangle) count of the supplier graph via the
+        co-degree identity — exact BIGINTs; wedge centers hub-capped at
+        1000 on both sides."""
+        from pregel_rs_spark.algorithms import squares
+
+        return squares(GraphFrame.from_edges(_edges_sg(spark, sf)))
+
+    def effective_diameter_q(spark, sf):
+        """Effective diameter (q=0.9) over the k=2 HyperBall rounds on the
+        supplier graph: per-round NF totals are ×1e6 scaled-integer sums
+        (order-independent), the interpolation is a fixed IEEE-double
+        sequence — fully SQL-replayable."""
+        from pregel_rs_spark.algorithms import effective_diameter_frame
+
+        return effective_diameter_frame(
+            GraphFrame.from_edges(_edges_sg(spark, sf)),
+            k=2, q=0.9, log2m=5, portable=True,
+        )
+
+    def url_normalized_q(spark, sf):
+        """RFC 3986 syntax normalization of deterministically-messy urls
+        built from doc_id (mixed case, default/explicit ports, fragments,
+        empty paths) — map-only Catalyst, oracle replays the same logic."""
+        from pregel_rs_spark.functions.extract import url_normalize
+
+        docs = load_table(spark, sf, "documents")
+        did = F.col("doc_id")
+        messy = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTP://WWW.Example"),
+                (did % 50).cast("string"),
+                F.lit(".COM"),
+                F.when(did % 4 == 0, ":80")
+                .when(did % 4 == 1, ":8080")
+                .otherwise(""),
+                F.when(did % 3 == 0, "")
+                .when(
+                    did % 3 == 1,
+                    F.concat(F.lit("/Path/To/"), did.cast("string")),
+                )
+                .otherwise("/"),
+                F.when(did % 5 == 0, "#Fragment").otherwise(""),
+            ).alias("url"),
+        )
+        return messy.select(
+            "doc_id", url_normalize(F.col("url")).alias("url_norm")
+        )
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  Never-driver-verified additions go
-    # FIRST (this session's four new rows, then the earlier round-3 batch),
+    # FIRST (this session's seven new rows, then the earlier round-3 batch),
     # then the seven that missed an r2 row — including the two ANN scale
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        squares_sg=squares_sg_q,
+        effective_diameter_k2=effective_diameter_q,
+        url_normalized=url_normalized_q,
         link_prediction=link_prediction_q,
         transitivity=transitivity_q,
         modularity_lpa=modularity_lpa_q,
@@ -1861,6 +1914,35 @@ def oracle_sql() -> dict[str, str]:
                    AS harmonic
         FROM e0 JOIN e1 USING (vertex_id) JOIN e2 USING (vertex_id)
     """
+    # NF totals: per-vertex estimates rounded at 1e-6 and summed as ×1e6
+    # SCALED INTEGERS (exact BIGINT addition — order-independent, so the
+    # sum is engine-portable); target/interpolation forced to DOUBLE
+    # (CAST(0.9 AS DOUBLE) — a bare 0.9 is DECIMAL in DuckDB) so every
+    # float op is the same IEEE sequence the Spark plan runs
+    o["effective_diameter_k2"] = f"""
+        WITH {_HB_CTES_TMPL.format(edges_sql=_SG_SQL)},
+        e0 AS (SELECT * FROM {_hb_est('s0')}),
+        e1 AS (SELECT * FROM {_hb_est('s1')}),
+        e2 AS (SELECT * FROM {_hb_est('s2')}),
+        n0 AS (SELECT SUM(CAST(ROUND(est * 1000000.0, 0) AS BIGINT)) AS nf
+               FROM e0),
+        n1 AS (SELECT SUM(CAST(ROUND(est * 1000000.0, 0) AS BIGINT)) AS nf
+               FROM e1),
+        n2 AS (SELECT SUM(CAST(ROUND(est * 1000000.0, 0) AS BIGINT)) AS nf
+               FROM e2),
+        t AS (SELECT nf AS nf_final, nf * CAST(0.9 AS DOUBLE) AS target
+              FROM n2)
+        SELECT CAST(CASE WHEN n0.nf >= t.target THEN 0
+                         WHEN n1.nf >= t.target THEN 1
+                         ELSE 2 END AS BIGINT) AS hop_reached,
+               CAST(t.nf_final AS BIGINT) AS nf_final_scaled,
+               ROUND(CASE WHEN n0.nf >= t.target THEN 0.0
+                          WHEN n1.nf >= t.target
+                          THEN (1 - 1) + (t.target - n0.nf) / (n1.nf - n0.nf)
+                          ELSE (2 - 1) + (t.target - n1.nf) / (n2.nf - n1.nf)
+                     END, 6) AS effective_diameter
+        FROM n0, n1, n2, t
+    """
     o["degree_histogram"] = f"""
         WITH v AS (SELECT DISTINCT vertex_id FROM
                    (SELECT subject AS vertex_id FROM {_DH_SQL}
@@ -2333,5 +2415,53 @@ def oracle_sql() -> dict[str, str]:
                          + (0.1 * 0.1 * 0.1) * w3.w, 6) AS katz
         FROM v JOIN w1 USING (vertex_id) JOIN w2 USING (vertex_id)
                JOIN w3 USING (vertex_id)
+    """
+    o["squares_sg"] = f"""
+        WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                   GREATEST(subject, object) AS b
+                   FROM {_SG_SQL} WHERE subject != object),
+        n AS (SELECT a AS z, b AS v FROM c UNION ALL SELECT b, a FROM c),
+        ctr AS (SELECT z FROM (SELECT z, COUNT(*) AS d FROM n GROUP BY z)
+                WHERE d BETWEEN 2 AND 1000),
+        w AS (SELECT n.z, n.v FROM n JOIN ctr USING (z)),
+        p AS (SELECT l.v AS u, r.v AS v2, COUNT(*) AS cn
+              FROM w l JOIN w r ON l.z = r.z AND l.v < r.v
+              GROUP BY l.v, r.v),
+        s AS (SELECT CAST(SUM((cn * (cn - 1)) // 2) AS BIGINT)
+                  AS wedge_pairs FROM p)
+        SELECT wedge_pairs, CAST(wedge_pairs // 2 AS BIGINT) AS squares
+        FROM s
+    """
+    # the same RFC 3986 normalization logic, written independently in SQL
+    # (no capture-group backreferences — portable regex surface only)
+    o["url_normalized"] = """
+        WITH m AS (SELECT doc_id,
+            'HTTP://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+            || CASE WHEN doc_id % 4 = 0 THEN ':80'
+                    WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0 THEN ''
+                    WHEN doc_id % 3 = 1
+                    THEN '/Path/To/' || CAST(doc_id AS VARCHAR)
+                    ELSE '/' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#Fragment' ELSE '' END AS url
+            FROM documents),
+        x AS (SELECT doc_id, url,
+                     regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS sh
+              FROM m),
+        y AS (SELECT doc_id, url, sh, lower(sh) AS shl,
+                     regexp_replace(substr(url, length(sh) + 1),
+                                    '#.*', '') AS rest
+              FROM x)
+        SELECT doc_id,
+               CASE WHEN sh = '' THEN url ELSE
+                   (CASE WHEN shl LIKE 'http://%' AND shl LIKE '%:80'
+                         THEN substr(shl, 1, length(shl) - 3)
+                         WHEN shl LIKE 'https://%' AND shl LIKE '%:443'
+                         THEN substr(shl, 1, length(shl) - 4)
+                         ELSE shl END)
+                   || (CASE WHEN rest = '' THEN '/' ELSE rest END)
+               END AS url_norm
+        FROM y
     """
     return o

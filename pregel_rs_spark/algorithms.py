@@ -1883,3 +1883,138 @@ def katz_centrality(
             )
         )
     return score.select(VERTEX_ID, F.round("katz", 6).alias("katz"))
+
+
+def squares(graph: GraphFrame, max_degree: int = 1000) -> DataFrame:
+    """Global 4-cycle (rectangle) count on the undirected simple graph via
+    co-degrees: every 4-cycle u–x–v–y has exactly two opposite pairs
+    ({u,v} and {x,y}), and a pair with c common neighbors anchors
+    C(c, 2) rectangles — so squares = Σ_{u<v} C(codeg(u,v), 2) / 2
+    (Chiba & Nishizeki 1985's rectangle identity; public literature).
+    With triangles (:func:`transitivity`) this is the standard pair of
+    small-motif densities for web-graph characterization.
+
+    Scale shape: the same hub-capped wedge pipeline as
+    :func:`link_prediction` — one undirected-degree agg, one self
+    equi-join on the wedge CENTER, one pair agg, one O(1) reduction.
+    Wedge centers with degree > ``max_degree`` are dropped first (a
+    degree-d center emits C(d, 2) pair rows), so with the cap active the
+    count is over bounded-degree centers only — exact whenever no center
+    exceeds the cap, a documented undercount otherwise (the same
+    contract as ``cocitation_pairs``).  Integer math throughout; the
+    final halving is integer ``DIV`` (each rectangle is seen once per
+    opposite pair whose two CENTERS both pass the cap).
+
+    Returns one row ``(wedge_pairs, squares)`` — both exact BIGINTs.
+    """
+    und = _und_simple(graph.edges)
+    nbrs = und.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    centers = (
+        nbrs.groupBy("z")
+        .agg(F.count(F.lit(1)).alias("deg_z"))
+        .filter((F.col("deg_z") >= 2) & (F.col("deg_z") <= max_degree))
+        .select("z")
+    )
+    wedges = nbrs.join(centers, "z")
+    pairs = (
+        wedges.select("z", F.col("v").alias("u"))
+        .join(wedges.select("z", F.col("v").alias("w")), "z")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pairs.agg(
+        F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("long").alias("wedge_pairs")
+    ).select(
+        "wedge_pairs",
+        F.expr("wedge_pairs DIV 2").cast("long").alias("squares"),
+    )
+
+
+def neighborhood_function_frame(
+    graph: GraphFrame, k: int, log2m: int = 7, portable: bool = False
+) -> DataFrame:
+    """Neighborhood function N(t) for t = 0..k as a DataFrame (ANF,
+    Palmer et al. 2002, via HyperBall): N(t) = Σ_v |ball_t(v)| estimated
+    from the HLL register table after each round.
+
+    Portability: each per-vertex estimate is rounded at 1e-6 and summed
+    as a SCALED INTEGER (×10^6, exact BIGINT addition) — a float sum's
+    value depends on reduction order, the integer sum does not, so the
+    frame is bit-deterministic under any partitioning and has an exact
+    SQL oracle.  Each round's one-row total is materialized before the
+    next round advances (the register table's blocks are freed
+    round-over-round); driver state is O(k) rows, never per-vertex.
+
+    Returns ``(hop, nf)`` with k+1 rows; ``nf`` is N(hop) × 10^6.
+    """
+    rows = []
+    for t, sketch in enumerate(_hyperball_rounds(graph, k, log2m, portable)):
+        rows.append(
+            truncate_plan(
+                _hll_estimates(sketch, log2m)
+                .agg(
+                    F.sum(
+                        F.round(F.col("ball_size_est") * F.lit(1000000.0), 0)
+                        .cast("long")
+                    ).alias("nf")
+                )
+                .select(F.lit(t).cast("long").alias("hop"), "nf")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def effective_diameter_frame(
+    graph: GraphFrame,
+    k: int,
+    q: float = 0.9,
+    log2m: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """Effective diameter as a one-row DataFrame: the interpolated hop
+    count x where N(x) first reaches ``q`` of N(k), computed from
+    :func:`neighborhood_function_frame`'s exact-integer totals — the
+    collect-free, oracle-checkable companion to
+    :func:`effective_diameter` (which early-stops on convergence and
+    returns a driver-side dict).
+
+    All arithmetic after the integer NF totals is a fixed sequence of
+    IEEE-double ops on identical inputs, so the rounded result is
+    engine-portable.  The window/lag runs over a (k+1)-row frame — O(k)
+    driver-independent rows, never per-vertex data.
+
+    Returns one row ``(hop_reached, nf_final_scaled,
+    effective_diameter)``.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0,1], got {q}")
+    nf = neighborhood_function_frame(graph, k, log2m, portable)
+    nfw = nf.withColumn("prev_nf", F.lag("nf").over(Window.orderBy("hop")))
+    tgt = nf.agg(F.max_by("nf", "hop").alias("nf_final")).select(
+        "nf_final", (F.col("nf_final") * F.lit(q)).alias("target")
+    )
+    hit = (
+        nfw.crossJoin(tgt)  # 1-row target onto a (k+1)-row frame
+        .filter(F.col("nf") >= F.col("target"))
+        .orderBy("hop")
+        .limit(1)
+    )
+    interp = (F.col("hop") - F.lit(1)) + (
+        (F.col("target") - F.col("prev_nf"))
+        / (F.col("nf") - F.col("prev_nf"))
+    )
+    return hit.select(
+        F.col("hop").alias("hop_reached"),
+        F.col("nf_final").alias("nf_final_scaled"),
+        F.round(
+            F.when(F.col("hop") == 0, F.lit(0.0)).otherwise(interp), 6
+        ).alias("effective_diameter"),
+    )

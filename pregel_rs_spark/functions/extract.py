@@ -301,3 +301,42 @@ def domain_stats(pages: DataFrame) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+# scheme://host[:port] prefix of an absolute url (no path/query/fragment)
+_SCHEME_HOST_PATTERN = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+def url_normalize(col) -> "F.Column":
+    """Canonical form of an absolute url — the standard crawl-frontier /
+    URL-dedup normalization (RFC 3986 §6 syntax-based normalization,
+    public spec): lowercase the scheme and authority, drop the fragment,
+    drop an explicit default port (``:80`` for http, ``:443`` for
+    https), and canonicalize an empty path to ``/``.  Query strings and
+    path case are preserved (they are significant).  Non-absolute inputs
+    pass through unchanged.
+
+    Pure Catalyst (``regexp_extract``/``regexp_replace``/string ops, no
+    capture-group backreferences) — stays inside whole-stage codegen and
+    is replayable verbatim by the DuckDB oracle.  Map-only: at 100 TB
+    this is a zero-shuffle scan, the cheap first stage before the
+    url-keyed dedup/recrawl shuffles.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    sh = F.regexp_extract(u, _SCHEME_HOST_PATTERN, 1)
+    shl = F.lower(sh)
+    sh_norm = (
+        F.when(
+            shl.startswith("http://") & shl.endswith(":80"),
+            F.substring(shl, F.lit(1), F.length(shl) - F.lit(3)),
+        )
+        .when(
+            shl.startswith("https://") & shl.endswith(":443"),
+            F.substring(shl, F.lit(1), F.length(shl) - F.lit(4)),
+        )
+        .otherwise(shl)
+    )
+    rest = F.substring(u, F.length(sh) + F.lit(1), F.length(u))
+    rest_nofrag = F.regexp_replace(rest, r"#.*", "")
+    path = F.when(rest_nofrag == "", F.lit("/")).otherwise(rest_nofrag)
+    return F.when(sh == "", u).otherwise(F.concat(sh_norm, path))

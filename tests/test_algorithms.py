@@ -1049,3 +1049,67 @@ def test_katz_centrality_walk_counts(spark):
     assert got == {1: 0.212, 2: 0.121, 3: 0.233, 4: 0.123, 5: 0.0}
     with _pytest.raises(ValueError, match="k must be >= 1"):
         katz_centrality(g, 0.1, 0)
+
+
+def test_squares_counts_and_hub_cap(spark):
+    """K4 has 3 rectangles, C4 has 1, a chorded square still 1; a tight
+    center cap produces the documented undercount."""
+    from pregel_rs_spark.algorithms import squares
+
+    def g(edges):
+        return GraphFrame.from_edges(
+            spark.createDataFrame(edges, "subject long, object long")
+        )
+
+    k4 = g([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = squares(k4).collect()[0]
+    assert (row.wedge_pairs, row.squares) == (6, 3)
+    c4 = g([(1, 2), (2, 3), (3, 4), (4, 1)])
+    row = squares(c4).collect()[0]
+    assert (row.wedge_pairs, row.squares) == (2, 1)
+    chorded = g([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    row = squares(chorded).collect()[0]
+    assert (row.wedge_pairs, row.squares) == (2, 1)
+    # cap at 2 drops the degree-3 centers 1 and 3: only the (1,3) pair
+    # survives via centers 2 and 4 — wedge_pairs 1, squares floor to 0
+    row = squares(chorded, max_degree=2).collect()[0]
+    assert (row.wedge_pairs, row.squares) == (1, 0)
+    path = g([(1, 2), (2, 3)])
+    row = squares(path).collect()[0]
+    assert (row.wedge_pairs, row.squares) == (0, 0)
+
+
+def test_effective_diameter_frame_matches_dict(spark):
+    """The collect-free frame version agrees with the driver-side dict
+    version (same rounds, same estimator) within the 1e-6-per-vertex
+    scaled-integer rounding; NF totals are monotone."""
+    import pytest as _pytest
+
+    from pregel_rs_spark.algorithms import (
+        effective_diameter,
+        effective_diameter_frame,
+        neighborhood_function_frame,
+    )
+
+    edges = [(i, (i + 1) % 8) for i in range(8)]  # directed 8-cycle
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    nf = {
+        r.hop: r.nf
+        for r in neighborhood_function_frame(
+            g, k=4, log2m=5, portable=True
+        ).collect()
+    }
+    assert sorted(nf) == [0, 1, 2, 3, 4]
+    assert all(nf[t + 1] >= nf[t] for t in range(4))
+    row = effective_diameter_frame(
+        g, k=4, q=0.9, log2m=5, portable=True
+    ).collect()[0]
+    ref = effective_diameter(
+        g, q=0.9, max_k=4, log2m=5, portable=True, rel_stop=0.0
+    )
+    assert row.nf_final_scaled == nf[4]
+    assert abs(row.effective_diameter - ref["effective_diameter"]) < 1e-3
+    with _pytest.raises(ValueError, match="q must be"):
+        effective_diameter_frame(g, k=2, q=0.0)

@@ -288,3 +288,24 @@ def test_anchor_oracle_parquet_fresh():
               for c in ("src_url", "dst_url", "anchor")))
     )
     assert committed == expected_anchors(2000, 42)
+
+
+def test_url_normalize_cases(spark):
+    """RFC 3986 syntax normalization: case, default ports, fragments,
+    empty path; query and path case preserved; non-urls pass through."""
+    from pregel_rs_spark.functions.extract import url_normalize
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/To#frag", "http://www.example.com/Path/To"),
+        ("https://Host.com:443", "https://host.com/"),
+        ("http://h.com:8080/a?q=B#x", "http://h.com:8080/a?q=B"),
+        ("ftp://H.com/", "ftp://h.com/"),
+        ("http://h.com", "http://h.com/"),
+        ("HTTPS://A.B.C:443/X/../Y?Z=1", "https://a.b.c/X/../Y?Z=1"),
+        ("not a url", "not a url"),
+        ("/relative/path#f", "/relative/path#f"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    got = df.select("url", "expected", url_normalize("url").alias("norm"))
+    for r in got.collect():
+        assert r.norm == r.expected, f"{r.url!r}: {r.norm!r} != {r.expected!r}"

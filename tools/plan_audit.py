@@ -119,6 +119,17 @@ EXPECT: dict[str, dict] = {
     # modularity: two label equi-joins + community rollup; the 1-row m
     # frame broadcasts
     "modularity_lpa": {"forbid": ["CartesianProduct"]},
+    # rectangle count: hub-capped wedge self equi-join, never all-pairs
+    "squares_sg": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # url normalization is a pure map: ONE 1-col scan, zero Exchanges
+    "url_normalized": {
+        "read_cols_max": 1,
+        "codegen": True,
+        "forbid": ["Exchange"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
