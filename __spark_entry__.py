@@ -408,6 +408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "documents"), k=5, threshold=0.4, max_df=50
         )
 
+    def ngram_containment_q(spark, sf):
+        """Asymmetric k-gram containment pairs (doc-inside-doc near-dup);
+        guarded Spark path vs unguarded exact SQL, like ngram_jaccard."""
+        from pregel_rs_spark.operators.dedup import ngram_containment_pairs
+
+        return ngram_containment_pairs(
+            load_table(spark, sf, "documents"), k=5, threshold=0.5, max_df=50
+        )
+
     def simhash_q(spark, sf):
         return simhash(load_table(spark, sf, "documents"))
 
@@ -962,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         squares_sg=squares_sg_q,
         effective_diameter_k2=effective_diameter_q,
         url_normalized=url_normalized_q,
+        ngram_containment=ngram_containment_q,
         link_prediction=link_prediction_q,
         transitivity=transitivity_q,
         modularity_lpa=modularity_lpa_q,
@@ -1427,6 +1437,42 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
         WHERE jac >= 0.4
+    """
+    # unlike the ngram_jaccard row (where the unguarded SQL happens to
+    # equal the guarded result), this oracle REPLICATES the max_df=50
+    # prefix filter — candidates from rare shingles only, exact |A∩B|
+    # re-computed over full shingle sets — so the row verifies the
+    # two-phase guard logic itself, including its documented recall
+    o["ngram_containment"] = f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        shl AS (SELECT sh.doc_id, sh.shingle, d.lang FROM sh
+                JOIN documents d USING (doc_id)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle, lang FROM
+                 (SELECT shingle, lang, COUNT(*) AS df FROM shl
+                  GROUP BY shingle, lang)
+                 WHERE df <= 50),
+        cs AS (SELECT shl.doc_id, shl.shingle, shl.lang
+               FROM shl JOIN rare USING (shingle, lang)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM cs a JOIN cs b
+                   ON a.shingle = b.shingle AND a.lang = b.lang
+                  AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                  FROM cand c
+                  JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b
+                             AND sb.shingle = sa.shingle
+                  GROUP BY c.doc_a, c.doc_b),
+        c AS (SELECT doc_a, doc_b,
+                     CAST(i AS DOUBLE) / sa.sz AS c_ab,
+                     CAST(i AS DOUBLE) / sb.sz AS c_ba
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, ROUND(c_ab, 6) AS cont_a_in_b,
+               ROUND(c_ba, 6) AS cont_b_in_a
+        FROM c WHERE GREATEST(c_ab, c_ba) >= 0.5
     """
     # SimHash: identical bit formula as operators/dedup.simhash
     o["simhash"] = """

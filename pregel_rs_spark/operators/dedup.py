@@ -132,32 +132,22 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_intersections(
     docs: DataFrame,
-    k: int = 5,
-    threshold: float = 0.7,
-    block_cols: tuple[str, ...] = ("lang",),
-    text_col: str = "text",
-    max_df: int | None = None,
+    k: int,
+    block_cols: tuple[str, ...],
+    text_col: str,
+    max_df: int | None,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold, blocked by
-    ``block_cols`` (same-language comparison only by default).
+    """Shared exact-intersection pipeline for the k-gram pair scorers
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
+    candidate pairs from a same-block shingle equi-join — with ``max_df``
+    set, candidates come only from shingles whose per-block document
+    frequency is ≤ max_df (prefix filtering: per-shingle join fan-out
+    bounded by max_df², never O(d²) on boilerplate), and the exact
+    |A∩B| is then re-computed over the candidates' FULL shingle sets.
 
-    |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.  Returns
-    ``(doc_a, doc_b, jaccard)``, doc_a < doc_b.
-
-    ``max_df`` is the web-scale guard (document-frequency filtering, the
-    standard prefix-filter idea): without it, a boilerplate shingle present
-    in d same-block documents contributes O(d²) equi-join rows — unbounded
-    pairwise work at corpus scale.  With ``max_df`` set, CANDIDATE pairs
-    are generated only from shingles whose per-block document frequency is
-    ≤ max_df (per-shingle join fan-out bounded by max_df²), and the exact
-    intersection is then re-computed over the candidates' FULL shingle
-    sets — one row per (candidate pair, shared shingle), linear in
-    candidate count × doc length, never doc×doc.  Jaccard values are
-    exact; the only semantic difference is recall: a pair whose EVERY
-    shared shingle sits in > max_df documents (pure-boilerplate overlap)
-    is not emitted.
+    Returns ``(doc_a, doc_b, inter, sz_a, sz_b)`` with doc_a < doc_b.
     """
     sh = char_shingles(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -207,15 +197,80 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    block_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold, blocked by
+    ``block_cols`` (same-language comparison only by default).
+
+    |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.  Returns
+    ``(doc_a, doc_b, jaccard)``, doc_a < doc_b.
+
+    ``max_df`` is the web-scale guard (document-frequency filtering, the
+    standard prefix-filter idea): without it, a boilerplate shingle present
+    in d same-block documents contributes O(d²) equi-join rows — unbounded
+    pairwise work at corpus scale.  With ``max_df`` set, CANDIDATE pairs
+    are generated only from shingles whose per-block document frequency is
+    ≤ max_df (per-shingle join fan-out bounded by max_df²), and the exact
+    intersection is then re-computed over the candidates' FULL shingle
+    sets — one row per (candidate pair, shared shingle), linear in
+    candidate count × doc length, never doc×doc.  Jaccard values are
+    exact; the only semantic difference is recall: a pair whose EVERY
+    shared shingle sits in > max_df documents (pure-boilerplate overlap)
+    is not emitted.
+    """
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _ngram_pair_intersections(docs, k, block_cols, text_col, max_df)
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    block_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-gram CONTAINMENT (Broder 1997's
+    containment measure; the RefinedWeb/Gopher dedup stack uses it beside
+    Jaccard): C(A→B) = |A∩B| / |A| — the asymmetric score that catches a
+    small document pasted inside a larger one, which symmetric Jaccard
+    dilutes toward 0 as the size ratio grows.  A pair is emitted when
+    EITHER direction reaches ``threshold``.
+
+    Same candidate pipeline and ``max_df`` prefix-filter guard as
+    :func:`ngram_jaccard_pairs` (shared :func:`_ngram_pair_intersections`)
+    — bounded join fan-out, exact intersections over candidates only.
+
+    Returns ``(doc_a, doc_b, cont_a_in_b, cont_b_in_a)``, doc_a < doc_b,
+    scores rounded 6 dp.
+    """
+    pairs = _ngram_pair_intersections(docs, k, block_cols, text_col, max_df)
+    c_ab = F.col("inter") / F.col("sz_a")
+    c_ba = F.col("inter") / F.col("sz_b")
+    return (
+        pairs.filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("cont_a_in_b"),
+            F.round(c_ba, 6).alias("cont_b_in_a"),
+        )
     )
 
 
