@@ -30,7 +30,8 @@ def _build_parser() -> argparse.ArgumentParser:
         "pagerank", "cc", "cc_star", "scc", "lpa", "triangles",
         "clustering", "sssp", "hits", "kcore", "degrees", "histogram",
         "reciprocity", "harmonic", "walks", "cocitation", "coupling",
-        "assortativity", "ktruss",
+        "assortativity", "ktruss", "linkpred", "katz", "squares",
+        "transitivity", "modularity", "effdiam",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -46,11 +47,14 @@ def _build_parser() -> argparse.ArgumentParser:
                          "(incremental crawl update)")
     ap.add_argument("--source", type=int, default=None, help="sssp source")
     ap.add_argument("--min-shared", type=int, default=2,
-                    help="cocitation/coupling: min common neighbors")
+                    help="cocitation/coupling/linkpred: min common neighbors")
     ap.add_argument("--max-degree", type=int, default=1000,
-                    help="cocitation/coupling: hub cap on the join side")
+                    help="cocitation/coupling/linkpred/squares: hub cap")
     ap.add_argument("--k", type=int, default=3,
-                    help="kcore k / harmonic radius / walks length")
+                    help="kcore k / harmonic radius / walks length / "
+                         "katz depth / effdiam rounds")
+    ap.add_argument("--beta", type=float, default=0.1,
+                    help="katz attenuation factor")
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
@@ -146,6 +150,19 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.algo == "assortativity":
         res = A.degree_assortativity(g)
+    elif args.algo == "linkpred":
+        res = A.link_prediction(g, min_shared=args.min_shared,
+                                max_degree=args.max_degree)
+    elif args.algo == "katz":
+        res = A.katz_centrality(g, beta=args.beta, k=args.k)
+    elif args.algo == "squares":
+        res = A.squares(g, max_degree=args.max_degree)
+    elif args.algo == "transitivity":
+        res = A.transitivity(g)
+    elif args.algo == "modularity":
+        res = A.modularity(g, A.label_propagation(g, max_iterations=args.max_iter))
+    elif args.algo == "effdiam":
+        res = A.effective_diameter_frame(g, k=args.k)
     else:  # pragma: no cover - argparse choices guard
         raise AssertionError(args.algo)
 

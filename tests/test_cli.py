@@ -139,3 +139,31 @@ def test_cli_ktruss(spark, tmp_path):
                  "--k", "3", "--cores", "4"]) == 0
     rows = {(r.a, r.b) for r in spark.read.parquet(opath).collect()}
     assert rows == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_cli_round3_graph_summaries(spark, tmp_path):
+    """linkpred/katz/squares/transitivity/modularity/effdiam subcommands
+    round-trip through parquet with the expected schemas."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e3")
+    edges.write.parquet(epath)
+    expect = {
+        "linkpred": {"page_a", "page_b", "common_neighbors", "adamic_adar"},
+        "katz": {"vertex_id", "katz"},
+        "squares": {"wedge_pairs", "squares"},
+        "transitivity": {"triangles", "wedges", "transitivity"},
+        "modularity": {"n_edges_und", "n_communities", "modularity"},
+        "effdiam": {"hop_reached", "nf_final_scaled", "effective_diameter"},
+    }
+    for algo, cols in expect.items():
+        opath = os.path.join(tmp_path, f"out3_{algo}")
+        assert main([
+            algo, "--edges", epath, "--out", opath, "--cores", "4",
+            "--k", "2", "--max-iter", "1",
+        ]) == 0
+        out = spark.read.parquet(opath)
+        assert set(out.columns) == cols, algo
+        assert out.count() >= 1
