@@ -910,6 +910,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GraphFrame.from_edges(_edges_li(spark, sf)), beta=0.1, k=3
         )
 
+    def negative_samples_q(spark, sf):
+        """Deterministic negative-edge samples (2 per vertex, seed 42) on
+        the sparse lineitem order→supplier graph — the contrastive-
+        training counterpart to walks_k3; the two-level vertex index and
+        the arithmetic picker are replayed exactly in SQL.  (The supplier
+        graph is near-complete at sf0.01, so nearly every draw would be
+        a positive — the sparse graph keeps the surviving-negative count
+        substantial at every SF.)"""
+        from pregel_rs_spark.algorithms import negative_edge_samples
+
+        return negative_edge_samples(
+            GraphFrame.from_edges(_edges_li(spark, sf)),
+            n_per_vertex=2, seed=42,
+        )
+
     def squares_sg_q(spark, sf):
         """Global 4-cycle (rectangle) count of the supplier graph via the
         co-degree identity — exact BIGINTs; wedge centers hub-capped at
@@ -968,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        negative_samples=negative_samples_q,
         squares_sg=squares_sg_q,
         effective_diameter_k2=effective_diameter_q,
         url_normalized=url_normalized_q,
@@ -2461,6 +2477,42 @@ def oracle_sql() -> dict[str, str]:
                          + (0.1 * 0.1 * 0.1) * w3.w, 6) AS katz
         FROM v JOIN w1 USING (vertex_id) JOIN w2 USING (vertex_id)
                JOIN w3 USING (vertex_id)
+    """
+    # two-level vertex enumeration (row_number within vid % 64 groups +
+    # cumulative-count offsets) and the arithmetic picker, replayed
+    # verbatim — the enumeration is partitioning-independent by design
+    o["negative_samples"] = f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        loc AS (SELECT vertex_id, vertex_id % 64 AS p,
+                       ROW_NUMBER() OVER (PARTITION BY vertex_id % 64
+                                          ORDER BY vertex_id) - 1 AS r
+                FROM v),
+        cnt AS (SELECT p, COUNT(*) AS c FROM loc GROUP BY p),
+        offs AS (SELECT p,
+                        COALESCE(SUM(c) OVER (ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS off
+                 FROM cnt),
+        idx AS (SELECT loc.vertex_id AS cand_vid,
+                       CAST(offs.off + loc.r AS BIGINT) AS vidx
+                FROM loc JOIN offs USING (p)),
+        t AS (SELECT COUNT(*) AS n_v FROM v),
+        j AS (SELECT UNNEST(generate_series(1, 2)) AS sample_id),
+        d AS (SELECT v.vertex_id AS subject, j.sample_id,
+                     ((v.vertex_id % 999983) * 104729
+                      + j.sample_id * 7919 + 42) % t.n_v AS vidx
+              FROM v CROSS JOIN t CROSS JOIN j),
+        cand AS (SELECT d.subject, idx.cand_vid AS object, d.sample_id
+                 FROM d JOIN idx USING (vidx)
+                 WHERE d.subject != idx.cand_vid)
+        SELECT subject, object, CAST(sample_id AS BIGINT) AS sample_id
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.subject = c.subject
+                            AND e.object = c.object)
     """
     o["squares_sg"] = f"""
         WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,

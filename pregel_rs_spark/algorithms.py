@@ -2018,3 +2018,102 @@ def effective_diameter_frame(
             F.when(F.col("hop") == 0, F.lit(0.0)).otherwise(interp), 6
         ).alias("effective_diameter"),
     )
+
+
+def negative_edge_samples(
+    graph: GraphFrame,
+    n_per_vertex: int = 1,
+    seed: int = 42,
+    index_partitions: int = 64,
+) -> DataFrame:
+    """Deterministic negative-edge sampling — the standard contrastive
+    counterpart to :func:`random_walks` for training link-prediction /
+    graph-embedding models (skip-gram negative sampling, Mikolov et al.
+    2013; GNN link prediction): for every vertex u, propose
+    ``n_per_vertex`` uniform pseudo-random candidate targets from the
+    FULL vertex set, then drop candidates that are self-loops or real
+    edges (anti-join).  The arithmetic picker is the same pure-hash idea
+    as :func:`random_walks`, so the sample is reproducible across
+    engines, partitionings and cluster sizes, and SQL-replayable:
+
+        idx(u, j) = ((u % 999983)·104729 + j·7919 + seed) mod |V|
+
+    picks the idx-th vertex in a deterministic global enumeration.
+
+    The enumeration is the scale-critical piece: a bare ``row_number()
+    over (order by vertex_id)`` sorts every vertex in ONE task, so the
+    index is built two-level instead — ``row_number`` within
+    ``vertex_id % index_partitions`` groups (parallel windows) plus
+    per-group offsets from a cumulative sum over the ``index_partitions``-
+    row count table.  The resulting index is NOT id-sorted but it is a
+    deterministic bijection onto [0, |V|) computable identically in any
+    engine — which is all uniform sampling needs.
+
+    Dropped candidates (positives / self-loops) are NOT re-drawn — the
+    output is a deterministic subset of u's n proposals (expected loss
+    |E|/|V|² per draw, negligible on sparse graphs); callers that need
+    exactly n survivors oversample and trim.  Returns ``(subject,
+    object, sample_id)`` with sample_id in [1, n_per_vertex].
+    """
+    from pyspark.sql.window import Window
+
+    if n_per_vertex < 1:
+        raise ValueError(f"n_per_vertex must be >= 1, got {n_per_vertex}")
+    v = graph.vertices.select(VERTEX_ID)
+    local = v.withColumn("p", F.col(VERTEX_ID) % index_partitions).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("p").orderBy(VERTEX_ID)
+        ).cast("long") - 1,
+    )
+    counts = local.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("p").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("p", "off")
+    idx = local.join(offsets, "p").select(
+        F.col(VERTEX_ID).alias("cand_vid"),
+        (F.col("off") + F.col("r")).alias("vidx"),
+    )
+    total = v.agg(F.count(F.lit(1)).alias("n_v"))
+    draws = (
+        v.crossJoin(total)  # 1-row |V| onto the vertex table
+        .select(
+            F.col(VERTEX_ID).alias("subject"),
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), F.lit(n_per_vertex).cast("long")
+                )
+            ).alias("sample_id"),
+            F.col("n_v"),
+        )
+        .select(
+            "subject",
+            "sample_id",
+            (
+                (
+                    (F.col("subject") % 999983) * 104729
+                    + F.col("sample_id") * 7919
+                    + F.lit(seed)
+                )
+                % F.col("n_v")
+            ).alias("vidx"),
+        )
+    )
+    cand = draws.join(idx, "vidx").select(
+        "subject", F.col("cand_vid").alias("object"), "sample_id"
+    )
+    cand = cand.filter(F.col("subject") != F.col("object"))
+    pos = graph.edges.select(SUBJECT, OBJECT).distinct()
+    return cand.join(
+        pos,
+        (cand["subject"] == pos[SUBJECT]) & (cand["object"] == pos[OBJECT]),
+        "left_anti",
+    )

@@ -1113,3 +1113,44 @@ def test_effective_diameter_frame_matches_dict(spark):
     assert abs(row.effective_diameter - ref["effective_diameter"]) < 1e-3
     with _pytest.raises(ValueError, match="q must be"):
         effective_diameter_frame(g, k=2, q=0.0)
+
+
+def test_negative_edge_samples_deterministic_and_clean(spark):
+    """Negatives are reproducible, never positives/self-loops, follow the
+    documented hash, and are independent of input partitioning."""
+    from pregel_rs_spark.algorithms import negative_edge_samples
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    res = negative_edge_samples(g, n_per_vertex=3, seed=7)
+    got = {(r.subject, r.object, r.sample_id) for r in res.collect()}
+    # python replica: index = rank of vid within (vid % 64) groups plus
+    # offsets — with vids 1..5 and 64 partitions each group is a
+    # singleton, so vidx orders by (vid % 64) = vid itself -> idx i -> vid i+1
+    vids = [1, 2, 3, 4, 5]
+    order = sorted(vids, key=lambda x: (x % 64, x))
+    pos = {(s, o) for s, o in edges}
+    expected = set()
+    for u in vids:
+        for j in (1, 2, 3):
+            cand = order[((u % 999983) * 104729 + j * 7919 + 7) % 5]
+            if cand != u and (u, cand) not in pos:
+                expected.add((u, cand, j))
+    assert got == expected
+    assert all((s, o) not in pos and s != o for s, o, _ in got)
+    # repartitioned input -> identical sample
+    g2 = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+        .repartition(7)
+    )
+    got2 = {
+        (r.subject, r.object, r.sample_id)
+        for r in negative_edge_samples(g2, n_per_vertex=3, seed=7).collect()
+    }
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_per_vertex"):
+        negative_edge_samples(g, n_per_vertex=0)
