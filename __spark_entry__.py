@@ -925,6 +925,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_per_vertex=2, seed=42,
         )
 
+    def trustrank_q(spark, sf):
+        """TrustRank (seed-teleport PageRank, Gyöngyi VLDB'04) on the
+        supplier graph, seeds = vertices with id % 7 == 0, 3 fixed
+        iterations — the join-based teleport path (seed list is a
+        DataFrame, never an isin literal)."""
+        from pregel_rs_spark.algorithms import trustrank
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        seeds = g.vertices.filter(F.col("vertex_id") % 7 == 0)
+        res = trustrank(g, seeds, tol=0.0, max_iterations=3)
+        return res.select(
+            "vertex_id", F.round("rank", 6).alias("trust_rank")
+        )
+
+    def spam_mass_q(spark, sf):
+        """Relative spam mass (Gyöngyi VLDB'06): fraction of PageRank not
+        arriving from the trusted seeds — both rank vectors at k=3 over
+        the same graph."""
+        from pregel_rs_spark.algorithms import spam_mass
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        seeds = g.vertices.filter(F.col("vertex_id") % 7 == 0)
+        res = spam_mass(g, seeds, tol=0.0, max_iterations=3)
+        return res.select(
+            "vertex_id",
+            F.round("rank", 6).alias("rank"),
+            F.round("trust_rank", 6).alias("trust_rank"),
+            F.round("spam_mass", 6).alias("spam_mass"),
+        )
+
     def squares_sg_q(spark, sf):
         """Global 4-cycle (rectangle) count of the supplier graph via the
         co-degree identity — exact BIGINTs; wedge centers hub-capped at
@@ -983,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        trustrank_k3=trustrank_q,
+        spam_mass_k3=spam_mass_q,
         negative_samples=negative_samples_q,
         squares_sg=squares_sg_q,
         effective_diameter_k2=effective_diameter_q,
@@ -2481,6 +2513,64 @@ def oracle_sql() -> dict[str, str]:
     # two-level vertex enumeration (row_number within vid % 64 groups +
     # cumulative-count offsets) and the arithmetic picker, replayed
     # verbatim — the enumeration is partitioning-independent by design
+    # TrustRank: PageRank iteration with the teleport vector p uniform
+    # over seeds (vertex_id % 7 == 0) — both the (1-d) restart and the
+    # dangling mass re-enter through p, exactly as in ppr_k3
+    tr_iter = """
+        , tm{t} AS (SELECT e.object AS vertex_id,
+                          SUM(tr{p}.rank / od.out_degree) AS s
+                   FROM {ev} e
+                   JOIN tr{p} ON e.subject = tr{p}.vertex_id
+                   JOIN od ON e.subject = od.vertex_id
+                   GROUP BY e.object)
+        , td{t} AS (SELECT COALESCE(SUM(tr{p}.rank), 0.0) AS dang FROM tr{p}
+                   LEFT JOIN od ON tr{p}.vertex_id = od.vertex_id
+                   WHERE od.vertex_id IS NULL)
+        , tr{t} AS (SELECT v.vertex_id,
+                          0.85 * (COALESCE(tm{t}.s, 0.0)
+                                  + td{t}.dang * pv.p)
+                          + 0.15 * pv.p AS rank
+                   FROM v LEFT JOIN tm{t} USING (vertex_id)
+                   CROSS JOIN td{t}
+                   JOIN pv ON pv.vertex_id = v.vertex_id)
+    """
+    _TR_PREFIX = f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_SG_SQL}
+                    UNION ALL SELECT object FROM {_SG_SQL})),
+             n AS (SELECT COUNT(*) AS c FROM v),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_SG_SQL} GROUP BY subject),
+             ns AS (SELECT COUNT(*) AS c FROM v WHERE vertex_id % 7 = 0),
+             pv AS (SELECT v.vertex_id,
+                           CASE WHEN v.vertex_id % 7 = 0
+                                THEN 1.0 / ns.c ELSE 0.0 END AS p
+                    FROM v CROSS JOIN ns),
+             tr0 AS (SELECT vertex_id, p AS rank FROM pv),
+             r0 AS (SELECT vertex_id, 1.0 / n.c AS rank FROM v CROSS JOIN n)
+        """
+    o["trustrank_k3"] = (
+        _TR_PREFIX
+        + tr_iter.format(t=1, p=0, ev=_SG_SQL)
+        + tr_iter.format(t=2, p=1, ev=_SG_SQL)
+        + tr_iter.format(t=3, p=2, ev=_SG_SQL)
+        + " SELECT vertex_id, ROUND(rank, 6) AS trust_rank FROM tr3"
+    )
+    o["spam_mass_k3"] = (
+        _TR_PREFIX
+        + tr_iter.format(t=1, p=0, ev=_SG_SQL)
+        + tr_iter.format(t=2, p=1, ev=_SG_SQL)
+        + tr_iter.format(t=3, p=2, ev=_SG_SQL)
+        + pr_iter.format(t=1, p=0, ev=_SG_SQL)
+        + pr_iter.format(t=2, p=1, ev=_SG_SQL)
+        + pr_iter.format(t=3, p=2, ev=_SG_SQL)
+        + """
+        SELECT v.vertex_id, ROUND(r3.rank, 6) AS rank,
+               ROUND(tr3.rank, 6) AS trust_rank,
+               ROUND((r3.rank - tr3.rank) / r3.rank, 6) AS spam_mass
+        FROM v JOIN r3 USING (vertex_id) JOIN tr3 USING (vertex_id)
+        """
+    )
     o["negative_samples"] = f"""
         WITH e AS (SELECT subject, object FROM {_EV_SQL}),
         v AS (SELECT DISTINCT vertex_id FROM

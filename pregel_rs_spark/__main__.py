@@ -31,7 +31,8 @@ def _build_parser() -> argparse.ArgumentParser:
         "clustering", "sssp", "hits", "kcore", "degrees", "histogram",
         "reciprocity", "harmonic", "walks", "cocitation", "coupling",
         "assortativity", "ktruss", "linkpred", "katz", "squares",
-        "transitivity", "modularity", "effdiam",
+        "transitivity", "modularity", "effdiam", "trustrank", "spammass",
+        "negsample",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -55,6 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "katz depth / effdiam rounds")
     ap.add_argument("--beta", type=float, default=0.1,
                     help="katz attenuation factor")
+    ap.add_argument("--seeds", default=None,
+                    help="trustrank/spammass: parquet of trusted vertex ids")
+    ap.add_argument("--n-per-vertex", type=int, default=1,
+                    help="negsample: negatives drawn per vertex")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="negsample: hash seed")
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
@@ -163,6 +170,18 @@ def main(argv: list[str] | None = None) -> int:
         res = A.modularity(g, A.label_propagation(g, max_iterations=args.max_iter))
     elif args.algo == "effdiam":
         res = A.effective_diameter_frame(g, k=args.k)
+    elif args.algo in ("trustrank", "spammass"):
+        if not args.seeds:
+            print(f"{args.algo} requires --seeds", file=sys.stderr)
+            return 2
+        seeds = spark.read.parquet(args.seeds)
+        fn = A.trustrank if args.algo == "trustrank" else A.spam_mass
+        res = fn(g, seeds, damping=args.damping, tol=args.tol,
+                 max_iterations=args.max_iter)
+    elif args.algo == "negsample":
+        res = A.negative_edge_samples(
+            g, n_per_vertex=args.n_per_vertex, seed=args.seed
+        )
     else:  # pragma: no cover - argparse choices guard
         raise AssertionError(args.algo)
 

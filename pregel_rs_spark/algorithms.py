@@ -2117,3 +2117,143 @@ def negative_edge_samples(
         (cand["subject"] == pos[SUBJECT]) & (cand["object"] == pos[OBJECT]),
         "left_anti",
     )
+
+
+def trustrank(
+    graph: GraphFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04): PageRank
+    whose teleport distribution is uniform over a curated set of trusted
+    seed pages/hosts instead of over all vertices — trust flows out of
+    the seeds along links, and link-spam neighborhoods that global
+    PageRank rewards receive almost none of it.
+
+        rank' = d·(msg + dangling·p(v)) + (1−d)·p(v),
+        p uniform over seeds ∩ V, zero elsewhere
+
+    This is :func:`personalized_pagerank` with the teleport built by a
+    JOIN instead of a driver-side ``isin`` literal — the scale path that
+    function's docstring points to: a production trusted-seed list (or a
+    whole TLD whitelist) is itself a table of millions of rows, which
+    must never ride the query plan as a literal.  One broadcast-or-hash
+    left join annotates the vertex table once, before the loop; the
+    per-superstep plan (single message shuffle, zero-job stats,
+    broadcast dangling column) is byte-identical to PageRank's.
+
+    ``seeds`` is any DataFrame whose first column holds vertex ids;
+    seeds absent from the graph are ignored (they get no mass to give).
+    Σ rank = 1 every superstep exactly as in the global variant.
+
+    Returns ``(vertex_id, …props, out_degree, teleport, rank)``.
+    """
+    seed_ids = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias(VERTEX_ID)
+    ).distinct()
+    g0 = GraphFrame(
+        truncate_plan(graph.out_degrees_full()), graph.edges,
+        closed=graph.closed,
+    ) if "out_degree" not in graph.vertices.columns else graph
+    marked = g0.vertices.join(
+        seed_ids.withColumn("__seed__", F.lit(1)), VERTEX_ID, "left"
+    )
+    stats = marked.agg(
+        F.sum((F.col("out_degree") == 0).cast("long")).alias("n_dangling"),
+        F.sum(F.coalesce(F.col("__seed__"), F.lit(0))).alias("n_seeds"),
+    ).collect()[0]
+    n_seeds = int(stats["n_seeds"] or 0)
+    if n_seeds == 0:
+        raise ValueError("trustrank needs >=1 seed present in the graph")
+    has_dangling = (stats["n_dangling"] or 0) > 0
+    # teleport becomes a static vertex property (carried through the
+    # apply select each superstep — SURVEY §2.1 op 11), so the loop never
+    # re-touches the seed table
+    verts = marked.withColumn(
+        "teleport",
+        F.when(F.col("__seed__").isNotNull(), F.lit(1.0 / n_seeds)).otherwise(
+            F.lit(0.0)
+        ),
+    ).drop("__seed__")
+    g = GraphFrame(truncate_plan(verts), g0.edges, closed=g0.closed)
+
+    from pregel_rs_spark.pregel import PregelContext
+
+    dangling_col = (
+        PregelContext.stat_col("dangling") if has_dangling else F.lit(0.0)
+    )
+    p_v = F.col("teleport")
+    v_prog = (
+        F.coalesce(msg(), F.lit(0.0)) + dangling_col * p_v
+    ) * damping + (1.0 - damping) * p_v
+    builder = (
+        PregelBuilder(g)
+        .max_iterations(max_iterations)
+        .with_vertex_column("rank")
+        .initial_message(p_v)
+        .send_messages(
+            MessageReceiver.OBJECT, subject("rank") / subject("out_degree")
+        )
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(v_prog)
+    )
+    if tol is not None and tol > 0:
+        builder = builder.with_tolerance(tol)
+    if has_dangling:
+        builder = builder.with_state_stat(
+            "dangling",
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ),
+        )
+    res = builder.build().run()
+    vrdd = getattr(g.vertices, "_ck_rdd", None)
+    if vrdd is not None:
+        try:
+            vrdd.unpersist(False)
+        except Exception:
+            pass
+    return res
+
+
+def spam_mass(
+    graph: GraphFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB'06): the fraction of a page's PageRank that
+    does NOT come from trusted sources,
+
+        spam_mass(v) = (pr(v) − tr(v)) / pr(v)
+
+    with pr = global PageRank and tr = :func:`trustrank` over the same
+    graph at the same damping.  Values near 1 mean almost all of the
+    page's rank arrives from untrusted neighborhoods (link-spam signal);
+    seeds themselves and pages well-linked from them score near or below
+    0.  The two rank vectors are two runs of the same engine plus one
+    vertex-keyed join — no new shuffle shape; at web scale both runs
+    reuse the identical pre-partitioned edge table.
+
+    Returns ``(vertex_id, rank, trust_rank, spam_mass)``; pr(v) is never
+    0 on a closed graph (the (1−d)/n floor), so the ratio is total.
+    """
+    pr = pagerank(
+        graph, damping=damping, tol=tol, max_iterations=max_iterations
+    ).select(VERTEX_ID, "rank")
+    tr = trustrank(
+        graph, seeds, damping=damping, tol=tol, max_iterations=max_iterations
+    ).select(VERTEX_ID, F.col("rank").alias("trust_rank"))
+    return pr.join(tr, VERTEX_ID).select(
+        VERTEX_ID,
+        "rank",
+        "trust_rank",
+        ((F.col("rank") - F.col("trust_rank")) / F.col("rank")).alias(
+            "spam_mass"
+        ),
+    )

@@ -1154,3 +1154,53 @@ def test_negative_edge_samples_deterministic_and_clean(spark):
 
     with _pytest.raises(ValueError, match="n_per_vertex"):
         negative_edge_samples(g, n_per_vertex=0)
+
+
+def test_trustrank_matches_numpy_and_spam_mass(spark):
+    """TrustRank vs a NumPy seeded power iteration; spam mass formula;
+    absent seeds ignored; no-seed ValueError."""
+    import numpy as np
+
+    from pregel_rs_spark.algorithms import spam_mass, trustrank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 0)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    # seed 99 is not in the graph -> ignored; effective seeds {0, 3}
+    seeds = spark.createDataFrame([(0,), (3,), (99,)], "vertex_id long")
+    res = trustrank(g, seeds, tol=1e-10)
+    got = {r.vertex_id: r.rank for r in res.collect()}
+
+    n, d = 6, 0.85
+    p = np.zeros(n)
+    p[[0, 3]] = 0.5
+    out = {u: 0 for u in range(n)}
+    for s, _ in edges:
+        out[s] += 1
+    r = p.copy()
+    for _ in range(300):
+        m = np.zeros(n)
+        for s, o in edges:
+            m[o] += r[s] / out[s]
+        dang = sum(r[u] for u in range(n) if out[u] == 0)
+        r = d * (m + dang * p) + (1 - d) * p
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # vertex 5 has no path FROM any seed -> zero trust
+    assert got[5] == pytest.approx(0.0, abs=1e-9)
+
+    sm = {x.vertex_id: x for x in spam_mass(g, seeds, tol=1e-10).collect()}
+    want_pr = numpy_pagerank(edges, n)
+    for v in range(n):
+        assert sm[v].rank == pytest.approx(want_pr[v], abs=1e-6)
+        assert sm[v].trust_rank == pytest.approx(r[v], abs=1e-6)
+        assert sm[v].spam_mass == pytest.approx(
+            (want_pr[v] - r[v]) / want_pr[v], abs=1e-5
+        )
+    # the unlinked-from-seeds vertex carries ALL its rank as spam mass
+    assert sm[5].spam_mass == pytest.approx(1.0, abs=1e-6)
+
+    with pytest.raises(ValueError, match="seed"):
+        trustrank(g, spark.createDataFrame([(99,)], "vertex_id long"))

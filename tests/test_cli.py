@@ -167,3 +167,47 @@ def test_cli_round3_graph_summaries(spark, tmp_path):
         out = spark.read.parquet(opath)
         assert set(out.columns) == cols, algo
         assert out.count() >= 1
+
+
+def test_cli_trust_and_negatives(spark, tmp_path):
+    """trustrank/spammass (parquet seed list) and negsample round-trip."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e4")
+    edges.write.parquet(epath)
+    spath = os.path.join(tmp_path, "seeds")
+    spark.createDataFrame([(1,), (3,)], "vertex_id long").write.parquet(spath)
+
+    # missing --seeds is a usage error, not a crash
+    assert main(["trustrank", "--edges", epath,
+                 "--out", os.path.join(tmp_path, "x")]) == 2
+
+    expect = {
+        "trustrank": {"vertex_id", "out_degree", "teleport", "rank"},
+        "spammass": {"vertex_id", "rank", "trust_rank", "spam_mass"},
+    }
+    for algo, cols in expect.items():
+        opath = os.path.join(tmp_path, f"out4_{algo}")
+        assert main([
+            algo, "--edges", epath, "--out", opath, "--cores", "4",
+            "--seeds", spath, "--max-iter", "3",
+        ]) == 0
+        out = spark.read.parquet(opath)
+        assert set(out.columns) == cols, algo
+        assert out.count() == 5
+
+    opath = os.path.join(tmp_path, "out4_neg")
+    assert main([
+        "negsample", "--edges", epath, "--out", opath, "--cores", "4",
+        "--n-per-vertex", "2", "--seed", "7",
+    ]) == 0
+    out = spark.read.parquet(opath)
+    assert set(out.columns) == {"subject", "object", "sample_id"}
+    pos = {(s, o) for s, o in [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1)]}
+    rows = out.collect()
+    assert rows and all(
+        (r.subject, r.object) not in pos and r.subject != r.object
+        for r in rows
+    )
