@@ -955,6 +955,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("spam_mass", 6).alias("spam_mass"),
         )
 
+    def neighbor_sample_q(spark, sf):
+        """GraphSAGE-style layer-wise fan-out sampling on the supplier
+        graph (fanouts [2,2], seed 42) — the md5-ranked selection is
+        replayed verbatim in SQL; per-(vertex,hop) choices are shared
+        across roots, so the oracle ranks the full edge table once per
+        hop."""
+        from pregel_rs_spark.algorithms import neighbor_sample
+
+        return neighbor_sample(
+            GraphFrame.from_edges(_edges_sg(spark, sf)),
+            fanouts=[2, 2], seed=42,
+        )
+
     def squares_sg_q(spark, sf):
         """Global 4-cycle (rectangle) count of the supplier graph via the
         co-degree identity — exact BIGINTs; wedge centers hub-capped at
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         trustrank_k3=trustrank_q,
         spam_mass_k3=spam_mass_q,
+        neighbor_sample_2hop=neighbor_sample_q,
         negative_samples=negative_samples_q,
         squares_sg=squares_sg_q,
         effective_diameter_k2=effective_diameter_q,
@@ -2513,6 +2527,37 @@ def oracle_sql() -> dict[str, str]:
     # two-level vertex enumeration (row_number within vid % 64 groups +
     # cumulative-count offsets) and the arithmetic picker, replayed
     # verbatim — the enumeration is partitioning-independent by design
+    # layer-wise fan-out sampling: md5-ranked top-2 out-neighbors per
+    # (vertex, hop); rank over the FULL edge table ≡ rank over the
+    # frontier-filtered table because the window partitions by subject
+    ns_rank = """
+        SELECT subject, object FROM (
+            SELECT subject, object,
+                   ROW_NUMBER() OVER (PARTITION BY subject
+                       ORDER BY md5(CAST(subject AS VARCHAR) || '|' ||
+                                    CAST(object AS VARCHAR) || '|42|{t}'),
+                                object) AS rn
+            FROM e) WHERE rn <= 2
+    """
+    o["neighbor_sample_2hop"] = (
+        f"""
+        WITH e AS (SELECT subject, object FROM {_SG_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        r1 AS ({ns_rank.format(t=1)}),
+        h1 AS (SELECT v.vertex_id AS root, CAST(1 AS BIGINT) AS hop,
+                      r1.subject, r1.object
+               FROM v JOIN r1 ON r1.subject = v.vertex_id),
+        f1 AS (SELECT DISTINCT root, object AS node FROM h1),
+        r2 AS ({ns_rank.format(t=2)}),
+        h2 AS (SELECT f1.root, CAST(2 AS BIGINT) AS hop,
+                      r2.subject, r2.object
+               FROM f1 JOIN r2 ON r2.subject = f1.node)
+        SELECT root, hop, subject, object FROM h1
+        UNION ALL SELECT root, hop, subject, object FROM h2
+        """
+    )
     # TrustRank: PageRank iteration with the teleport vector p uniform
     # over seeds (vertex_id % 7 == 0) — both the (1-d) restart and the
     # dangling mass re-enter through p, exactly as in ppr_k3

@@ -32,7 +32,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "reciprocity", "harmonic", "walks", "cocitation", "coupling",
         "assortativity", "ktruss", "linkpred", "katz", "squares",
         "transitivity", "modularity", "effdiam", "trustrank", "spammass",
-        "negsample",
+        "negsample", "neighsample",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -61,7 +61,9 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--n-per-vertex", type=int, default=1,
                     help="negsample: negatives drawn per vertex")
     ap.add_argument("--seed", type=int, default=42,
-                    help="negsample: hash seed")
+                    help="negsample/neighsample: hash seed")
+    ap.add_argument("--fanouts", default="2,2",
+                    help="neighsample: comma-separated per-hop fan-outs")
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
@@ -181,6 +183,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "negsample":
         res = A.negative_edge_samples(
             g, n_per_vertex=args.n_per_vertex, seed=args.seed
+        )
+    elif args.algo == "neighsample":
+        res = A.neighbor_sample(
+            g, fanouts=[int(x) for x in args.fanouts.split(",")],
+            seed=args.seed,
         )
     else:  # pragma: no cover - argparse choices guard
         raise AssertionError(args.algo)

@@ -2257,3 +2257,85 @@ def spam_mass(
             "spam_mass"
         ),
     )
+
+
+def neighbor_sample(
+    graph: GraphFrame,
+    fanouts: list[int],
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic layer-wise neighbor fan-out sampling — the
+    mini-batch subgraph builder for GNN training (GraphSAGE, Hamilton et
+    al. NeurIPS'17; node-wise variant): from every root, keep at most
+    ``fanouts[t-1]`` out-neighbors per visited vertex at hop t, so a
+    k-hop block has ≤ Π fanouts edges per root regardless of hub degrees
+    — the explicit bound that makes k-hop expansion feasible on a web
+    graph where unsampled 2-hop balls around hubs are the whole graph.
+
+    Selection is pseudo-random but fully deterministic and engine-
+    portable: neighbor (u, v) survives hop t iff its rank under
+    ``md5(u | v | seed | t)`` is ≤ fanout (ties broken by v) — the same
+    md5-threshold idiom as ``corpus_sample``, replayable in any SQL
+    engine, stable across partitionings and cluster sizes.  The
+    selection is per (vertex, hop), shared by all roots that reach the
+    vertex — one window pass per hop over the frontier-semi-joined edge
+    table, never per-root work.
+
+    Plan per hop: semi-join edges to the current frontier on subject
+    (filter BEFORE the window — the row_number partition is by subject,
+    so pre-filtering by subject keeps each retained partition complete),
+    one window rank per subject, one join back to the root set.
+    Frontier is distinct per hop, bounding growth at ≤ Σ_t Π fanouts.
+
+    ``starts`` (optional, first column = root vertex ids) restricts the
+    root set — the training-batch path; default: every vertex.  Returns
+    ``(root, hop, subject, object)`` — the union of per-hop sampled
+    edge blocks, hop in [1, len(fanouts)].
+    """
+    from pyspark.sql.window import Window
+
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be non-empty positive, got {fanouts}")
+    roots = (
+        starts.select(F.col(starts.columns[0]).cast("long").alias("root"))
+        if starts is not None
+        else graph.vertices.select(F.col(VERTEX_ID).alias("root"))
+    ).distinct()
+    # duplicate edges would make the rank ill-defined (two identical rows
+    # straddling the cutoff) — sample over the simple graph
+    edges = graph.edges.select(SUBJECT, OBJECT).distinct()
+    frontier = roots.select("root", F.col("root").alias("node"))
+    blocks: list[DataFrame] = []
+    for t, fan in enumerate(fanouts, 1):
+        cand = frontier.join(
+            edges, frontier["node"] == edges[SUBJECT]
+        ).select("root", SUBJECT, OBJECT)
+        ranked = cand.select(SUBJECT, OBJECT).distinct().withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(SUBJECT).orderBy(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(SUBJECT),
+                            F.col(OBJECT),
+                            F.lit(seed),
+                            F.lit(t),
+                        )
+                    ),
+                    OBJECT,
+                )
+            ),
+        ).filter(F.col("rn") <= fan).drop("rn")
+        step = cand.join(ranked, [SUBJECT, OBJECT]).select(
+            "root", F.lit(t).cast("long").alias("hop"), SUBJECT, OBJECT
+        )
+        blocks.append(step)
+        frontier = step.select(
+            "root", F.col(OBJECT).alias("node")
+        ).distinct()
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1204,3 +1204,69 @@ def test_trustrank_matches_numpy_and_spam_mass(spark):
 
     with pytest.raises(ValueError, match="seed"):
         trustrank(g, spark.createDataFrame([(99,)], "vertex_id long"))
+
+
+def test_neighbor_sample_python_replay_and_bounds(spark):
+    """Layer-wise fan-out sampling: exact md5 replica, per-vertex bound,
+    start-set subsetting, partitioning invariance."""
+    import hashlib
+
+    from pregel_rs_spark.algorithms import neighbor_sample
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 5), (3, 4), (4, 1),
+             (5, 1), (5, 2), (5, 3), (5, 4)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    res = neighbor_sample(g, fanouts=[2, 1], seed=9)
+    got = {(r.root, r.hop, r.subject, r.object) for r in res.collect()}
+
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, []).append(o)
+
+    def pick(u, fan, hop):
+        nbrs = sorted(
+            adj.get(u, []),
+            key=lambda v: (hashlib.md5(f"{u}|{v}|9|{hop}".encode()).hexdigest(), v),
+        )
+        return nbrs[:fan]
+
+    vids = sorted({x for e in edges for x in e})
+    expected = set()
+    for root in vids:
+        frontier = {root}
+        for hop, fan in enumerate([2, 1], 1):
+            nxt = set()
+            for u in sorted(frontier):
+                for v in pick(u, fan, hop):
+                    expected.add((root, hop, u, v))
+                    nxt.add(v)
+            frontier = nxt
+    assert got == expected
+    # per (root, hop, subject) the fan-out bound holds
+    from collections import Counter
+
+    c = Counter((r, h, s) for r, h, s, _ in got)
+    fan_of = {1: 2, 2: 1}
+    assert all(cnt <= fan_of[h] for (_, h, _), cnt in c.items())
+    # a start set yields exactly that root's slice of the full sample
+    sub = neighbor_sample(
+        g, fanouts=[2, 1], seed=9,
+        starts=spark.createDataFrame([(5,)], "root long"),
+    )
+    assert {(r.root, r.hop, r.subject, r.object) for r in sub.collect()} == {
+        t for t in expected if t[0] == 5
+    }
+    # partitioning invariance
+    g2 = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+        .repartition(5)
+    )
+    got2 = {
+        (r.root, r.hop, r.subject, r.object)
+        for r in neighbor_sample(g2, fanouts=[2, 1], seed=9).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="fanouts"):
+        neighbor_sample(g, fanouts=[])

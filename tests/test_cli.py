@@ -211,3 +211,20 @@ def test_cli_trust_and_negatives(spark, tmp_path):
         (r.subject, r.object) not in pos and r.subject != r.object
         for r in rows
     )
+
+
+def test_cli_neighsample(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e5")
+    edges.write.parquet(epath)
+    opath = os.path.join(tmp_path, "out5")
+    assert main([
+        "neighsample", "--edges", epath, "--out", opath, "--cores", "4",
+        "--fanouts", "1,1", "--seed", "3",
+    ]) == 0
+    out = spark.read.parquet(opath)
+    assert set(out.columns) == {"root", "hop", "subject", "object"}
+    assert set(r.hop for r in out.collect()) == {1, 2}
