@@ -955,6 +955,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("spam_mass", 6).alias("spam_mass"),
         )
 
+    def dup_spans_q(spark, sf):
+        """Exact duplicated 8-gram spans across documents (Lee et al.
+        ACL'22 substring-dedup signal) — md5-keyed window table, one
+        hash groupBy; oracle slices the same windows with DuckDB list
+        functions."""
+        from pregel_rs_spark.operators.dedup import duplicate_ngram_spans
+
+        return duplicate_ngram_spans(
+            load_table(spark, sf, "documents"), n=8, min_docs=2
+        )
+
+    def dup_span_stats_q(spark, sf):
+        """Per-document duplicated-window fraction (substring-dedup
+        rollup); NULL text propagates NULL."""
+        from pregel_rs_spark.operators.dedup import duplicate_span_stats
+
+        return duplicate_span_stats(
+            load_table(spark, sf, "documents"), n=8, min_docs=2
+        )
+
     def neighbor_sample_q(spark, sf):
         """GraphSAGE-style layer-wise fan-out sampling on the supplier
         graph (fanouts [2,2], seed 42) — the md5-ranked selection is
@@ -1029,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         trustrank_k3=trustrank_q,
         spam_mass_k3=spam_mass_q,
         neighbor_sample_2hop=neighbor_sample_q,
+        dup_spans=dup_spans_q,
+        dup_span_stats=dup_span_stats_q,
         negative_samples=negative_samples_q,
         squares_sg=squares_sg_q,
         effective_diameter_k2=effective_diameter_q,
@@ -2527,6 +2549,46 @@ def oracle_sql() -> dict[str, str]:
     # two-level vertex enumeration (row_number within vid % 64 groups +
     # cumulative-count offsets) and the arithmetic picker, replayed
     # verbatim — the enumeration is partitioning-independent by design
+    # duplicated 8-gram windows: DuckDB list slice replays Spark's
+    # transform/slice window table exactly (both 1-based inclusive here)
+    _DUP_WINS = r"""
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+               md5(array_to_string(l[i:i+7], ' ')) AS gram_hash
+        FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i
+              FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+                    FROM documents WHERE text IS NOT NULL))
+    """
+    o["dup_spans"] = f"""
+        WITH wins AS ({_DUP_WINS}),
+        shared AS (SELECT gram_hash,
+                          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                   FROM wins GROUP BY gram_hash
+                   HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT w.doc_id, w.start, w.gram_hash, s.n_docs
+        FROM wins w JOIN shared s USING (gram_hash)
+    """
+    o["dup_span_stats"] = rf"""
+        WITH wins AS ({_DUP_WINS}),
+        shared AS (SELECT gram_hash FROM wins GROUP BY gram_hash
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+        dups AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+                 FROM wins w JOIN shared s USING (gram_hash)
+                 GROUP BY w.doc_id),
+        totals AS (SELECT doc_id,
+                          CASE WHEN text IS NULL THEN NULL
+                               ELSE CAST(GREATEST(
+                                   len(string_split_regex(text, '\s+')) - 7,
+                                   0) AS BIGINT) END AS n_windows
+                   FROM documents)
+        SELECT t.doc_id, t.n_windows,
+               CASE WHEN t.n_windows IS NULL THEN NULL
+                    ELSE COALESCE(d.dup_windows, 0) END AS dup_windows,
+               CASE WHEN t.n_windows IS NULL THEN NULL
+                    WHEN t.n_windows = 0 THEN 0.0
+                    ELSE ROUND(COALESCE(d.dup_windows, 0) * 1.0
+                               / t.n_windows, 6) END AS dup_ratio
+        FROM totals t LEFT JOIN dups d USING (doc_id)
+    """
     # layer-wise fan-out sampling: md5-ranked top-2 out-neighbors per
     # (vertex, hop); rank over the FULL edge table ≡ rank over the
     # frontier-filtered table because the window partitions by subject

@@ -581,3 +581,122 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("vertex_id") == F.col("component")).cast("long").alias("survivor"),
     )
+
+
+# --- exact duplicated spans (substring-level dedup) ---------------------------
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-span detection at sub-document granularity — the
+    signal behind suffix-array substring dedup (Lee et al., ACL'22,
+    "Deduplicating Training Data Makes Language Models Better"): a span
+    repeated verbatim across documents is memorization fuel even when
+    the documents as wholes are not near-duplicates (quotes, boilerplate
+    footers, syndicated fragments).
+
+    The suffix-array machinery doesn't distribute; its *detector* does:
+    every overlapping n-word window is keyed by ``md5(window)`` (one
+    pure-Catalyst transform over the token array — split, slice,
+    concat_ws — no Python, no shuffle), then one groupBy(hash) counts
+    distinct documents and keeps hashes seen in ≥ ``min_docs`` docs.
+    A span duplicated as a run of length L>n shows up as L−n+1 flagged
+    windows, so callers recover maximal spans by merging adjacent
+    ``start`` positions per doc.
+
+    Scale: the exploded window table is ~tokens-per-doc rows per
+    document (same order as the corpus token count); the only shuffle is
+    the 32-byte-hash groupBy, map-side-combined.  NULL/short texts
+    (< n tokens) contribute no windows.
+
+    Returns ``(doc_id, start, gram_hash, n_docs)`` — start is the
+    0-based token offset of the window; n_docs the number of distinct
+    documents sharing it.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
+    )
+    # the CASE guard matters twice: sequence(0, negative) would generate a
+    # DESCENDING index list for docs shorter than n tokens, and NULL text
+    # (NULL toks) must contribute zero windows, not crash slice()
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN"
+                f" transform(sequence(0, size(toks) - {n}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                f" ELSE array() END"
+            )
+        ).alias("start", "gram"),
+    ).filter(F.col("gram").isNotNull()).select(
+        "doc_id", F.col("start").cast("long").alias("start"),
+        F.md5(F.col("gram")).alias("gram_hash"),
+    )
+    shared = (
+        wins.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return wins.join(shared, "gram_hash").select(
+        "doc_id", "start", "gram_hash", "n_docs"
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-window fraction over
+    :func:`duplicate_ngram_spans` — the corpus-health rollup used to
+    decide whether substring-level dedup is worth a pipeline stage:
+
+        dup_ratio(d) = flagged n-gram windows / total n-gram windows
+
+    Documents shorter than n tokens have no windows and report 0; NULL
+    text propagates NULL (the module-wide NULL-text contract).  Returns
+    ``(doc_id, n_windows, dup_windows, dup_ratio)`` with dup_ratio
+    rounded to 6 dp (exact-integer division in double).
+    """
+    spans = duplicate_ngram_spans(
+        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.greatest(
+                F.size(F.split(F.col(text_col), r"\s+")) - (n - 1),
+                F.lit(0),
+            ).cast("long")
+        ).alias("n_windows"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.when(F.col("n_windows").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("dup_windows"), F.lit(0)))
+        .alias("dup_windows"),
+        F.when(F.col("n_windows") > 0,
+               F.round(
+                   F.coalesce(F.col("dup_windows"), F.lit(0))
+                   / F.col("n_windows"), 6
+               ))
+        .when(F.col("n_windows") == 0, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double")).alias("dup_ratio"),
+    )

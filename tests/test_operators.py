@@ -834,3 +834,61 @@ def test_repetition_ratios(spark):
     assert (r[3].n_2grams, r[3].dup_2gram_frac, r[3].top_2gram_share) == (0, 0.0, 0.0)
     assert (r[4].n_2grams, r[4].top_2gram_share) == (0, 0.0)
     assert (r[5].n_2grams, r[5].dup_2gram_frac, r[5].top_2gram_share) == (3, round(2/3, 6), 1.0)
+
+
+def test_duplicate_ngram_spans_python_replica(spark):
+    """Exact duplicated-span detection: md5-window replica, run-of-L
+    duplication -> L-n+1 flagged windows, short/NULL docs contribute
+    nothing, stats propagate NULL."""
+    import hashlib
+
+    from pregel_rs_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        duplicate_span_stats,
+    )
+
+    texts = {
+        1: "a b c d e f",     # shares the run "b c d e" with doc 2
+        2: "x b c d e y z",
+        3: "p q r",            # shorter than n -> no windows
+        4: None,               # NULL text
+        5: "a b c d e f",      # exact dup of 1
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else 0) for i, t in texts.items()],
+        DOCS_SCHEMA,
+    )
+    n = 3
+    res = duplicate_ngram_spans(docs, n=n, min_docs=2)
+    got = {(r.doc_id, r.start, r.gram_hash, r.n_docs) for r in res.collect()}
+
+    wins = {}
+    for d, t in texts.items():
+        if not t:
+            continue
+        tk = t.split()
+        for i in range(len(tk) - n + 1):
+            h = hashlib.md5(" ".join(tk[i:i + n]).encode()).hexdigest()
+            wins.setdefault(h, []).append((d, i))
+    expected = set()
+    for h, occ in wins.items():
+        nd = len({d for d, _ in occ})
+        if nd >= 2:
+            expected.update((d, i, h, nd) for d, i in occ)
+    assert got == expected
+    # docs 1/5 identical: every window flagged; "b c d"/"c d e" shared 3-way
+    assert {t[0] for t in got} == {1, 2, 5}
+
+    st = {r.doc_id: r for r in duplicate_span_stats(docs, n=n).collect()}
+    assert st[1].n_windows == 4 and st[1].dup_windows == 4
+    assert st[1].dup_ratio == pytest.approx(1.0)
+    assert st[2].n_windows == 5 and st[2].dup_windows == 2
+    assert st[2].dup_ratio == pytest.approx(0.4)
+    assert st[3].n_windows == 1 and st[3].dup_windows == 0
+    assert st[3].dup_ratio == 0.0
+    assert st[4].n_windows is None and st[4].dup_windows is None
+    assert st[4].dup_ratio is None
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicate_ngram_spans(docs, min_docs=1)
+    with pytest.raises(ValueError, match="n must"):
+        duplicate_ngram_spans(docs, n=1)
