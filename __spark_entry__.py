@@ -955,6 +955,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("spam_mass", 6).alias("spam_mass"),
         )
 
+    def salsa_q(spark, sf):
+        """SALSA hubs/authorities (Lempel-Moran WWW'00), 3 Jacobi
+        iterations on the supplier graph, end-normalized — the
+        TKC-resistant HITS."""
+        from pregel_rs_spark.algorithms import salsa
+
+        res = salsa(GraphFrame.from_edges(_edges_sg(spark, sf)), iterations=3)
+        return res.select(
+            "vertex_id",
+            F.round("auth", 6).alias("auth"),
+            F.round("hub", 6).alias("hub"),
+        )
+
     def dup_spans_q(spark, sf):
         """Exact duplicated 8-gram spans across documents (Lee et al.
         ACL'22 substring-dedup signal) — md5-keyed window table, one
@@ -1051,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         neighbor_sample_2hop=neighbor_sample_q,
         dup_spans=dup_spans_q,
         dup_span_stats=dup_span_stats_q,
+        salsa_k3=salsa_q,
         negative_samples=negative_samples_q,
         squares_sg=squares_sg_q,
         effective_diameter_k2=effective_diameter_q,
@@ -2549,6 +2563,49 @@ def oracle_sql() -> dict[str, str]:
     # two-level vertex enumeration (row_number within vid % 64 groups +
     # cumulative-count offsets) and the arithmetic picker, replayed
     # verbatim — the enumeration is partitioning-independent by design
+    # SALSA: the HITS Jacobi iteration with both sums degree-normalized,
+    # then one L1 normalization of each vector at the end
+    salsa_iter = """
+        , z{t} AS (
+            SELECT v.vertex_id,
+                   COALESCE(ain.s, 0.0) AS auth,
+                   COALESCE(hout.s, 0.0) AS hub
+            FROM v
+            LEFT JOIN (SELECT e.object AS vertex_id,
+                              SUM(z{p}.hub / od.out_degree) AS s
+                       FROM {ev} e
+                       JOIN z{p} ON e.subject = z{p}.vertex_id
+                       JOIN od ON e.subject = od.vertex_id
+                       GROUP BY e.object) ain USING (vertex_id)
+            LEFT JOIN (SELECT e.subject AS vertex_id,
+                              SUM(z{p}.auth / id.in_degree) AS s
+                       FROM {ev} e
+                       JOIN z{p} ON e.object = z{p}.vertex_id
+                       JOIN id ON e.object = id.vertex_id
+                       GROUP BY e.subject) hout USING (vertex_id)
+        )
+    """
+    o["salsa_k3"] = (
+        f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_SG_SQL}
+                    UNION ALL SELECT object FROM {_SG_SQL})),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_SG_SQL} GROUP BY subject),
+             id AS (SELECT object AS vertex_id, COUNT(*) AS in_degree
+                    FROM {_SG_SQL} GROUP BY object),
+             z0 AS (SELECT vertex_id, 1.0 AS auth, 1.0 AS hub FROM v)
+        """
+        + salsa_iter.format(t=1, p=0, ev=_SG_SQL)
+        + salsa_iter.format(t=2, p=1, ev=_SG_SQL)
+        + salsa_iter.format(t=3, p=2, ev=_SG_SQL)
+        + """
+        , tot AS (SELECT SUM(auth) AS sa, SUM(hub) AS sh FROM z3)
+        SELECT vertex_id, ROUND(auth / tot.sa, 6) AS auth,
+               ROUND(hub / tot.sh, 6) AS hub
+        FROM z3 CROSS JOIN tot
+        """
+    )
     # duplicated 8-gram windows: DuckDB list slice replays Spark's
     # transform/slice window table exactly (both 1-based inclusive here)
     _DUP_WINS = r"""
