@@ -801,6 +801,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_stats(load_table(spark, sf, "documents"))
 
+    def corpus_mix_q(spark, sf):
+        """Data-mixture sampling (Pile/LLaMA-style source weighting):
+        per-source keep rate = (budget·w/Σw)/src_tokens, md5-threshold
+        keep bit with the threshold computed in-engine from the
+        data-dependent rate.  The oracle replays the identical token
+        count, division, and hex-threshold compare in SQL."""
+        from pregel_rs_spark.operators.pipeline import corpus_mix
+
+        return corpus_mix(
+            load_table(spark, sf, "documents"),
+            weights={"src0": 3.0, "src1": 1.0, "src2": 1.0},
+            token_budget=2000,
+        )
+
     def dedup_clusters_verified_q(spark, sf):
         """End-to-end near-dup clustering WITH the exact-Jaccard
         verification stage (LSH candidates → true Jaccard ≥ 0.4 →
@@ -1081,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition=repetition_q,
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
+        corpus_mix=corpus_mix_q,
         dedup_clusters_verified=dedup_clusters_verified_q,
         ann_topk_ivf_arrow=ann_topk_ivf_arrow_q,
         lsh_jaccard_rerank=lsh_jaccard_rerank_q,
@@ -2336,6 +2351,38 @@ def oracle_sql() -> dict[str, str]:
                         END) AS BIGINT) AS total_ws_tokens,
                COUNT(DISTINCT md5(text)) AS distinct_contents
         FROM documents GROUP BY lang, source
+    """
+    # corpus_mix: targets are exact python-side literals (2000·w/Σw for
+    # w = {src0: 3, src1: 1, src2: 1}); the data-dependent rate, the
+    # ppm floor, and the hex threshold are all computed engine-side in
+    # BOTH systems from identical doubles, so the compare is exact.
+    o["corpus_mix"] = """
+        WITH tok AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM documents),
+        tot AS (
+          SELECT source,
+                 CASE WHEN COALESCE(SUM(n_tokens), 0) > 0 THEN
+                   (CASE source WHEN 'src0' THEN 1200.0
+                                WHEN 'src1' THEN 400.0
+                                WHEN 'src2' THEN 400.0
+                                ELSE 0.0 END)
+                   / CAST(SUM(n_tokens) AS DOUBLE)
+                 ELSE 0.0 END AS mix_rate
+          FROM tok GROUP BY source)
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(mix_rate * 1000000.0) AS BIGINT) AS mix_rate_ppm,
+               CASE WHEN n_tokens IS NULL THEN NULL
+                    WHEN mix_rate >= 1.0 THEN 1
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                         lpad(lower(hex(CAST(floor(mix_rate * 4294967296.0)
+                                              AS BIGINT))), 8, '0')
+                         THEN 1
+                    ELSE 0 END AS keep
+        FROM tok JOIN tot USING (source)
     """
     o["lsh_jaccard_rerank"] = _RERANK_SQL
     # verified end-to-end clustering: transitive closure over the

@@ -243,3 +243,99 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.countDistinct("__h__").alias("distinct_contents"),
         )
     )
+
+
+def corpus_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture sampling — the source-weighting stage
+    of a training-corpus build (the Pile, LLaMA, GPT-3 style mixtures):
+    given target mixture ``weights`` per source and a total
+    ``token_budget``, sample each source at the rate that makes its
+    expected token contribution ``budget · w_s / Σw``,
+
+        rate_s = (budget · w_s / Σw) / tokens_s
+
+    where ``tokens_s`` is the source's whitespace-token total (same
+    tokenization as ``token_counts``).  The per-document decision reuses
+    :func:`corpus_sample`'s md5-threshold idiom, but with the threshold
+    computed IN the engine (``hex(floor(rate · 2³²))``, fixed-width
+    lowercase compare) because here the rate is data-dependent — it
+    falls out of a groupBy, not a literal — yet must stay bit-identical
+    across engines, reruns, and partitionings.
+
+    Properties: map-only after one tiny per-source aggregate (broadcast
+    back — |sources| rows); monotone in budget per source; a source with
+    rate ≥ 1 keeps everything it has (single-epoch mixture — upsampling
+    repeats are a trainer concern, not a corpus-build concern, and are
+    recorded by ``mix_rate_ppm > 1e6`` in the audit columns).  Sources
+    absent from ``weights`` get weight 0 (``keep = 0``).  NULL text
+    yields a NULL verdict (module NULL contract) and contributes nothing
+    to ``tokens_s``.
+
+    Returns docs' key/source plus audit columns ``(n_tokens,
+    mix_rate_ppm, keep)``; filter ``keep = 1`` for the sampled corpus.
+    ``mix_rate_ppm`` is ``floor(rate · 10⁶)`` as a BIGINT — an exact
+    integer (unlike ``round(rate, 6)``, whose HALF_UP-on-decimal rule
+    differs between engines) so the audit column itself is
+    oracle-comparable.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not weights:
+        raise ValueError("weights must name >=1 source")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    t = F.col(text_col)
+    tok = docs.select(
+        F.col(key_col),
+        F.col(source_col),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # per-source target tokens as ONE python-side literal per source, so
+    # the engine does a single division — IEEE-identical everywhere
+    target = None
+    for s, w in sorted(weights.items()):
+        numer = F.lit(float(token_budget) * (float(w) / wsum))
+        target = (
+            F.when(F.col(source_col) == s, numer)
+            if target is None
+            else target.when(F.col(source_col) == s, numer)
+        )
+    target = target.otherwise(F.lit(0.0))
+    totals = tok.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("src_tokens")
+    ).withColumn(
+        "mix_rate",
+        F.when(
+            F.coalesce(F.col("src_tokens"), F.lit(0)) > 0,
+            target / F.col("src_tokens"),
+        ).otherwise(F.lit(0.0)),
+    ).select(source_col, "mix_rate")
+    frac_hex = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    thr_hex = F.lpad(
+        F.lower(F.hex(F.floor(F.col("mix_rate") * F.lit(4294967296.0)))),
+        8, "0",
+    )
+    return tok.join(F.broadcast(totals), source_col).select(
+        key_col,
+        source_col,
+        "n_tokens",
+        F.floor(F.col("mix_rate") * F.lit(1000000.0))
+        .cast("long")
+        .alias("mix_rate_ppm"),
+        F.when(F.col("n_tokens").isNull(), F.lit(None).cast("int"))
+        .when(F.col("mix_rate") >= 1.0, F.lit(1))
+        .when(frac_hex < thr_hex, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )

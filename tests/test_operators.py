@@ -892,3 +892,65 @@ def test_duplicate_ngram_spans_python_replica(spark):
         duplicate_ngram_spans(docs, min_docs=1)
     with pytest.raises(ValueError, match="n must"):
         duplicate_ngram_spans(docs, n=1)
+
+
+def test_corpus_mix_budget_weighting(spark):
+    """corpus_mix: per-source rate = (budget·w/Σw)/src_tokens; the keep
+    bit replays exactly in Python (md5-hex vs engine-computed threshold),
+    rate ≥ 1 keeps all, weight-0 sources get keep=0, NULL text → NULL
+    keep, and the verdict is partitioning-independent."""
+    import hashlib
+
+    from pregel_rs_spark.operators.pipeline import corpus_mix
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "web", "w " * (i % 7 + 2)))       # 2..8 tokens
+    for i in range(60, 70):
+        rows.append((i, "books", "b " * 5))               # 5 tokens each
+    for i in range(70, 80):
+        rows.append((i, "junk", "x y z"))                 # weight 0
+    rows.append((80, "web", None))                        # NULL text
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    weights = {"web": 1.0, "books": 1.0}
+    budget = 160
+    out = corpus_mix(docs, weights, budget).collect()
+    by_id = {r.doc_id: r for r in out}
+
+    # token math: web = sum(i%7+2 for 60 docs), books = 50
+    web_toks = sum(i % 7 + 2 for i in range(60))
+    assert sum(r.n_tokens for r in out
+               if r.source == "web" and r.n_tokens is not None) == web_toks
+    rate_web = (budget * 0.5) / web_toks
+    rate_books = (budget * 0.5) / 50  # 1.6 >= 1 -> keep all
+    assert all(by_id[i].keep == 1 for i in range(60, 70))
+    assert by_id[65].mix_rate_ppm == int(rate_books * 1e6)
+    # weight-0 source: present with keep=0, rate 0
+    assert all(by_id[i].keep == 0 and by_id[i].mix_rate_ppm == 0
+               for i in range(70, 80))
+    assert by_id[80].keep is None and by_id[80].n_tokens is None
+
+    # exact Python replica of the engine-side md5-threshold decision
+    thr = format(int(rate_web * 2**32), "08x")
+    for i in range(60):
+        frac = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        assert by_id[i].keep == (1 if frac < thr else 0), i
+
+    # partitioning-independent
+    out2 = {(r.doc_id, r.keep, r.mix_rate_ppm)
+            for r in corpus_mix(docs.repartition(13), weights, budget).collect()}
+    assert out2 == {(r.doc_id, r.keep, r.mix_rate_ppm) for r in out}
+
+    # monotone in budget per source (web stays fractional at both)
+    lo = {r.doc_id for r in out if r.source == "web" and r.keep == 1}
+    hi = {r.doc_id
+          for r in corpus_mix(docs, weights, budget * 2).collect()
+          if r.source == "web" and r.keep == 1}
+    assert lo <= hi and len(lo) < len(hi)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="token_budget"):
+        corpus_mix(docs, weights, 0)
+    with _pt.raises(ValueError, match="weights"):
+        corpus_mix(docs, {}, 10)
