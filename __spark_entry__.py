@@ -815,6 +815,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             token_budget=2000,
         )
 
+    def corpus_split_q(spark, sf):
+        """Deterministic train/valid/test assignment: salted-md5
+        cumulative-threshold buckets — growth-stable (a doc's split never
+        changes when the corpus grows), exclusive+exhaustive, map-only.
+        The oracle replays the identical hash compare in SQL."""
+        from pregel_rs_spark.operators.pipeline import corpus_split
+
+        return corpus_split(
+            load_table(spark, sf, "documents")
+        ).select("doc_id", "split")
+
     def dedup_clusters_verified_q(spark, sf):
         """End-to-end near-dup clustering WITH the exact-Jaccard
         verification stage (LSH candidates → true Jaccard ≥ 0.4 →
@@ -1096,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
         corpus_mix=corpus_mix_q,
+        corpus_split=corpus_split_q,
         dedup_clusters_verified=dedup_clusters_verified_q,
         ann_topk_ivf_arrow=ann_topk_ivf_arrow_q,
         lsh_jaccard_rerank=lsh_jaccard_rerank_q,
@@ -2351,6 +2363,21 @@ def oracle_sql() -> dict[str, str]:
                         END) AS BIGINT) AS total_ws_tokens,
                COUNT(DISTINCT md5(text)) AS distinct_contents
         FROM documents GROUP BY lang, source
+    """
+    # corpus_split: cumulative thresholds are python-side literals from
+    # the same sample_threshold_hex helper the engine uses; names in
+    # lexicographic order (test < train < valid), last takes the rest
+    o["corpus_split"] = f"""
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id IS NULL THEN NULL
+                 WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{sample_threshold_hex(0.01)}' THEN 'test'
+                 WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{sample_threshold_hex(0.99)}' THEN 'train'
+                 ELSE 'valid'
+               END AS split
+        FROM documents
     """
     # corpus_mix: targets are exact python-side literals (2000·w/Σw for
     # w = {src0: 3, src1: 1, src2: 1}); the data-dependent rate, the

@@ -339,3 +339,71 @@ def corpus_mix(
         .otherwise(F.lit(0))
         .alias("keep"),
     )
+
+
+def corpus_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment — the hold-out stage of a
+    training-corpus build.  Each document lands in exactly one split,
+    decided by where the first 8 hex chars of ``md5(salt || ':' || key)``
+    fall among cumulative 8-hex thresholds (:func:`sample_threshold_hex`
+    idiom — fixed-width lowercase hex compares like ``floor(f·2³²)``).
+
+    Properties a 100 TB pipeline needs and ``DataFrame.randomSplit``
+    lacks:
+
+    * **Growth-stable** — a document's split depends only on its own key,
+      so appending a new crawl snapshot NEVER moves an old document
+      between train and test (randomSplit reassigns everything on every
+      run — silent eval contamination).
+    * **Exclusive & exhaustive by construction** — threshold intervals
+      partition [0, 2³²); no doc is lost or double-assigned regardless of
+      partitioning.
+    * **Salted** — a different ``salt`` draws an independent split family
+      (for k-fold-style re-draws) without touching the data; the salt is
+      hashed WITH the key, so split correlation across salts is that of
+      md5, not of key ranges.
+    * **Map-only** — one codegen'd CASE over a hash already computed;
+      no shuffle, no RNG, no state.
+
+    ``fractions`` (default ``{"train": .98, "valid": .01, "test": .01}``)
+    must sum to 1 ± 1e-9; assignment order is lexicographic by split name
+    so the mapping is reproducible from the dict alone.  Returns ``docs``
+    plus a ``split`` column.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1, got {sum(fractions.values())}"
+        )
+    names = sorted(fractions)
+    frac_hex = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(key_col).cast("string")
+            )
+        ),
+        1, 8,
+    )
+    expr, cum = None, 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = F.lit(sample_threshold_hex(cum))
+        expr = (
+            F.when(frac_hex < thr, F.lit(name))
+            if expr is None
+            else expr.when(frac_hex < thr, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    # NULL key -> NULL split (module NULL contract), never a silent
+    # fall-through to the last bucket
+    expr = F.when(F.col(key_col).isNull(), F.lit(None).cast("string")).otherwise(expr)
+    return docs.withColumn("split", expr)

@@ -954,3 +954,52 @@ def test_corpus_mix_budget_weighting(spark):
         corpus_mix(docs, weights, 0)
     with _pt.raises(ValueError, match="weights"):
         corpus_mix(docs, {}, 10)
+
+
+def test_corpus_split_deterministic_partition(spark):
+    """corpus_split: exclusive+exhaustive, growth-stable (a doc's split
+    never changes when the corpus grows), salt-sensitive, exact Python
+    md5 replica, NULL key → NULL split."""
+    import hashlib
+
+    from pregel_rs_spark.operators.pipeline import corpus_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+    )
+    out = corpus_split(docs).collect()
+    assert len(out) == 400
+    got = {r.doc_id: r.split for r in out}
+
+    # exact replica: sorted names, cumulative thresholds over md5("split:i")
+    def expect(i):
+        frac = hashlib.md5(f"split:{i}".encode()).hexdigest()[:8]
+        for name, cum in (("test", 0.01), ("train", 0.99)):
+            if frac < format(int(cum * 2**32), "08x"):
+                return name
+        return "valid"
+
+    assert got == {i: expect(i) for i in range(400)}
+    assert set(got.values()) == {"train", "valid", "test"}
+
+    # growth-stable: adding docs never moves existing ones
+    bigger = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(800)], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.split for r in corpus_split(bigger).collect()}
+    assert all(got2[i] == got[i] for i in range(400))
+
+    # different salt -> a different (independent) assignment
+    got3 = {r.doc_id: r.split
+            for r in corpus_split(docs, salt="fold2").collect()}
+    assert got3 != got
+
+    # NULL key -> NULL split
+    nul = spark.createDataFrame([(None, "x")], "doc_id long, text string")
+    assert corpus_split(nul).collect()[0].split is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to 1"):
+        corpus_split(docs, {"train": 0.5, "test": 0.4})
+    with _pt.raises(ValueError, match="non-negative"):
+        corpus_split(docs, {"train": 1.1, "test": -0.1})
