@@ -780,6 +780,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GraphFrame.from_edges(_edges_sg(spark, sf)), k=3, max_rounds=2
         )
 
+    def mis_q(spark, sf):
+        """Luby maximal independent set bounded to 2 rounds on the supplier
+        graph — deterministic (priority, id) symmetry breaking; the oracle
+        unrolls the same two rounds in SQL."""
+        from pregel_rs_spark.algorithms import maximal_independent_set
+
+        return maximal_independent_set(
+            GraphFrame.from_edges(_edges_sg(spark, sf)), max_rounds=2
+        )
+
     def repetition_q(spark, sf):
         """Word-2-gram repetition ratios (the Gopher repetition signal):
         dup-2gram fraction + top-2gram share per document."""
@@ -1103,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         kmeans_2iter=kmeans_q,
         ktruss3_r2=ktruss_q,
+        mis_r2=mis_q,
         repetition=repetition_q,
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
@@ -2302,6 +2313,51 @@ def oracle_sql() -> dict[str, str]:
         s2 AS ({_KT_SUP.format(t="t2")})
         SELECT e2.a, e2.b, CAST(COALESCE(s2.c, 0) AS BIGINT) AS support
         FROM e2 LEFT JOIN s2 USING (a, b)
+    """
+    o["mis_r2"] = f"""
+        WITH raw AS (SELECT * FROM {_SG_SQL}),
+        und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                GREATEST(subject, object) AS b
+                FROM raw WHERE subject != object),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM raw
+               UNION ALL SELECT object FROM raw)),
+        p AS (SELECT vertex_id,
+                     (((vertex_id % 999983) + 999983) % 999983
+                      * 104729 + 7919) % 999983 AS pr
+              FROM v),
+        w1 AS (SELECT p.vertex_id FROM p
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM sym JOIN p q ON q.vertex_id = sym.b
+                 WHERE sym.a = p.vertex_id
+                   AND (q.pr < p.pr
+                        OR (q.pr = p.pr AND q.vertex_id < p.vertex_id)))),
+        x1 AS (SELECT DISTINCT sym.b AS vertex_id FROM sym
+               JOIN w1 ON sym.a = w1.vertex_id),
+        u1 AS (SELECT vertex_id FROM v
+               WHERE vertex_id NOT IN (SELECT vertex_id FROM w1)
+                 AND vertex_id NOT IN (SELECT vertex_id FROM x1)),
+        sym2 AS (SELECT sym.a, sym.b FROM sym
+                 JOIN u1 ua ON sym.a = ua.vertex_id
+                 JOIN u1 ub ON sym.b = ub.vertex_id),
+        w2 AS (SELECT u1.vertex_id FROM u1
+               JOIN p ON p.vertex_id = u1.vertex_id
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM sym2 JOIN p q ON q.vertex_id = sym2.b
+                 WHERE sym2.a = u1.vertex_id
+                   AND (q.pr < p.pr
+                        OR (q.pr = p.pr AND q.vertex_id < u1.vertex_id)))),
+        x2 AS (SELECT DISTINCT sym2.b AS vertex_id FROM sym2
+               JOIN w2 ON sym2.a = w2.vertex_id),
+        u2 AS (SELECT vertex_id FROM u1
+               WHERE vertex_id NOT IN (SELECT vertex_id FROM w2)
+                 AND vertex_id NOT IN (SELECT vertex_id FROM x2))
+        SELECT vertex_id, 'mis' AS state FROM w1
+        UNION ALL SELECT vertex_id, 'mis' FROM w2
+        UNION ALL SELECT vertex_id, 'excluded' FROM x1
+        UNION ALL SELECT vertex_id, 'excluded' FROM x2
+        UNION ALL SELECT vertex_id, 'undecided' FROM u2
     """
     o["repetition"] = """
         WITH toks AS (

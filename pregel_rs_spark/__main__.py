@@ -32,7 +32,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "reciprocity", "harmonic", "walks", "cocitation", "coupling",
         "assortativity", "ktruss", "linkpred", "katz", "squares",
         "transitivity", "modularity", "effdiam", "trustrank", "spammass",
-        "negsample", "neighsample", "salsa",
+        "negsample", "neighsample", "salsa", "mis",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -138,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
         res = A.hits(g, iterations=args.max_iter)
     elif args.algo == "salsa":
         res = A.salsa(g, iterations=args.max_iter)
+    elif args.algo == "mis":
+        res = A.maximal_independent_set(g)
     elif args.algo == "kcore":
         res = A.k_core(g, k=args.k)
     elif args.algo == "ktruss":

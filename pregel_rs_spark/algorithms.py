@@ -2419,3 +2419,141 @@ def salsa(
         except Exception:
             pass
     return res
+
+
+def _mis_priority(vid):
+    """Deterministic Lehmer-style priority, replayable in ANSI SQL.
+
+    Reduced-before-multiply so the product never leaves int64 even for
+    full-range (negative) xxhash64 vertex ids:
+    ``p(v) = ((v mod 999983 + 999983) mod 999983 * 104729 + 7919)
+    mod 999983``.  Collisions are broken by vertex_id, so the total
+    order ``(p(v), v)`` is collision-free; priority quality only
+    affects expected round count, never correctness.
+    """
+    m = F.lit(999983)
+    nonneg = ((vid % m) + m) % m
+    return (nonneg * F.lit(104729) + F.lit(7919)) % m
+
+
+def maximal_independent_set(
+    graph: GraphFrame,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Luby-style maximal independent set (Luby, SIAM J. Comput. 1986)
+    over the undirected simple view of the graph — the classic parallel
+    symmetry-breaking primitive (crawl-scheduler conflict sets, landmark
+    selection, distributed coloring seeds; no reference counterpart —
+    extension beyond pregel-rs src/graph_frame.rs).
+
+    Round t: every still-undecided vertex whose ``(priority, vertex_id)``
+    is strictly smaller than every undecided neighbor's joins the MIS
+    (isolated undecided vertices win vacuously); winners' undecided
+    neighbors become excluded.  Priorities are a fixed deterministic hash
+    (:func:`_mis_priority`), so the result is exactly reproducible — the
+    driver oracle replays the same rounds in SQL.  Expected O(log n)
+    rounds on bounded-degeneracy web graphs.
+
+    Scale shape per round: two left-semi joins restrict the edge set to
+    undecided×undecided (shrinking every round), one min-aggregation per
+    vertex for the neighbor priority floor, one distinct neighbor
+    expansion for exclusion — all hash-partitioned on vertex id, no
+    driver-side data beyond one O(1) count per round; lineage truncated
+    per round.
+
+    ``max_rounds=None`` runs to fixpoint (every vertex decided: the set
+    is then independent AND maximal).  A fixed budget returns the
+    deterministic prefix with residual ``'undecided'`` rows — what the
+    driver-gate query uses so DuckDB can unroll the rounds.
+
+    Returns ``(vertex_id, state)`` with state in
+    ``('mis', 'excluded', 'undecided')``.
+    """
+    und = (
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # both directions: neighbor lookups are one equi-join on "a"
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = truncate_plan(sym)
+
+    undecided = truncate_plan(graph.vertices.select(VERTEX_ID))
+    spark = undecided.sparkSession
+    mis = spark.createDataFrame([], "vertex_id long")
+    excluded = spark.createDataFrame([], "vertex_id long")
+
+    def _free(df) -> None:
+        rdd = getattr(df, "_ck_rdd", None)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        u_a = undecided.select(F.col(VERTEX_ID).alias("a"))
+        u_b = undecided.select(F.col(VERTEX_ID).alias("b"))
+        e_act = sym.join(u_a, "a", "left_semi").join(u_b, "b", "left_semi")
+        # per undecided vertex: the smallest (priority, id) among undecided
+        # neighbors; vertices absent from e_act have none and win vacuously
+        floor = e_act.groupBy(F.col("a").alias(VERTEX_ID)).agg(
+            F.min(
+                F.struct(
+                    _mis_priority(F.col("b")).alias("p"), F.col("b").alias("v")
+                )
+            ).alias("nbr")
+        )
+        winners = (
+            undecided.join(floor, VERTEX_ID, "left")
+            .filter(
+                F.col("nbr").isNull()
+                | (
+                    F.struct(
+                        _mis_priority(F.col(VERTEX_ID)).alias("p"),
+                        F.col(VERTEX_ID).alias("v"),
+                    )
+                    < F.col("nbr")
+                )
+            )
+            .select(VERTEX_ID)
+        )
+        winners = truncate_plan(winners)
+        newly_excluded = truncate_plan(
+            e_act.join(
+                winners.select(F.col(VERTEX_ID).alias("a")), "a", "left_semi"
+            )
+            .select(F.col("b").alias(VERTEX_ID))
+            .distinct()
+        )
+        mis = truncate_plan(mis.unionAll(winners))
+        excluded = truncate_plan(excluded.unionAll(newly_excluded))
+        nxt = truncate_plan(
+            undecided.join(winners, VERTEX_ID, "left_anti").join(
+                newly_excluded, VERTEX_ID, "left_anti"
+            )
+        )
+        n_left = nxt.count()
+        _free(undecided)
+        _free(winners)
+        _free(newly_excluded)
+        undecided = nxt
+        if n_left == 0:
+            break
+
+    res = (
+        mis.select(VERTEX_ID, F.lit("mis").alias("state"))
+        .unionAll(excluded.select(VERTEX_ID, F.lit("excluded").alias("state")))
+        .unionAll(
+            undecided.select(VERTEX_ID, F.lit("undecided").alias("state"))
+        )
+    )
+    res = truncate_plan(res)
+    for df in (sym, mis, excluded, undecided):
+        _free(df)
+    return res

@@ -1308,3 +1308,73 @@ def test_salsa_matches_numpy_jacobi(spark):
     for v in range(n):
         assert got[v][0] == pytest.approx(auth[v], abs=1e-9)
         assert got[v][1] == pytest.approx(hub[v], abs=1e-9)
+
+
+def test_maximal_independent_set_luby(spark):
+    """MIS vs a pure-Python replay of the same priority rounds, plus the
+    independence + maximality invariants at fixpoint and the fixed-round
+    deterministic prefix the driver oracle unrolls."""
+    from pregel_rs_spark.algorithms import maximal_independent_set
+
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # triangle
+        (2, 3), (3, 4), (4, 5), (5, 6),  # path
+        (7, 7),                          # self-loop (ignored)
+        (8, 9), (9, 8),                  # reciprocated pair
+        (10, 10),                        # isolated via self-loop only
+    ]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    verts = sorted(r.vertex_id for r in g.vertices.collect())
+
+    def prio(v):
+        return (((v % 999983) + 999983) % 999983 * 104729 + 7919) % 999983
+
+    # pure-Python Luby replay with identical (priority, id) order
+    nbrs = {v: set() for v in verts}
+    for s, o in edges:
+        if s != o:
+            nbrs[s].add(o)
+            nbrs[o].add(s)
+    state = {v: "undecided" for v in verts}
+    rounds_trace = []
+    while any(s == "undecided" for s in state.values()):
+        und = {v for v, s in state.items() if s == "undecided"}
+        winners = {
+            v
+            for v in und
+            if all(
+                (prio(v), v) < (prio(u), u) for u in nbrs[v] if u in und
+            )
+        }
+        for w in winners:
+            state[w] = "mis"
+        for w in winners:
+            for u in nbrs[w]:
+                if state[u] == "undecided":
+                    state[u] = "excluded"
+        rounds_trace.append(dict(state))
+
+    res = maximal_independent_set(g)
+    got = {r.vertex_id: r.state for r in res.collect()}
+    assert got == state
+
+    mis = {v for v, s in got.items() if s == "mis"}
+    # independence: no edge inside the set
+    for s, o in edges:
+        if s != o:
+            assert not (s in mis and o in mis)
+    # maximality: every non-member has a member neighbor
+    for v in verts:
+        if v not in mis:
+            assert nbrs[v] & mis, v
+    # self-loop-only vertices are isolated -> always in the MIS
+    assert got[7] == "mis" and got[10] == "mis"
+
+    # fixed-round budget returns exactly the round-1 deterministic prefix
+    res1 = {
+        r.vertex_id: r.state
+        for r in maximal_independent_set(g, max_rounds=1).collect()
+    }
+    assert res1 == rounds_trace[0]
