@@ -780,6 +780,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GraphFrame.from_edges(_edges_sg(spark, sf)), k=3, max_rounds=2
         )
 
+    def bm25_q(spark, sf):
+        """BM25 top-10 for a fixed bag-of-terms query over documents —
+        sparse retrieval (decontamination / audit path); Lucene
+        parameterization, deterministic doc_id tie-break."""
+        from pregel_rs_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            load_table(spark, sf, "documents"),
+            ["join", "spark", "window"],
+            k=10,
+        )
+
+    def inverted_index_q(spark, sf):
+        """Posting lists (term, doc_id, tf) — the sparse-index build."""
+        from pregel_rs_spark.operators.retrieval import inverted_index
+
+        return inverted_index(load_table(spark, sf, "documents"))
+
     def mis_q(spark, sf):
         """Luby maximal independent set bounded to 2 rounds on the supplier
         graph — deterministic (priority, id) symmetry breaking; the oracle
@@ -1114,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kmeans_2iter=kmeans_q,
         ktruss3_r2=ktruss_q,
         mis_r2=mis_q,
+        bm25_topk=bm25_q,
+        inverted_index=inverted_index_q,
         repetition=repetition_q,
         pii_scrub=pii_scrub_q,
         corpus_stats=corpus_stats_q,
@@ -2313,6 +2333,44 @@ def oracle_sql() -> dict[str, str]:
         s2 AS ({_KT_SUP.format(t="t2")})
         SELECT e2.a, e2.b, CAST(COALESCE(s2.c, 0) AS BIGINT) AS support
         FROM e2 LEFT JOIN s2 USING (a, b)
+    """
+    o["inverted_index"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY term, doc_id
+    """
+    o["bm25_topk"] = r"""
+        WITH lens AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS dl
+            FROM documents),
+        st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok
+                 WHERE term IN ('join', 'spark', 'window')
+                 GROUP BY term, doc_id),
+        dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+        c AS (SELECT p.doc_id,
+                     ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                     * (p.tf * 2.2)
+                     / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl)) AS part
+              FROM post p JOIN dft d USING (term)
+              JOIN lens l USING (doc_id) CROSS JOIN st)
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM c GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
     """
     o["mis_r2"] = f"""
         WITH raw AS (SELECT * FROM {_SG_SQL}),

@@ -1003,3 +1003,75 @@ def test_corpus_split_deterministic_partition(spark):
         corpus_split(docs, {"train": 0.5, "test": 0.4})
     with _pt.raises(ValueError, match="non-negative"):
         corpus_split(docs, {"train": 1.1, "test": -0.1})
+
+
+def test_bm25_topk_matches_python_oracle(spark):
+    """BM25 vs a pure-Python replay (same Lucene parameterization), plus
+    the inverted index, NULL/empty-text contract, dedup of query terms,
+    and deterministic doc_id tie-break."""
+    import math
+
+    from pregel_rs_spark.operators.retrieval import (
+        bm25_topk,
+        doc_lengths,
+        inverted_index,
+    )
+
+    rows = [
+        (0, "spark join window spark spark", "en", "a", 0),
+        (1, "join join join window", "en", "a", 0),
+        (2, "window", "en", "a", 0),
+        (3, "nothing relevant here", "en", "a", 0),
+        (4, "spark join", "en", "a", 0),
+        (5, "spark join", "en", "a", 0),  # exact tie with 4 -> id order
+        (6, None, "en", "a", 0),
+        (7, "   ", "en", "a", 0),
+    ]
+    docs_df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    texts = {r[0]: (r[1] or "").split() for r in rows}
+
+    # inverted index: exact tf postings, no rows for NULL/blank docs
+    inv = {
+        (r.term, r.doc_id): r.tf for r in inverted_index(docs_df).collect()
+    }
+    assert inv[("spark", 0)] == 3 and inv[("join", 1)] == 3
+    assert not any(d in (6, 7) for (_, d) in inv)
+
+    dl = {r.doc_id: r.dl for r in doc_lengths(docs_df).collect()}
+    assert dl[6] == 0 and dl[7] == 0 and dl[0] == 5
+
+    q = ["spark", "join", "spark"]  # duplicate collapses
+    k1, b = 1.2, 0.75
+    n = len(rows)
+    avgdl = sum(dl.values()) / n
+
+    def bm25(d):
+        s = 0.0
+        for t in {"spark", "join"}:
+            tf = texts[d].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for dd in texts.values() if t in dd)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        return s
+
+    want = sorted(
+        ((round(bm25(d), 6), d) for d in texts if bm25(d) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    got = bm25_topk(docs_df, q, k=3).collect()
+    assert [(r.score, r.doc_id) for r in got] == [
+        (pytest.approx(s, abs=2e-6), d) for s, d in want
+    ]
+    # exact-tie pair 4/5: identical scores, ascending doc_id
+    all_got = bm25_topk(docs_df, q, k=8).collect()
+    pos = {r.doc_id: i for i, r in enumerate(all_got)}
+    s45 = {r.doc_id: r.score for r in all_got if r.doc_id in (4, 5)}
+    assert s45[4] == s45[5] and pos[4] < pos[5]
+    assert all(r.doc_id not in (3, 6, 7) for r in all_got)
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, [], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, q, k=0)
