@@ -1104,6 +1104,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", url_normalize(F.col("url")).alias("url_norm")
         )
 
+    def resolve_redirects_q(spark, sf):
+        """Redirect-chain canonicalization by pointer doubling over a
+        synthetic functional redirect table: custkey → custkey div 2
+        halving chains (custkey 0 excluded — its 0→0 self-loop would
+        otherwise swallow every chain; terminal 0, ~log2(maxkey) hops)
+        plus a literal 3-cycle with a tail, so BOTH the resolved and the
+        loop paths carry rows.  Unresolved (loop) rows are masked to
+        (final=subject, hops=-1) so the oracle's bounded recursive walk
+        — which cannot replay the doubling schedule inside a loop —
+        expresses the identical result."""
+        from pregel_rs_spark.operators.redirects import resolve_redirects
+
+        cust = (
+            load_table(spark, sf, "customer")
+            .filter(F.col("c_custkey") > 0)
+            .select(
+                F.col("c_custkey").cast("long").alias("subject"),
+                F.expr("CAST(c_custkey AS BIGINT) div 2").alias("object"),
+            )
+        )
+        cyc = spark.createDataFrame(
+            [(-1, -2), (-2, -3), (-3, -1), (-10, -1)],
+            "subject long, object long",
+        )
+        res = resolve_redirects(cust.unionByName(cyc), max_rounds=8)
+        return res.select(
+            "subject",
+            F.when(F.col("resolved"), F.col("final"))
+            .otherwise(F.col("subject"))
+            .alias("final"),
+            F.when(F.col("resolved"), F.col("hops"))
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("hops"),
+            "resolved",
+        )
+
+    def bowtie_q(spark, sf):
+        """Broder bow-tie decomposition of the supplier graph: SCC core +
+        four flag-reachability sweeps; the oracle replays it as a
+        recursive-CTE transitive closure with identical precedence and
+        the same (size DESC, label DESC) core tie-break."""
+        from pregel_rs_spark.algorithms import bowtie_classes
+
+        return bowtie_classes(GraphFrame.from_edges(_edges_sg(spark, sf)))
+
+    def ngram_lm_q(spark, sf):
+        """CCNet-style perplexity quality scores from an in-corpus add-k
+        bigram LM: in-row zip_with bigrams, vocabulary-bounded count
+        tables, two equi-joins, one per-doc agg — the oracle replays the
+        identical tokenization, smoothing, and log2 math in SQL."""
+        from pregel_rs_spark.operators.text import ngram_lm_scores
+
+        return ngram_lm_scores(load_table(spark, sf, "documents"))
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  Never-driver-verified additions go
@@ -1112,6 +1166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        resolve_redirects=resolve_redirects_q,
+        ngram_lm=ngram_lm_q,
+        bowtie=bowtie_q,
         trustrank_k3=trustrank_q,
         spam_mass_k3=spam_mass_q,
         neighbor_sample_2hop=neighbor_sample_q,
@@ -3003,5 +3060,111 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN rest = '' THEN '/' ELSE rest END)
                END AS url_norm
         FROM y
+    """
+    # resolve_redirects: the oracle walks every chain one hop at a time
+    # (bounded recursion — max halving chain at sf0.1 is 14 hops; 40 is
+    # slack), terminal ⇔ the reached node has no out-edge; loop rows never
+    # terminate within the bound and surface as (final=subject, hops=-1,
+    # resolved=false) — exactly the Spark query's masking of its
+    # doubling-schedule-dependent loop internals.
+    o["resolve_redirects"] = """
+        WITH RECURSIVE red AS (
+            SELECT CAST(c_custkey AS BIGINT) AS subject,
+                   CAST(c_custkey // 2 AS BIGINT) AS object
+            FROM customer WHERE c_custkey > 0
+            UNION ALL
+            SELECT * FROM (VALUES
+                (CAST(-1 AS BIGINT), CAST(-2 AS BIGINT)),
+                (-2, -3), (-3, -1), (-10, -1)) t(subject, object)
+        ),
+        walk(src, cur, hops) AS (
+            SELECT subject, object, CAST(1 AS BIGINT) FROM red
+            UNION ALL
+            SELECT w.src, r.object, w.hops + 1
+            FROM walk w JOIN red r ON w.cur = r.subject
+            WHERE w.hops < 40
+        ),
+        term AS (
+            SELECT w.src, w.cur, w.hops FROM walk w
+            WHERE NOT EXISTS (SELECT 1 FROM red r WHERE r.subject = w.cur)
+        )
+        SELECT s.subject,
+               COALESCE(t.cur, s.subject) AS final,
+               COALESCE(t.hops, -1) AS hops,
+               t.src IS NOT NULL AS resolved
+        FROM (SELECT DISTINCT subject FROM red) s
+        LEFT JOIN term t ON s.subject = t.src
+    """
+    # ngram_lm: identical tokenization (lower + trim + split on \s+),
+    # bigram/context counts, k=0.5 add-k smoothing over the distinct-token
+    # vocabulary, and log2 cross-entropy — replayed verbatim in SQL.
+    o["ngram_lm"] = r"""
+        WITH toks AS (
+            SELECT doc_id, i, list_extract(arr, CAST(i AS INT)) AS tok
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS arr,
+                         unnest(range(1, len(regexp_split_to_array(
+                             trim(lower(text)), '\s+')) + 1)) AS i
+                  FROM documents WHERE text IS NOT NULL)
+        ),
+        bg AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+               FROM toks a JOIN toks b
+               ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        cbg AS (SELECT prev, cur, COUNT(*) AS c FROM bg GROUP BY prev, cur),
+        cctx AS (SELECT prev, COUNT(*) AS c FROM bg GROUP BY prev),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks)
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-SUM(log2((cbg.c + 0.5) / (cctx.c + 0.5 * v.v)))
+                     / COUNT(*), 6) AS cross_entropy,
+               ROUND(POWER(2.0,
+                     -SUM(log2((cbg.c + 0.5) / (cctx.c + 0.5 * v.v)))
+                     / COUNT(*)), 6) AS ppl
+        FROM bg
+        JOIN cbg ON bg.prev = cbg.prev AND bg.cur = cbg.cur
+        JOIN cctx ON bg.prev = cctx.prev
+        CROSS JOIN v
+        GROUP BY bg.doc_id
+    """
+    # bowtie: recursive-CTE transitive closure (UNION dedups → fixpoint),
+    # SCC(v) = MAX u with v↔u mutual reachability (reflexive closure makes
+    # singletons their own label), core = (size DESC, label DESC) first,
+    # then the four reachability sets with the engine's precedence.
+    o["bowtie"] = f"""
+        WITH RECURSIVE e AS (SELECT subject AS s, object AS o FROM {_SG_SQL}),
+        v AS (SELECT DISTINCT x AS id FROM
+              (SELECT s AS x FROM e UNION SELECT o FROM e)),
+        tc(s, o) AS (
+            SELECT s, o FROM e
+            UNION
+            SELECT tc.s, e.o FROM tc JOIN e ON tc.o = e.s
+        ),
+        tcr AS (SELECT s, o FROM tc UNION SELECT id, id FROM v),
+        comp AS (SELECT p.s AS id, MAX(p.o) AS component
+                 FROM tcr p JOIN tcr q ON p.s = q.o AND p.o = q.s
+                 GROUP BY p.s),
+        core AS (SELECT component AS c FROM comp GROUP BY component
+                 ORDER BY COUNT(*) DESC, component DESC LIMIT 1),
+        corev AS (SELECT id FROM comp WHERE component = (SELECT c FROM core)),
+        inv AS (SELECT DISTINCT t.s AS id FROM tcr t
+                JOIN corev c ON t.o = c.id
+                WHERE t.s NOT IN (SELECT id FROM corev)),
+        outv AS (SELECT DISTINCT t.o AS id FROM tcr t
+                 JOIN corev c ON t.s = c.id
+                 WHERE t.o NOT IN (SELECT id FROM corev)),
+        fromin AS (SELECT DISTINCT t.o AS id FROM tcr t
+                   JOIN inv i ON t.s = i.id),
+        toout AS (SELECT DISTINCT t.s AS id FROM tcr t
+                  JOIN outv x ON t.o = x.id)
+        SELECT comp.id AS vertex_id, comp.component,
+               CASE WHEN comp.id IN (SELECT id FROM corev) THEN 'core'
+                    WHEN comp.id IN (SELECT id FROM inv) THEN 'in'
+                    WHEN comp.id IN (SELECT id FROM outv) THEN 'out'
+                    WHEN comp.id IN (SELECT id FROM fromin)
+                         AND comp.id IN (SELECT id FROM toout) THEN 'tube'
+                    WHEN comp.id IN (SELECT id FROM fromin)
+                         OR comp.id IN (SELECT id FROM toout) THEN 'tendril'
+                    ELSE 'disconnected' END AS bowtie
+        FROM comp
     """
     return o

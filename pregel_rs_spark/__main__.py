@@ -32,7 +32,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "reciprocity", "harmonic", "walks", "cocitation", "coupling",
         "assortativity", "ktruss", "linkpred", "katz", "squares",
         "transitivity", "modularity", "effdiam", "trustrank", "spammass",
-        "negsample", "neighsample", "salsa", "mis",
+        "negsample", "neighsample", "salsa", "mis", "redirects",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -92,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
     edges = spark.read.parquet(args.edges)
+
+    if args.algo == "redirects":
+        # functional pointer table, not a multigraph — resolve and exit
+        # before GraphFrame's multi-edge-friendly validation
+        from pregel_rs_spark.operators.redirects import resolve_redirects
+
+        res = resolve_redirects(edges, max_rounds=args.max_iter or 32)
+        res.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"redirects: wrote {n} rows -> {args.out}")
+        if owns_session:
+            spark.stop()
+        return 0
+
     g = GraphFrame.from_edges(edges)
 
     store = None

@@ -393,3 +393,78 @@ def top_terms(
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ngram_lm_scores(
+    docs: DataFrame, k_smooth: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """In-corpus bigram language-model scoring — the CCNet-style
+    perplexity quality filter (public technique: CCNet ranks Common-Crawl
+    paragraphs by LM perplexity; GPT-2/3-era pipelines filter on it), with
+    the LM trained on the corpus ITSELF so the operator is closed over its
+    input (no external model): add-k-smoothed bigram probabilities
+
+        p(w | w_prev) = (c(w_prev, w) + k) / (c(w_prev) + k·V)
+
+    where counts come from every non-NULL document and V is the distinct
+    whitespace-token vocabulary.  Per document: ``cross_entropy`` =
+    -mean(log2 p) over its (n_tokens - 1) bigram slots and ``ppl`` =
+    2^cross_entropy.  LOW perplexity ⇒ repetitive/templated text, HIGH ⇒
+    out-of-distribution noise — both tails are the filter targets.
+
+    Scale shape (100 TB-safe): bigrams are built IN-ROW (``zip_with`` over
+    two array slices — no positional self-join), the two count tables are
+    single hash aggregations whose size is vocabulary-bounded (≪ corpus;
+    token Zipf makes the bigram table sparse), the probability lookup is
+    two equi-joins of the exploded bigram stream against those tables, and
+    the final per-doc agg is one more hash shuffle.  V rides in as a
+    broadcast 1-row frame.  No pairwise work, no driver loops.
+
+    Documents with NULL text or < 2 tokens have no bigram slot and are
+    absent from the result (the LM neither trains on nor scores them).
+    Tokenization is lowercase + split on ``\\s+`` after trim — chosen to be
+    byte-replayable in ANSI SQL for the oracle.
+    """
+    if k_smooth <= 0:
+        raise ValueError(f"k_smooth must be > 0, got {k_smooth}")
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    with_arr = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", arr.alias("__toks")
+    )
+    bigrams = with_arr.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__toks, 1, size(__toks) - 1)"),
+                F.expr("slice(__toks, 2, size(__toks) - 1)"),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    c_bg = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_ctx = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = (
+        with_arr.select(F.explode("__toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+
+    p = (F.col("c_bg") + F.lit(k_smooth)) / (
+        F.col("c_ctx") + F.lit(k_smooth) * F.col("v")
+    )
+    scored = (
+        bigrams.join(c_bg, ["prev", "cur"])
+        .join(c_ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("__h"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("__h", 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.col("__h")), 6).alias("ppl"),
+    )

@@ -190,7 +190,29 @@ def truncate_plan(df: DataFrame, preserve_partitioning: bool = True) -> DataFram
         # shuffled-hash builds for the small vertex state instead of
         # treating it as infinitely large).
         try:
-            const_stats = jvm.scala.Some(lr.stats())
+            raw_stats = lr.stats()
+            # Clamp astronomically-large estimates.  Catalyst's join size
+            # estimation MULTIPLIES child sizeInBytes bounds, so a loop
+            # whose superstep is join+project only (no aggregate to reset
+            # the bound — e.g. pointer doubling) SQUARES the BigInt every
+            # round: measured 2.2e19762292 bytes (20 M digits) by round 20,
+            # at which point BigInt arithmetic inside the stats visitor —
+            # not the job — costs 20 s/round, doubling each round.  Any
+            # estimate beyond int64 carries zero planning information
+            # (every threshold comparison already says "huge"), so cap at
+            # the session's defaultSizeInBytes and drop the equally-
+            # inflated rowCount/column stats.  Sane estimates pass through
+            # untouched.  Pinned by test_truncate_plan_stats_clamped.
+            if raw_stats.sizeInBytes().bitLength() > 63:
+                cap = jvm.scala.math.BigInt.apply(
+                    spark._jsparkSession.sessionState().conf()
+                    .defaultSizeInBytes()
+                )
+                raw_stats = (
+                    jvm.org.apache.spark.sql.catalyst.plans.logical
+                    .Statistics(cap, none, raw_stats.attributeStats(), False)
+                )
+            const_stats = jvm.scala.Some(raw_stats)
         except Exception:
             const_stats = none
         # Re-create the LogicalRDD with originStats/originConstraints = None

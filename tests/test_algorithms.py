@@ -1378,3 +1378,49 @@ def test_maximal_independent_set_luby(spark):
         for r in maximal_independent_set(g, max_rounds=1).collect()
     }
     assert res1 == rounds_trace[0]
+
+
+def test_bowtie_classes_all_six(spark):
+    """Bow-tie decomposition on a hand-built graph exercising every class:
+    3-cycle core, IN chain, OUT chain, a core-bypassing tube, both tendril
+    orientations, and a disconnected 2-cycle SCC."""
+    from pregel_rs_spark.algorithms import bowtie_classes
+
+    e = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),      # CORE: SCC {1,2,3}, label 3
+            (5, 4), (4, 1),              # IN: 5 -> 4 -> core
+            (2, 6), (6, 7),              # OUT: core -> 6 -> 7
+            (4, 10), (10, 6),            # TUBE: IN -> 10 -> OUT, no core
+            (5, 11),                     # TENDRIL: reachable from IN only
+            (12, 6),                     # TENDRIL: reaches OUT only
+            (8, 9), (9, 8),              # DISCONNECTED 2-cycle SCC {8,9}
+        ],
+        "subject long, object long",
+    )
+    res = {
+        r.vertex_id: (r.component, r.bowtie)
+        for r in bowtie_classes(GraphFrame.from_edges(e)).collect()
+    }
+    assert {v for v, (_, b) in res.items() if b == "core"} == {1, 2, 3}
+    assert {v for v, (_, b) in res.items() if b == "in"} == {4, 5}
+    assert {v for v, (_, b) in res.items() if b == "out"} == {6, 7}
+    assert {v for v, (_, b) in res.items() if b == "tube"} == {10}
+    assert {v for v, (_, b) in res.items() if b == "tendril"} == {11, 12}
+    assert {v for v, (_, b) in res.items() if b == "disconnected"} == {8, 9}
+    assert res[1][0] == 3 and res[8][0] == 9  # SCC labels = max member id
+
+
+def test_bowtie_core_tiebreak_larger_label(spark):
+    """Equal-size largest SCCs: the core is the one with the larger
+    component label (deterministic), everything else disconnected."""
+    from pregel_rs_spark.algorithms import bowtie_classes
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 6), (6, 5)], "subject long, object long"
+    )
+    res = {
+        r.vertex_id: r.bowtie
+        for r in bowtie_classes(GraphFrame.from_edges(e)).collect()
+    }
+    assert res == {5: "core", 6: "core", 1: "disconnected", 2: "disconnected"}

@@ -228,3 +228,22 @@ def test_cli_neighsample(spark, tmp_path):
     out = spark.read.parquet(opath)
     assert set(out.columns) == {"root", "hop", "subject", "object"}
     assert set(r.hop for r in out.collect()) == {1, 2}
+
+
+def test_cli_redirects(spark, tmp_path):
+    """Redirect canonicalization at the CLI boundary: chain + loop."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (8, 7)], "subject long, object long"
+    )
+    epath = os.path.join(tmp_path, "e6")
+    edges.write.parquet(epath)
+    opath = os.path.join(tmp_path, "out6")
+    assert main([
+        "redirects", "--edges", epath, "--out", opath, "--cores", "4",
+    ]) == 0
+    got = {
+        r.subject: (r.final, r.hops, r.resolved)
+        for r in spark.read.parquet(opath).collect()
+    }
+    assert got[1] == (3, 2, True) and got[2] == (3, 1, True)
+    assert got[7][2] is False and got[8][2] is False

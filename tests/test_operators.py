@@ -1075,3 +1075,99 @@ def test_bm25_topk_matches_python_oracle(spark):
         bm25_topk(docs_df, [], k=3)
     with pytest.raises(ValueError):
         bm25_topk(docs_df, q, k=0)
+
+
+def test_resolve_redirects_pointer_doubling(spark):
+    """Pointer doubling vs a pure-Python chain walk: chains, a pure
+    cycle, a tail entering the cycle, bounded rounds, and the early-exit
+    equivalence (max_rounds larger than needed changes nothing)."""
+    from pregel_rs_spark.operators.redirects import resolve_redirects
+
+    edges = [  # chain 0->1->2->3->4; cycle 10->11->12->10; tail 20->10
+        (0, 1), (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (12, 10),
+        (20, 10),
+        (30, 4),  # one-hop straight to a terminal
+    ]
+    red = spark.createDataFrame(edges, "subject long, object long")
+    got = {
+        r.subject: (r.final, r.hops, r.resolved)
+        for r in resolve_redirects(red, max_rounds=32).collect()
+    }
+    assert set(got) == {e[0] for e in edges}
+
+    nxt = dict(edges)
+    for s in (0, 1, 2, 3, 30):  # acyclic: exact terminal + hop count
+        cur, hops = s, 0
+        while cur in nxt:
+            cur, hops = nxt[cur], hops + 1
+        assert got[s] == (cur, hops, True), (s, got[s])
+    for s in (10, 11, 12, 20):  # cyclic: flagged, final inside the walk
+        final, hops, resolved = got[s]
+        assert resolved is False and final in (10, 11, 12)
+        # hops is the exact doubled walk length: replay f_{k+1}=f_k∘f_k
+        state = {a: (b, 1) for a, b in edges}
+        for _ in range(32):
+            state = {
+                a: (state[f][0], h + state[f][1]) if f in state else (f, h)
+                for a, (f, h) in state.items()
+            }
+        assert got[s] == (state[s][0], state[s][1], False)
+
+    # bounded rounds: ONE doubling compresses exactly 2 hops
+    one = {
+        r.subject: (r.final, r.hops, r.resolved)
+        for r in resolve_redirects(red, max_rounds=1).collect()
+    }
+    assert one[0] == (2, 2, False)   # 0->..->2, target still redirects
+    assert one[3] == (4, 1, True)    # already terminal after round 0
+    assert one[2] == (4, 2, True)
+
+    with pytest.raises(ValueError, match="max_rounds"):
+        resolve_redirects(red, max_rounds=0)
+
+
+def test_ngram_lm_scores_matches_python_oracle(spark):
+    """Bigram add-k LM scoring vs an exact pure-Python replica: counts,
+    smoothing denominator (k·V), per-doc cross-entropy and perplexity;
+    NULL-text and single-token docs absent; k validation."""
+    import math
+    from collections import Counter
+
+    from pregel_rs_spark.operators.text import ngram_lm_scores
+
+    rows = [
+        (1, "a b a b c", "en", "s", 9),
+        (2, "a b", "en", "s", 3),
+        (3, "c c c c", "en", "s", 7),
+        (4, "zzz", "en", "s", 3),          # 1 token -> no bigram slot
+        (5, None, "en", "s", 0),            # NULL -> excluded entirely
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
+        for r in ngram_lm_scores(docs, k_smooth=0.5).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    toks = {d: t.split() for d, t, *_ in rows if t}
+    bgs = [
+        (w1, w2) for t in toks.values() for w1, w2 in zip(t, t[1:])
+    ]
+    c_bg, c_ctx = Counter(bgs), Counter(w1 for w1, _ in bgs)
+    V = len({w for t in toks.values() for w in t})
+    for d, t in toks.items():
+        slots = list(zip(t, t[1:]))
+        if not slots:
+            continue
+        h = -sum(
+            math.log2((c_bg[s] + 0.5) / (c_ctx[s[0]] + 0.5 * V))
+            for s in slots
+        ) / len(slots)
+        assert got[d][0] == len(slots)
+        assert abs(got[d][1] - round(h, 6)) < 1e-9, (d, got[d], h)
+        assert abs(got[d][2] - round(2 ** h, 6)) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k_smooth"):
+        ngram_lm_scores(docs, k_smooth=0.0)

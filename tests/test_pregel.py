@@ -379,6 +379,28 @@ def test_truncate_plan_rewrap(spark):
     assert out.count() == 10
 
 
+def test_truncate_plan_stats_clamped(spark):
+    """Join-squared stats must not escape int64: a join+project-only loop
+    (no aggregate to reset the bound — pointer doubling's shape) makes
+    Catalyst MULTIPLY sizeInBytes every round; unclamped, the rewrap then
+    carries a BigInt whose arithmetic inside the stats visitor costs more
+    than the job (measured 20 s/round by round 20).  The clamp caps any
+    >int64 estimate at defaultSizeInBytes; sane estimates pass through."""
+    from pregel_rs_spark.pregel import truncate_plan
+
+    df = truncate_plan(spark.range(100).select(F.col("id").alias("k")))
+    small = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert small.bit_length() <= 63  # sane stats untouched
+    for _ in range(6):
+        j = df.select(F.col("k").alias("k2"))
+        df = truncate_plan(df.join(j, df["k"] == j["k2"]).select("k"))
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        assert size.bit_length() <= 63, size
+    assert df.count() == 100
+
+
 def test_state_stat_native_types(spark, graph_b):
     """State stats keep native types (bigint counts exact, NULL preserved)
     instead of being coerced to nullable-to-zero doubles (ADVICE r1)."""

@@ -130,6 +130,12 @@ EXPECT: dict[str, dict] = {
         "codegen": True,
         "forbid": ["Exchange"],
     },
+    # redirect resolution: pointer-doubling self equi-join + terminal
+    # left equi-join — never all-pairs; reads c_custkey only
+    "resolve_redirects": {
+        "read_cols_max": 1,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
