@@ -1158,14 +1158,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_lm_scores(load_table(spark, sf, "documents"))
 
+    def chunk_dedup_q(spark, sf):
+        """Chunk-level exact dedup with removal (Lee et al. ACL'22 shape):
+        disjoint 20-token chunks, global first-occurrence keep, per-doc
+        text rebuild — the oracle replays chunking, the lexicographic
+        (doc_id, idx) keeper rule, and the ordered string_agg rebuild."""
+        from pregel_rs_spark.operators.dedup import dedup_chunks
+
+        return dedup_chunks(load_table(spark, sf, "documents"), chunk=20)
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  Never-driver-verified additions go
-    # FIRST (this session's seven new rows, then the earlier round-3 batch),
+    # FIRST (this session's new rows, then the earlier round-3 batch),
     # then the seven that missed an r2 row — including the two ANN scale
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        chunk_dedup=chunk_dedup_q,
         resolve_redirects=resolve_redirects_q,
         ngram_lm=ngram_lm_q,
         bowtie=bowtie_q,
@@ -3060,6 +3070,43 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN rest = '' THEN '/' ELSE rest END)
                END AS url_norm
         FROM y
+    """
+    # chunk_dedup: identical chunking (split on \s+, disjoint 20-token
+    # slices, trailing short chunk kept), keeper = lexicographic min
+    # (doc_id, chunk_idx) per distinct piece, rebuild = ordered string_agg;
+    # NULL text -> NULL row, fully-removed doc -> ''.
+    o["chunk_dedup"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        p AS (
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(toks[i*20+1 : i*20+20], ' ') AS piece
+            FROM (SELECT doc_id, toks,
+                         unnest(range(0, ((len(toks)-1) // 20) + 1)) AS i
+                  FROM t)
+        ),
+        k AS (SELECT piece, min((doc_id, chunk_idx)) AS keep
+              FROM p GROUP BY piece),
+        kept AS (
+            SELECT p.doc_id,
+                   string_agg(p.piece, ' ' ORDER BY p.chunk_idx)
+                       AS text_dedup,
+                   CAST(COUNT(*) AS BIGINT) AS kept_chunks
+            FROM p JOIN k ON p.piece = k.piece
+            WHERE (p.doc_id, p.chunk_idx) = k.keep
+            GROUP BY p.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(kept.text_dedup, '') END AS text_dedup,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE CAST(((len(regexp_split_to_array(d.text, '\s+'))
+                               - 1) // 20) + 1 AS BIGINT) END AS n_chunks,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(kept.kept_chunks, 0) END AS kept_chunks
+        FROM documents d LEFT JOIN kept USING (doc_id)
     """
     # resolve_redirects: the oracle walks every chain one hop at a time
     # (bounded recursion — max halving chain at sf0.1 is 14 hops; 40 is

@@ -700,3 +700,95 @@ def duplicate_span_stats(
         .when(F.col("n_windows") == 0, F.lit(0.0))
         .otherwise(F.lit(None).cast("double")).alias("dup_ratio"),
     )
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    chunk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level exact dedup with REMOVAL — the rewrite stage that
+    :func:`duplicate_ngram_spans` is the detector for (Lee et al., ACL'22
+    remove repeated substrings from the corpus, not just flag them; the
+    chunk-hash formulation is the standard MapReduce-able approximation
+    of their suffix-array dedup).  Documents are cut into DISJOINT
+    ``chunk``-token pieces (the final piece may be shorter); every
+    occurrence of a piece except the globally FIRST one — minimum
+    ``(doc_id, chunk_idx)``, lexicographic, deterministic — is deleted,
+    including repeats within a single document, and each document's text
+    is rebuilt from its surviving pieces in order.
+
+    Scale shape (100 TB): the chunk table is ~(tokens/chunk) rows per
+    document — ``chunk``× SMALLER than the detector's overlapping-window
+    table; the keeper table is one md5-keyed hash agg (map-side
+    combined); the survive test is one equi-join where every occurrence
+    matches exactly one keeper row (no fan-out even for a boilerplate
+    chunk shared by millions of docs); the rebuild is one per-doc hash
+    agg of a sorted struct array.  No windows, no pairwise work.
+
+    Returns ``(doc_id, text_dedup, n_chunks, kept_chunks)``; NULL text
+    propagates (NULL, NULL, NULL) per the module-wide NULL contract.  A
+    document whose every chunk is removed rebuilds to the empty string.
+    Tokenization is ``split(text, '\\s+')`` — byte-replayable in ANSI
+    SQL, consistent with the detector.
+    """
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
+    )
+    pieces = toks.filter(F.col("toks").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(toks) - 1) / {chunk} AS INT)),"
+                f" i -> concat_ws(' ', slice(toks, i * {chunk} + 1, {chunk})))"
+            )
+        ).alias("chunk_idx", "piece"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("piece").alias("piece_hash"),
+        "piece",
+    )
+    keepers = pieces.groupBy("piece_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("keep")
+    )
+    kept = (
+        pieces.join(keepers, "piece_hash")
+        .filter(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("chunk_idx") == F.col("keep.chunk_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(chunk_idx, piece))), x -> x.piece)"
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("kept_chunks"),
+        )
+    )
+    totals = toks.select(
+        "doc_id",
+        F.when(F.col("toks").isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(f"CAST((size(toks) - 1) / {chunk} AS BIGINT) + 1")
+        )
+        .alias("n_chunks"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_chunks").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("text_dedup", F.lit("")))
+        .alias("text_dedup"),
+        "n_chunks",
+        F.when(F.col("n_chunks").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.coalesce("kept_chunks", F.lit(0)))
+        .alias("kept_chunks"),
+    )

@@ -29,3 +29,51 @@ def test_ngram_containment_doc_inside_doc(spark):
     # df-guarded run returns the identical pair set on this fixture
     guarded = ngram_containment_pairs(docs, k=5, threshold=0.9, max_df=2)
     assert [(r.doc_a, r.doc_b) for r in guarded.collect()] == [(1, 2)]
+
+
+def test_dedup_chunks_matches_python_oracle(spark):
+    """Chunk-level removal vs an exact pure-Python replica: global
+    first-occurrence keep (lexicographic (doc_id, chunk_idx)), in-doc
+    repeats removed, trailing short chunk, all-removed doc -> empty
+    string, NULL text -> NULL row, chunk validation."""
+    from pregel_rs_spark.operators.dedup import dedup_chunks
+
+    rows = [
+        (1, "a b c d e f"),          # chunks(3): "a b c", "d e f"
+        (2, "a b c x y z a b c"),    # "a b c" dup of doc1; in-doc repeat
+        (3, "d e f"),                # whole doc removed -> ""
+        (4, "q r"),                  # short: single 2-token chunk
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_chunks, r.kept_chunks)
+        for r in dedup_chunks(docs, chunk=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    # pure-Python replay
+    pieces, first = {}, {}
+    for d, t in rows:
+        if t is None:
+            continue
+        toks = t.split()
+        cs = [" ".join(toks[i:i + 3]) for i in range(0, len(toks), 3)]
+        pieces[d] = cs
+        for i, c in enumerate(cs):
+            first.setdefault(c, (d, i))
+    for d, t in rows:
+        if t is None:
+            assert got[d] == (None, None, None)
+            continue
+        kept = [
+            c for i, c in enumerate(pieces[d]) if first[c] == (d, i)
+        ]
+        assert got[d] == (" ".join(kept), len(pieces[d]), len(kept)), d
+
+    assert got[3] == ("", 1, 0)
+    assert got[2][0] == "x y z"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="chunk"):
+        dedup_chunks(docs, chunk=0)

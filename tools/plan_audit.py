@@ -136,6 +136,12 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 1,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # chunk-level dedup removal: explode + md5 hash agg + one equi-join
+    # + per-doc rebuild agg — never pairwise; reads (doc_id, text) only
+    "chunk_dedup": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
