@@ -1158,6 +1158,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_lm_scores(load_table(spark, sf, "documents"))
 
+    def frontier_q(spark, sf):
+        """Politeness-aware crawl-frontier schedule over the synthetic
+        pages table: per-host queues ordered by page length DESC / url
+        ASC, 5 s crawl delay, 75-URL per-host budget; the oracle replays
+        the window over the pre-materialized pages parquet."""
+        from pregel_rs_spark.functions.extract import frontier_schedule
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        urls = pages.select("url", F.length("text").alias("priority"))
+        return frontier_schedule(
+            urls, delay_s=5.0, max_per_host=75
+        )
+
     def chunk_dedup_q(spark, sf):
         """Chunk-level exact dedup with removal (Lee et al. ACL'22 shape):
         disjoint 20-token chunks, global first-occurrence keep, per-doc
@@ -1175,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        frontier_schedule=frontier_q,
         chunk_dedup=chunk_dedup_q,
         resolve_redirects=resolve_redirects_q,
         ngram_lm=ngram_lm_q,
@@ -2048,6 +2063,22 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet(
           '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
         GROUP BY domain
+    """
+    # frontier_schedule: identical per-host politeness window over the
+    # pre-materialized pure-Python pages parquet (n_chars == length(text)
+    # exactly — the same byte-identity domain_stats relies on).
+    o["frontier_schedule"] = f"""
+        WITH ranked AS (
+          SELECT url,
+                 regexp_extract(url, {_dom}, 1) AS host,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY regexp_extract(url, {_dom}, 1)
+                   ORDER BY n_chars DESC, url ASC) AS host_rank
+          FROM read_parquet(
+            '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet'))
+        SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank,
+               (host_rank - 1) * 5.0 AS fetch_slot
+        FROM ranked WHERE host_rank <= 75
     """
     o["kcore3_r2"] = f"""
         WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,

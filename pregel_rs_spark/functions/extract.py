@@ -340,3 +340,59 @@ def url_normalize(col) -> "F.Column":
     rest_nofrag = F.regexp_replace(rest, r"#.*", "")
     path = F.when(rest_nofrag == "", F.lit("/")).otherwise(rest_nofrag)
     return F.when(sh == "", u).otherwise(F.concat(sh_norm, path))
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    priority_col: str = "priority",
+    delay_s: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (the host-queue model
+    every polite crawler uses — Heritrix/Nutch-style per-host FIFO with a
+    crawl delay; Mercator's frontier, Heydon & Najork 1999 — public
+    designs): URLs are grouped by host, ordered within each host by
+    ``priority_col`` DESC (ties broken by url ASC, deterministic), and
+    the k-th URL of a host is scheduled ``(k-1) * delay_s`` seconds into
+    the crawl cycle, so no host is hit faster than once per ``delay_s``
+    while every host's queue starts immediately (maximum cross-host
+    parallelism).  ``max_per_host`` caps each host's queue — the
+    per-cycle politeness budget that keeps mega-hosts from dominating a
+    fetch round.
+
+    Scale shape (10^12 URLs): host extraction is map-only regexp; the
+    only shuffle is the per-host window, whose skew bound is the largest
+    single host — exactly the unit a frontier must serialize anyway (a
+    host's queue is inherently sequential), so the plan's skew IS the
+    problem's skew.  With ``max_per_host`` set, a 100 TB deployment
+    would pre-prune per-host overflow with the same window it already
+    pays for; no extra pass.
+
+    Input needs ``(url, <priority_col>)``; returns
+    ``(url, host, host_rank, fetch_slot)`` with ``host_rank`` 1-based
+    and ``fetch_slot = (host_rank - 1) * delay_s`` (double, seconds).
+    """
+    if delay_s <= 0:
+        raise ValueError(f"delay_s must be > 0, got {delay_s}")
+    if max_per_host is not None and max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc(priority_col), F.asc("url")
+    )
+    ranked = urls.select(
+        "url",
+        url_domain(F.col("url")).alias("host"),
+        F.col(priority_col),
+    ).withColumn("host_rank", F.row_number().over(w).cast("long"))
+    if max_per_host is not None:
+        ranked = ranked.filter(F.col("host_rank") <= max_per_host)
+    return ranked.select(
+        "url",
+        "host",
+        "host_rank",
+        ((F.col("host_rank") - 1) * F.lit(float(delay_s))).alias(
+            "fetch_slot"
+        ),
+    )

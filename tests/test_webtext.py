@@ -309,3 +309,37 @@ def test_url_normalize_cases(spark):
     got = df.select("url", "expected", url_normalize("url").alias("norm"))
     for r in got.collect():
         assert r.norm == r.expected, f"{r.url!r}: {r.norm!r} != {r.expected!r}"
+
+
+def test_frontier_schedule_politeness(spark):
+    """Per-host politeness scheduling: priority-desc/url-asc ordering,
+    (rank-1)*delay slots, per-host cap, hostless urls grouped, and
+    parameter validation."""
+    from pregel_rs_spark.functions.extract import frontier_schedule
+
+    rows = [
+        ("http://a.com/1", 10), ("http://a.com/2", 30),
+        ("http://a.com/3", 30),                     # tie -> url asc
+        ("http://b.org/x", 5),
+        ("nohost", 1), ("alsonohost", 2),           # no scheme://host
+    ]
+    urls = spark.createDataFrame(rows, "url string, priority long")
+    got = {
+        r.url: (r.host, r.host_rank, r.fetch_slot)
+        for r in frontier_schedule(urls, delay_s=2.0).collect()
+    }
+    assert got["http://a.com/2"] == ("a.com", 1, 0.0)
+    assert got["http://a.com/3"] == ("a.com", 2, 2.0)   # tie loses on url
+    assert got["http://a.com/1"] == ("a.com", 3, 4.0)
+    assert got["http://b.org/x"] == ("b.org", 1, 0.0)
+    assert got["alsonohost"] == ("", 1, 0.0)            # hostless bucket
+    assert got["nohost"] == ("", 2, 2.0)
+
+    capped = frontier_schedule(urls, delay_s=2.0, max_per_host=2)
+    assert capped.count() == 5  # a.com loses its 3rd url
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="delay_s"):
+        frontier_schedule(urls, delay_s=0)
+    with _pytest.raises(ValueError, match="max_per_host"):
+        frontier_schedule(urls, max_per_host=0)
