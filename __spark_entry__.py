@@ -266,6 +266,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("vertex_id", "degree")
 
+    def coreness_r3_q(spark, sf):
+        """3 h-index rounds of the full k-core decomposition (Montresor
+        et al. distributed coreness) on the lineitem link graph — fixed
+        round budget so the DuckDB oracle can unroll the identical
+        h-operator; production runs ``max_rounds=None`` to the fixpoint."""
+        from pregel_rs_spark.algorithms import coreness
+
+        res = coreness(
+            GraphFrame.from_edges(_edges_li(spark, sf)), max_rounds=3
+        )
+        return res.select("vertex_id", "coreness")
+
     def walks_k3_q(spark, sf):
         """3-step deterministic pseudo-random walks from every vertex of
         the lineitem link graph (DeepWalk/node2vec corpus generator).  The
@@ -1253,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ppr_k3=ppr_k3_q,
         scc=scc_q,
         kcore3_r2=kcore3_r2_q,
+        coreness_r3=coreness_r3_q,
         walks_k3=walks_k3_q,
         neighborhood_k2=neighborhood_k2_q,
         hyperball_regs_k2=hyperball_regs_q,
@@ -2100,6 +2113,37 @@ def oracle_sql() -> dict[str, str]:
                (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
         GROUP BY v HAVING COUNT(*) >= 3
     """
+    # coreness_r3: the identical h-operator (Montresor et al.) unrolled
+    # 3 rounds — per round: neighbor-value counts, cumulative count over
+    # values DESC, h = max(min(value, #neighbors with core >= value)),
+    # new core = least(prev, h).  Matches algorithms.py::coreness exactly.
+    _core_round = """
+        , c{t} AS (
+          SELECT prev.v, LEAST(prev.core, hx.h) AS core
+          FROM c{p} prev JOIN (
+            SELECT v, MAX(LEAST(val, cnt_ge)) AS h FROM (
+              SELECT v, val,
+                     SUM(cnt) OVER (PARTITION BY v ORDER BY val DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cnt_ge
+              FROM (SELECT n.v, p.core AS val, COUNT(*) AS cnt
+                    FROM nbrs n JOIN c{p} p ON p.v = n.nbr
+                    GROUP BY n.v, p.core))
+            GROUP BY v) hx ON hx.v = prev.v)
+    """
+    o["coreness_r3"] = (
+        f"""
+        WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                            GREATEST(subject, object) AS b
+                     FROM {_EV_SQL} WHERE subject != object),
+             nbrs AS (SELECT a AS v, b AS nbr FROM und
+                      UNION ALL SELECT b, a FROM und),
+             c0 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS core
+                    FROM nbrs GROUP BY v)
+        """
+        + "".join(_core_round.format(t=t, p=t - 1) for t in (1, 2, 3))
+        + "SELECT v AS vertex_id, CAST(core AS BIGINT) AS coreness FROM c3"
+    )
     walk_step = """
         , s{t} AS (SELECT s{p}.walk_id, nbr.object AS vertex_id,
                           {t} AS step

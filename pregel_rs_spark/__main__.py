@@ -33,6 +33,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "assortativity", "ktruss", "linkpred", "katz", "squares",
         "transitivity", "modularity", "effdiam", "trustrank", "spammass",
         "negsample", "neighsample", "salsa", "mis", "redirects",
+        "coreness",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -156,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
         res = A.maximal_independent_set(g)
     elif args.algo == "kcore":
         res = A.k_core(g, k=args.k)
+    elif args.algo == "coreness":
+        res = A.coreness(g)
     elif args.algo == "ktruss":
         res = A.k_truss(g, k=args.k)
     elif args.algo == "degrees":

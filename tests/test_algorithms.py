@@ -1424,3 +1424,64 @@ def test_bowtie_core_tiebreak_larger_label(spark):
         for r in bowtie_classes(GraphFrame.from_edges(e)).collect()
     }
     assert res == {5: "core", 6: "core", 1: "disconnected", 2: "disconnected"}
+
+
+def _py_coreness(edges):
+    """Exact core numbers by sequential min-degree peeling (the textbook
+    O(E) Matula-Beck algorithm, run in pure Python as the oracle)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])  # core number = running max of removal degree
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    return core
+
+
+def test_coreness_matches_peeling_oracle(spark):
+    from pregel_rs_spark.algorithms import coreness
+
+    # K4 clique + triangle sharing vertex 3 + a tail: cores 3 / 2 / 1
+    raw = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),   # K4 -> core 3
+        (3, 4), (4, 5), (3, 5),                            # triangle -> 2
+        (5, 6), (6, 7),                                    # tail -> 1
+        (7, 7),                                            # self-loop dropped
+        (1, 0),                                            # reverse dup
+    ]
+    e = spark.createDataFrame(raw, "subject long, object long")
+    got = {
+        r.vertex_id: r.coreness
+        for r in coreness(GraphFrame.from_edges(e)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 2, 5: 2, 6: 1, 7: 1}
+
+    # pseudo-random graph: fixpoint must equal exact sequential peeling
+    rnd = [((i * 7919) % 37, (i * 104729 + 13) % 37) for i in range(140)]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    e2 = spark.createDataFrame(rnd, "subject long, object long")
+    got2 = {
+        r.vertex_id: r.coreness
+        for r in coreness(GraphFrame.from_edges(e2)).collect()
+    }
+    assert got2 == _py_coreness(rnd)
+
+    # fixed-round prefix is monotone: round-1 values >= fixpoint values
+    one = {
+        r.vertex_id: r.coreness
+        for r in coreness(GraphFrame.from_edges(e2), max_rounds=1).collect()
+    }
+    assert set(one) == set(got2)
+    assert all(one[v] >= got2[v] for v in got2)

@@ -247,3 +247,20 @@ def test_cli_redirects(spark, tmp_path):
     }
     assert got[1] == (3, 2, True) and got[2] == (3, 1, True)
     assert got[7][2] is False and got[8][2] is False
+
+
+def test_cli_coreness(spark, tmp_path):
+    """coreness subcommand: exact core numbers on a known graph (K4 plus
+    a pendant) round-trip through parquet."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e_cn")
+    opath = os.path.join(tmp_path, "o_cn")
+    edges.write.parquet(epath)
+    assert main(["coreness", "--edges", epath, "--out", opath,
+                 "--cores", "4"]) == 0
+    got = {r.vertex_id: r.coreness
+           for r in spark.read.parquet(opath).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1}
