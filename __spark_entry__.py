@@ -1184,6 +1184,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             urls, delay_s=5.0, max_per_host=75
         )
 
+    def robots_filter_q(spark, sf):
+        """RFC 9309 robots.txt admission over the synth web: parse every
+        host's robots.txt (groups, wildcards, $-anchors, allow-overrides)
+        and give each page URL a verdict.  Oracle: the pure-Python mirror
+        (parse_robots_py + robots_allowed_py) pre-materialized to parquet
+        (tools/gen_robots_oracle.py); parity of the two parsers is also
+        pytest-asserted directly (tests/test_robots.py)."""
+        from pregel_rs_spark.functions.robots import robots_verdicts
+        from pregel_rs_spark.sources.synth import synth_pages, synth_robots
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        robots = synth_robots(spark, 2000, seed=42)
+        return robots_verdicts(pages.select("url"), robots)
+
     def chunk_dedup_q(spark, sf):
         """Chunk-level exact dedup with removal (Lee et al. ACL'22 shape):
         disjoint 20-token chunks, global first-occurrence keep, per-doc
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds every query holds a green row.
     q.update(
         frontier_schedule=frontier_q,
+        robots_filter=robots_filter_q,
         chunk_dedup=chunk_dedup_q,
         resolve_redirects=resolve_redirects_q,
         ngram_lm=ngram_lm_q,
@@ -2076,6 +2091,10 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet(
           '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
         GROUP BY domain
+    """
+    o["robots_filter"] = """
+        SELECT url, host, allowed, rule, rule_path FROM read_parquet(
+          '/root/repo/tests/data/robots_verdicts_n2000_seed42.parquet')
     """
     # frontier_schedule: identical per-host politeness window over the
     # pre-materialized pure-Python pages parquet (n_chars == length(text)

@@ -137,3 +137,71 @@ def synth_pages(
             yield out
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+ROBOTS_SCHEMA = "host string, content string"
+
+
+def gen_robots(j: int, n: int, seed: int = 42) -> dict | None:
+    """Pure deterministic robots.txt builder for site ``j`` of the synth
+    corpus (hosts match ``page_url``'s ``site{j}.example.com``) — also the
+    local oracle for functions/robots.py.
+
+    Exercises the full RFC 9309 surface: comments, mixed-case directives,
+    a non-``*`` decoy group, prefix / ``*``-wildcard / ``$``-anchored
+    rules, longer-Allow carve-outs, empty ``Disallow:`` no-ops, unknown
+    directives.  Every 7th site (j % 7 == 3) publishes no robots.txt —
+    the crawl-by-default path.
+    """
+    host = f"site{j}.example.com"
+    if j % 7 == 3:
+        return None
+    rng = random.Random(seed * 7919 + j * 104729 + 17)
+    lines = [f"# robots for {host}"]
+    if rng.random() < 0.5:  # group for another agent — must be ignored
+        lines += ["User-Agent: evilbot", "Disallow: /"]
+    lines += ["", "User-agent: *"]
+    for _ in range(rng.randint(1, 4)):
+        r = rng.random()
+        if r < 0.35:
+            lines.append(f"DisAllow: /page/{rng.randint(0, 9)}")
+        elif r < 0.55:
+            lines.append(f"Disallow: /page/{rng.randint(0, 9)}*5")
+        elif r < 0.70:
+            lines.append(f"Disallow: /page/{rng.randint(0, 99)}$")
+        elif r < 0.85:
+            lines.append(
+                f"Allow: /page/{rng.randint(0, 9)}{rng.randint(0, 9)}"
+            )
+        else:
+            lines.append("Disallow:")  # empty value — RFC no-op
+    if rng.random() < 0.3:
+        lines.append("Crawl-delay: 5")  # unknown directive — ignored
+    return {"host": host, "content": "\n".join(lines)}
+
+
+def synth_robots(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic robots.txt corpus for the ``n``-page synth
+    web (one row per site that publishes a robots.txt)."""
+    n_sites = max(1, n // 50)
+    partitions = partitions or min(
+        spark.sparkContext.defaultParallelism, n_sites
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                r
+                for r in (gen_robots(int(j), n, seed) for j in pdf["id"])
+                if r is not None
+            ]
+            yield pd.DataFrame(rows, columns=["host", "content"])
+
+    return spark.range(0, n_sites, 1, partitions).mapInPandas(
+        gen, ROBOTS_SCHEMA
+    )

@@ -142,6 +142,18 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # robots admission: parsed-rules side is dimension-sized -> every join
+    # broadcasts; winner pick is a max(struct) hash agg, not a sorted
+    # window over the URL fan-out
+    "robots_filter": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # frontier schedule: the only shuffle is the per-host window — the
+    # unit a polite crawler must serialize anyway
+    "frontier_schedule": {
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
