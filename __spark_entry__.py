@@ -1198,6 +1198,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         robots = synth_robots(spark, 2000, seed=42)
         return robots_verdicts(pages.select("url"), robots)
 
+    def warc_roundtrip_q(spark, sf):
+        """Distributed WARC sink → source roundtrip (ISO 28500): synth
+        pages written to real .warc files (one per xxhash64 group, by the
+        executor holding the group), read back via binaryFile+mapInPandas
+        streaming parse.  Oracle: the corpus itself (gen_page is seed-pure)
+        pre-materialized with sha256 payload digests."""
+        import shutil
+
+        from pregel_rs_spark.sources.synth import synth_pages
+        from pregel_rs_spark.sources.warc import read_warc, write_warc_files
+
+        out = "/tmp/spark_graft_drv_warc"
+        shutil.rmtree(out, ignore_errors=True)
+        pages = synth_pages(spark, 1000, seed=42, partitions=8)
+        write_warc_files(
+            pages.select("url", "warc_ts", "html"), out, pages_per_file=100
+        ).collect()
+        back = read_warc(spark, out + "/*.warc")
+        return back.filter(F.col("warc_type") == "response").select(
+            "target_uri",
+            F.col("http_status").cast("long").alias("http_status"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lower(F.sha2("payload", 256)).alias("payload_sha"),
+        )
+
     def chunk_dedup_q(spark, sf):
         """Chunk-level exact dedup with removal (Lee et al. ACL'22 shape):
         disjoint 20-token chunks, global first-occurrence keep, per-doc
@@ -1217,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         frontier_schedule=frontier_q,
         robots_filter=robots_filter_q,
+        warc_roundtrip=warc_roundtrip_q,
         chunk_dedup=chunk_dedup_q,
         resolve_redirects=resolve_redirects_q,
         ngram_lm=ngram_lm_q,
@@ -2091,6 +2117,12 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet(
           '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
         GROUP BY domain
+    """
+    o["warc_roundtrip"] = """
+        SELECT target_uri, CAST(http_status AS BIGINT) AS http_status,
+               CAST(n_bytes AS BIGINT) AS n_bytes, payload_sha
+        FROM read_parquet(
+          '/root/repo/tests/data/warc_records_n1000_seed42.parquet')
     """
     o["robots_filter"] = """
         SELECT url, host, allowed, rule, rule_path FROM read_parquet(
