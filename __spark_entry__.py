@@ -115,6 +115,13 @@ _NG_SQL = (
 
 _DOCS_SQL = "(SELECT doc_id, text, lang, source, n_chars FROM documents)"
 
+# mojibake_fix: the injected corruption is the REAL cp1252 double-encoding
+# of this clean suffix (computed at import time, identical in the query fn
+# and the oracle f-string) — ties the driver row to the actual byte chain,
+# not to a hand-typed lookalike.
+_MOJI_CLEAN = " don’t — café «déjà vu» 25° …"
+_MOJI_BAD = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
 
 # ---------------------------------------------------------------------------
 # entry
@@ -1232,6 +1239,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_chunks(load_table(spark, sf, "documents"), chunk=20)
 
+    # -- round-3 session-2 additions (training-pipeline + graph features) --
+
+    def pack_seqs_q(spark, sf):
+        """Concat-and-chunk sequence packing (GPT/T5/LLaMA pretraining
+        shape): sharded md5-ordered token streams sliced into 512-token
+        sequences; oracle replays the shard nibbles, the (md5, doc_id)
+        order, the windowed cumsum and the DIV arithmetic exactly."""
+        from pregel_rs_spark.operators.pipeline import pack_sequences
+
+        return pack_sequences(
+            load_table(spark, sf, "documents"), ctx_len=512, n_shards=8
+        )
+
+    def ppl_buckets_q(spark, sf):
+        """CCNet-style per-language head/middle/tail perplexity buckets
+        over the in-corpus bigram LM; rank-exact ntile mode (the audit
+        path), ties broken on doc_id — oracle is the ngram_lm SQL plus
+        the identical NTILE window."""
+        from pregel_rs_spark.operators.text import perplexity_buckets
+
+        return perplexity_buckets(load_table(spark, sf, "documents"), buckets=3)
+
+    def landmark_dists_q(spark, sf):
+        """Truncated multi-source BFS to 3 landmark vertices on the
+        supplier graph (distance-sketch primitive); oracle = recursive-CTE
+        closure capped at 2 hops with MIN(dist)."""
+        from pregel_rs_spark.algorithms import landmark_distances
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        return landmark_distances(g, [1, 2, 3], max_hops=2)
+
+    def gnn_pool_q(spark, sf):
+        """GraphSAGE-style neighbor mean/max pooling over the embedding
+        table, on a deterministic 2-out-regular graph derived from vec_id
+        arithmetic (count-parameterized so it scales with the table)."""
+        from pregel_rs_spark.operators.similarity import neighbor_feature_agg
+
+        emb = load_table(spark, sf, "embeddings")
+        c = emb.agg(F.count(F.lit(1)).alias("__c"))
+        mk = lambda a, b: emb.crossJoin(F.broadcast(c)).select(
+            F.col("vec_id").alias("subject"),
+            ((F.col("vec_id") * a + b) % F.col("__c")).alias("object"),
+        )
+        return neighbor_feature_agg(mk(17, 1).unionByName(mk(29, 7)), emb)
+
+    def mojibake_fix_q(spark, sf):
+        """cp1252 mojibake repair: docs with doc_id%3=0 get a real
+        double-encoded suffix appended (computed by the actual
+        encode/decode chain at import time), then fix_mojibake must
+        invert it; oracle replays the injection and the ordered replace
+        chain literal-for-literal."""
+        from pregel_rs_spark.operators.text import fix_mojibake
+
+        docs = load_table(spark, sf, "documents")
+        corrupted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(_MOJI_BAD)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return fix_mojibake(corrupted).select(
+            "doc_id",
+            "changed",
+            "chars_fixed",
+            F.expr("right(fixed_text, 24)").alias("tail24"),
+        )
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  Never-driver-verified additions go
@@ -1239,6 +1316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the seven that missed an r2 row — including the two ANN scale
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
+    q.update(
+        pack_seqs=pack_seqs_q,
+        ppl_buckets=ppl_buckets_q,
+        landmark_dists=landmark_dists_q,
+        gnn_pool=gnn_pool_q,
+        mojibake_fix=mojibake_fix_q,
+    )
     q.update(
         frontier_schedule=frontier_q,
         robots_filter=robots_filter_q,
@@ -3339,5 +3423,133 @@ def oracle_sql() -> dict[str, str]:
                          OR comp.id IN (SELECT id FROM toout) THEN 'tendril'
                     ELSE 'disconnected' END AS bowtie
         FROM comp
+    """
+    # pack_seqs: exact replay — salted md5, two-nibble shard, (md5, doc_id)
+    # window order, preceding-rows cumsum, DIV slicing; NULL-text docs keep
+    # their shard but NULL pack columns.
+    o["pack_seqs"] = r"""
+        WITH hk AS (
+          SELECT doc_id,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+                 CASE WHEN text IS NULL THEN NULL
+                      WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, h, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8
+                      AS BIGINT) AS shard
+          FROM hk
+        ), c AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tok_start
+          FROM sh WHERE n_tokens IS NOT NULL
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(tok_start AS BIGINT) AS tok_start,
+               CAST(tok_start + n_tokens AS BIGINT) AS tok_end,
+               CAST(CASE WHEN n_tokens > 0 THEN tok_start // 512 END
+                    AS BIGINT) AS seq_first,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (tok_start + n_tokens - 1) // 512 END
+                    AS BIGINT) AS seq_last
+        FROM c
+        UNION ALL
+        SELECT doc_id, shard, NULL, NULL, NULL, NULL, NULL
+        FROM sh WHERE n_tokens IS NULL
+    """
+    # ppl_buckets: the ngram_lm pipeline + lang join + SQL-standard NTILE
+    # over (ppl, doc_id) per language (ppl is the ROUND-6 column on both
+    # sides, so the sort keys are bit-identical doubles).
+    o["ppl_buckets"] = r"""
+        WITH toks AS (
+            SELECT doc_id, i, list_extract(arr, CAST(i AS INT)) AS tok
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS arr,
+                         unnest(range(1, len(regexp_split_to_array(
+                             trim(lower(text)), '\s+')) + 1)) AS i
+                  FROM documents WHERE text IS NOT NULL)
+        ),
+        bg AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+               FROM toks a JOIN toks b
+               ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        cbg AS (SELECT prev, cur, COUNT(*) AS c FROM bg GROUP BY prev, cur),
+        cctx AS (SELECT prev, COUNT(*) AS c FROM bg GROUP BY prev),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+        s AS (SELECT bg.doc_id,
+                     ROUND(POWER(2.0,
+                           -SUM(log2((cbg.c + 0.5) / (cctx.c + 0.5 * v.v)))
+                           / COUNT(*)), 6) AS ppl
+              FROM bg
+              JOIN cbg ON bg.prev = cbg.prev AND bg.cur = cbg.cur
+              JOIN cctx ON bg.prev = cctx.prev
+              CROSS JOIN v
+              GROUP BY bg.doc_id)
+        SELECT s.doc_id, d.lang, s.ppl,
+               CAST(NTILE(3) OVER (PARTITION BY d.lang
+                    ORDER BY s.ppl, s.doc_id) AS INT) AS ppl_bucket
+        FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """
+    # landmark_dists: recursive closure capped at 2 hops, MIN per
+    # (vertex, landmark) — BFS first-visit distance.
+    o["landmark_dists"] = f"""
+        WITH RECURSIVE e AS (SELECT subject, object FROM {_SG_SQL}),
+        r(vertex_id, landmark, dist) AS (
+            SELECT CAST(l AS BIGINT), CAST(l AS BIGINT), 0
+            FROM (VALUES (1), (2), (3)) t(l)
+            UNION
+            SELECT e.object, r.landmark, r.dist + 1
+            FROM r JOIN e ON r.vertex_id = e.subject
+            WHERE r.dist < 2
+        )
+        SELECT vertex_id, landmark, CAST(MIN(dist) AS INT) AS dist
+        FROM r GROUP BY vertex_id, landmark
+    """
+    # gnn_pool: same count-parameterized 2-out-regular edge derivation,
+    # 1-based list_extract vs 0-based posexplode aligned via i-1.
+    o["gnn_pool"] = """
+        WITH c AS (SELECT COUNT(*) AS c FROM embeddings),
+        e AS (SELECT vec_id AS subject, (vec_id * 17 + 1) % c.c AS object
+              FROM embeddings, c
+              UNION
+              SELECT vec_id, (vec_id * 29 + 7) % c.c FROM embeddings, c),
+        x AS (SELECT subject, i, list_extract(arr, CAST(i AS INT)) AS val
+              FROM (SELECT e.subject, emb.embedding AS arr,
+                           unnest(range(1, len(emb.embedding) + 1)) AS i
+                    FROM e JOIN embeddings emb ON e.object = emb.vec_id))
+        SELECT subject AS vertex_id, CAST(i - 1 AS INT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               ROUND(AVG(CAST(val AS DOUBLE)), 6) AS mean_val,
+               ROUND(MAX(CAST(val AS DOUBLE)), 6) AS max_val
+        FROM x GROUP BY subject, i
+    """
+    # mojibake_fix: the injected corruption and the ordered replace chain
+    # are generated from the SAME Python constants the operator uses.
+    from pregel_rs_spark.operators.text import MOJIBAKE_REPAIRS
+
+    fixed_expr = "text2"
+    for bad, good in MOJIBAKE_REPAIRS:
+        fixed_expr = f"replace({fixed_expr}, '{bad}', '{good}')"
+    o["mojibake_fix"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text || '{_MOJI_BAD}'
+                      ELSE text END AS text2
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text2, {fixed_expr} AS ft FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN text2 IS NULL THEN NULL
+                    ELSE CAST(length(text2) <> length(ft) AS INT) END
+               AS changed,
+               CAST(length(text2) - length(ft) AS BIGINT) AS chars_fixed,
+               right(ft, 24) AS tail24
+        FROM f
     """
     return o

@@ -2779,3 +2779,71 @@ def coreness(
         _free_checkpoint(core)
         core = nxt
     return core
+
+
+def landmark_distances(
+    graph: GraphFrame,
+    landmarks: list[int],
+    max_hops: int,
+) -> DataFrame:
+    """Truncated multi-source BFS distances to a small landmark set — the
+    distance-sketch primitive (public technique: landmark/beacon distance
+    oracles, Potamias et al. CIKM'09; also the feature stage of
+    web-graph proximity ranking).  For every vertex reachable from a
+    landmark in ≤ ``max_hops`` hops it returns the exact hop distance
+    ``d(landmark → vertex)`` along edge direction; vertex similarity /
+    closeness features then read off the k-dimensional distance vector.
+
+    Frontier-style iteration on the composite key (vertex, landmark):
+    per hop, one equi-join of the current frontier against the edge table
+    (subject side), a distinct on the composite key, and an anti-join
+    against the already-settled table — BFS's "first visit is the
+    shortest" invariant means settled pairs never improve, so each pair
+    is shuffled O(1) times over the whole run.  State is
+    O(reached pairs) ≤ |V|·k, never |V|·k up front; a mega-hub costs k
+    rows per hop, not k copies of its adjacency.  Plans are truncated per
+    hop (O(1) lineage); the loop stops early when a hop settles nothing.
+
+    No reference counterpart (extension; the reference's only
+    distance-flavored fixture is max-value propagation).  Landmarks must
+    be explicit vertex ids — deterministic by construction; pick them by
+    degree or hash off-line.  Returns (vertex_id, landmark, dist) —
+    BIGINT/BIGINT/INT, exact.
+    """
+    if not landmarks:
+        raise ValueError("landmarks must name >= 1 vertex id")
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select(SUBJECT, OBJECT).distinct()
+    settled = truncate_plan(
+        spark.createDataFrame(
+            [(int(l), int(l), 0) for l in sorted(set(landmarks))],
+            schema=f"{VERTEX_ID} long, landmark long, dist int",
+        )
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier[VERTEX_ID] == edges[SUBJECT])
+            .select(
+                F.col(OBJECT).alias(VERTEX_ID),
+                "landmark",
+                F.lit(hop).cast("int").alias("dist"),
+            )
+            .distinct()
+            .join(
+                settled.select(VERTEX_ID, "landmark"),
+                [VERTEX_ID, "landmark"],
+                "left_anti",
+            )
+        )
+        nxt = truncate_plan(nxt)
+        if nxt.isEmpty():
+            _free_checkpoint(nxt)
+            break
+        new_settled = truncate_plan(settled.unionByName(nxt))
+        _free_checkpoint(settled)
+        _free_checkpoint(frontier)
+        settled, frontier = new_settled, nxt
+    return settled

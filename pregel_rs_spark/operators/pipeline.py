@@ -407,3 +407,98 @@ def corpus_split(
     # fall-through to the last bucket
     expr = F.when(F.col(key_col).isNull(), F.lit(None).cast("string")).otherwise(expr)
     return docs.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    n_shards: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the last stage of a pretraining
+    corpus build (public technique: GPT-2/3, T5 and LLaMA-style pipelines
+    concatenate documents back to back and slice the stream into
+    fixed-``ctx_len`` training sequences; a document may span a sequence
+    boundary).  This operator assigns every document its place in that
+    stream without materializing the stream itself: per document it emits
+    the half-open token span ``[tok_start, tok_end)`` it occupies and the
+    first/last sequence indices it touches, so the trainer-side reader can
+    slice any sequence by filtering ``seq_first <= s <= seq_last``.
+
+    A single global concatenation order would be one total sort — the
+    classic non-scalable shape.  Instead the corpus is split into
+    ``n_shards`` independent streams by a salted md5 of the document key
+    (two-nibble value mod n_shards — the :func:`corpus_split` hex idiom,
+    byte-replayable in ANSI SQL), and each shard is packed independently:
+    order within a shard is (md5, key) — deterministic, growth-stable for
+    the docs already in a shard, and engine-independent.  ``(shard,
+    seq_first)`` is globally unique per sequence.  Scale rule: a shard is
+    one window-sort task, so pick ``n_shards ≈ corpus_tokens /
+    tokens_per_task`` (e.g. 2^14 shards for 10^12 tokens keeps each sort
+    ~60M tokens); shard count scales with data, not with cluster size.
+
+    Tokenization is the corpus-wide whitespace rule (``token_counts``
+    parity: empty/blank text ⇒ 0 tokens).  Zero-token documents occupy an
+    empty span (``tok_start = tok_end``) and touch no sequence
+    (``seq_first/seq_last`` NULL).  NULL text propagates NULL pack columns
+    (module NULL contract) and contributes nothing to any stream.
+
+    Returns (key, shard, n_tokens, tok_start, tok_end, seq_first,
+    seq_last) — all BIGINT, integer-exact on every engine.
+    """
+    from pyspark.sql import Window
+
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    if not 1 <= n_shards <= 256:
+        raise ValueError(
+            f"n_shards must be in [1, 256] (two md5 nibbles), got {n_shards}"
+        )
+    t = F.col(text_col)
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    nib = lambda i: F.position(F.substring(F.col("__h"), i, 1),
+                               F.lit("0123456789abcdef")) - 1
+    tok = docs.select(
+        F.col(key_col),
+        h.alias("__h"),
+        F.when(t.isNull(), F.lit(None).cast("long"))
+        .when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "shard", ((nib(1) * 16 + nib(2)) % n_shards).cast("long")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = tok.filter(F.col("n_tokens").isNotNull()).withColumn(
+        "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    out = packed.select(
+        key_col,
+        "shard",
+        "n_tokens",
+        "tok_start",
+        (F.col("tok_start") + F.col("n_tokens")).alias("tok_end"),
+        F.when(
+            F.col("n_tokens") > 0, F.expr(f"tok_start DIV {ctx_len}")
+        ).alias("seq_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(tok_start + n_tokens - 1) DIV {ctx_len}"),
+        ).alias("seq_last"),
+    )
+    nulls = tok.filter(F.col("n_tokens").isNull()).select(
+        key_col,
+        "shard",
+        *[
+            F.lit(None).cast("long").alias(c)
+            for c in ("n_tokens", "tok_start", "tok_end", "seq_first", "seq_last")
+        ],
+    )
+    return out.unionByName(nulls)

@@ -457,3 +457,50 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def neighbor_feature_agg(
+    edges: DataFrame,
+    feats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One round of GNN-style neighbor feature pooling (public technique:
+    GraphSAGE mean/max aggregation, Hamilton et al. NeurIPS'17) — for each
+    vertex, the element-wise mean and max of its out-neighbors' embedding
+    vectors, plus the neighbor count.  This is the feature-engineering
+    join between the link graph and the embedding table: node features
+    for ranking/classification models without a training framework in the
+    loop.
+
+    Shape (100 TB-safe): one equi-join of the (distinct) edge table
+    against the feature table on the neighbor id, then ``posexplode`` and
+    a hash aggregate keyed (vertex, dim) — the dim component fans a
+    mega-hub's aggregation across d reducers instead of one, so hubs
+    parallelize instead of skewing.  No pairwise work; rows scale as
+    |E|·d into a |V|·d result.  Returned per-dim rows (not re-assembled
+    arrays) keep the result directly joinable and ANSI-SQL comparable;
+    ``array_agg`` over pos re-assembles vectors when needed.
+
+    Vertices with no out-edges (or whose neighbors lack features) are
+    absent — the closed-world contract of the edge/feature join.  Floats
+    are cast to DOUBLE before aggregation and rounded to 6 so the result
+    is engine-exact.  Returns (vertex_id, pos, n_neighbors, mean_val,
+    max_val).
+    """
+    from pregel_rs_spark.columns import OBJECT, SUBJECT, VERTEX_ID
+
+    nb = (
+        edges.select(SUBJECT, OBJECT)
+        .distinct()
+        .join(feats.select(id_col, vec_col), F.col(OBJECT) == F.col(id_col))
+    )
+    ex = nb.select(
+        F.col(SUBJECT).alias(VERTEX_ID),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    ).withColumn("__v", F.col("__v").cast("double"))
+    return ex.groupBy(VERTEX_ID, "pos").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(F.avg("__v"), 6).alias("mean_val"),
+        F.round(F.max("__v"), 6).alias("max_val"),
+    )

@@ -468,3 +468,109 @@ def ngram_lm_scores(
         F.round("__h", 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), F.col("__h")), 6).alias("ppl"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    buckets: int = 3,
+    k_smooth: float = 0.5,
+    exact: bool = True,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (public technique:
+    CCNet splits each language's Common-Crawl documents into head/middle/
+    tail thirds by LM perplexity and trains preferentially on the head).
+    Scores come from :func:`ngram_lm_scores` (in-corpus bigram LM, closed
+    over the input); bucketing is per ``lang_col`` so one dominant
+    language doesn't absorb every head slot.
+
+    Two modes:
+
+    * ``exact=True`` — rank-exact ``ntile(buckets)`` over (lang, ppl,
+      doc_id).  Integer-exact and engine-replayable (the SQL-standard
+      ntile fill rule), but a window partitioned by language sorts each
+      language in ONE task — the audit/small-scale path.
+    * ``exact=False`` — the 100 TB path: per-language approximate
+      quantile cutoffs (``percentile_approx``, one hash aggregate, |langs|
+      rows broadcast back) and a cutoff compare per document.  Two
+      scans, no per-language global sort, skew-immune; bucket boundaries
+      are approximate, which CCNet-style selection tolerates by design.
+
+    Docs with NULL text or < 2 tokens have no LM score and are absent
+    (``ngram_lm_scores`` contract).  ``ppl`` ties break on doc_id, so the
+    exact mode is fully deterministic.  Returns (doc_id, lang, ppl,
+    ppl_bucket 1..buckets; 1 = head/lowest perplexity).
+    """
+    from pyspark.sql import Window
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    scores = ngram_lm_scores(docs, k_smooth=k_smooth, text_col=text_col)
+    joined = scores.join(docs.select("doc_id", lang_col), "doc_id")
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy("ppl", "doc_id")
+        return joined.select(
+            "doc_id", lang_col, "ppl",
+            F.ntile(buckets).over(w).alias("ppl_bucket"),
+        )
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = joined.groupBy(lang_col).agg(
+        F.percentile_approx("ppl", probs, 10000).alias("__cuts")
+    )
+    b = F.lit(buckets)
+    # bucket = 1 + number of cutoffs strictly below ppl (approximate rank)
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("__cuts"), lambda c: c < F.col("ppl"))
+    )
+    return joined.join(F.broadcast(cuts), lang_col).select(
+        "doc_id", lang_col, "ppl", F.least(bucket, b).alias("ppl_bucket")
+    )
+
+
+# The classic UTF-8-bytes-read-as-cp1252 double encodings (public
+# knowledge — the repair ftfy calls "mojibake"; table limited to
+# unambiguous, reversible pairs: 3-char punctuation sequences first so the
+# 2-char accent rules never split them).  U+201D (") is excluded — its
+# middle byte 0x9D is undefined in cp1252, so that corruption never
+# round-trips as text.
+MOJIBAKE_REPAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"), ("â€œ", "“"), ("â€“", "–"), ("â€”", "—"), ("â€¦", "…"),
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ã¡", "á"), ("Ã³", "ó"), ("Ã±", "ñ"),
+    ("Ã¼", "ü"), ("Ã¶", "ö"), ("Ã¤", "ä"), ("Ã§", "ç"), ("Ãº", "ú"),
+    ("Ã\u00a0", "à"),  # à = 0xE0 → "Ã" + NBSP (0xA0): the second char is
+    # a real non-breaking space, unambiguous as a 2-char literal
+    ("Â«", "«"), ("Â»", "»"), ("Â°", "°"),
+]
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repair the most common web-corpus encoding corruption — UTF-8 text
+    that was decoded as cp1252/Latin-1 somewhere in the crawl chain
+    ("cafÃ©" for "café", "donâ€™t" for "don’t").  A real Common-Crawl
+    pipeline runs this before every text analysis; language-ID and
+    quality scoring both mis-fire on mojibake.
+
+    Deterministic ordered literal-replace chain over
+    :data:`MOJIBAKE_REPAIRS` — pure Catalyst (`replace`, whole-stage
+    codegen, no UDF), byte-replayable in ANSI SQL, map-only (zero
+    shuffles at any scale).  Longer (3-char) corruptions are repaired
+    before 2-char ones so overlapping prefixes never mis-split.  NULL
+    text propagates NULL outputs (module NULL contract).
+
+    Returns the input columns plus ``fixed_text``, ``changed`` (0/1 INT)
+    and ``chars_fixed`` (BIGINT: character-count shrink — each repair
+    collapses 2-3 chars to 1).
+    """
+    t = F.col(text_col)
+    fixed = t
+    for bad, good in MOJIBAKE_REPAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return docs.withColumns(
+        {
+            "fixed_text": fixed,
+            "changed": F.when(t.isNull(), F.lit(None).cast("int"))
+            .otherwise((F.length(t) != F.length(fixed)).cast("int")),
+            "chars_fixed": (F.length(t) - F.length(fixed)).cast("long"),
+        }
+    )

@@ -1485,3 +1485,38 @@ def test_coreness_matches_peeling_oracle(spark):
     }
     assert set(one) == set(got2)
     assert all(one[v] >= got2[v] for v in got2)
+
+
+def test_landmark_distances_truncated_bfs(spark):
+    """landmark_distances: exact hop distances along edge direction,
+    truncation at max_hops, early stop, multi-landmark min semantics."""
+    from pregel_rs_spark.algorithms import landmark_distances
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    # chain 1→2→3→4→5 plus shortcut 1→4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)],
+        "subject long, object long",
+    )
+    g = GraphFrame.from_edges(edges)
+    out = {
+        (r.vertex_id, r.landmark): r.dist
+        for r in landmark_distances(g, [1, 3], max_hops=2).collect()
+    }
+    assert out == {
+        (1, 1): 0, (3, 3): 0,
+        (2, 1): 1, (4, 1): 1, (4, 3): 1,
+        (3, 1): 2, (5, 1): 2, (5, 3): 2,
+    }
+    # truncation: max_hops=1 drops the dist-2 frontier
+    out1 = {
+        (r.vertex_id, r.landmark): r.dist
+        for r in landmark_distances(g, [1], max_hops=1).collect()
+    }
+    assert out1 == {(1, 1): 0, (2, 1): 1, (4, 1): 1}
+    # early stop past the graph's reach: same result at max_hops=50
+    out50 = {
+        (r.vertex_id, r.landmark): r.dist
+        for r in landmark_distances(g, [3], max_hops=50).collect()
+    }
+    assert out50 == {(3, 3): 0, (4, 3): 1, (5, 3): 2}

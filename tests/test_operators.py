@@ -1171,3 +1171,172 @@ def test_ngram_lm_scores_matches_python_oracle(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k_smooth"):
         ngram_lm_scores(docs, k_smooth=0.0)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: pack_sequences / perplexity_buckets / fix_mojibake /
+# neighbor_feature_agg
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_exact_python_replica(spark):
+    """pack_sequences: spans are a Python md5 replica (shard, order,
+    cumsum); spans within a shard are contiguous and disjoint; seq
+    indices match floor arithmetic; empty text → empty span; NULL text →
+    NULL pack columns."""
+    import hashlib
+
+    from pregel_rs_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, "w " * (i % 7) if i % 11 else "") for i in range(200)]
+    rows.append((900, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_sequences(docs, ctx_len=10, n_shards=4).collect()}
+    assert len(out) == 201
+
+    # pure-Python replica
+    def h(i):
+        return hashlib.md5(f"pack:{i}".encode()).hexdigest()
+
+    alpha = "0123456789abcdef"
+    per_shard = {}
+    for i in range(200):
+        hx = h(i)
+        shard = (alpha.index(hx[0]) * 16 + alpha.index(hx[1])) % 4
+        per_shard.setdefault(shard, []).append((hx, i))
+    for shard, docs_in in per_shard.items():
+        cum = 0
+        for hx, i in sorted(docs_in):
+            n = i % 7 if i % 11 else 0
+            r = out[i]
+            assert r.shard == shard and r.n_tokens == n
+            assert r.tok_start == cum and r.tok_end == cum + n
+            if n > 0:
+                assert r.seq_first == cum // 10
+                assert r.seq_last == (cum + n - 1) // 10
+            else:
+                assert r.seq_first is None and r.seq_last is None
+            cum += n
+    nul = out[900]
+    assert nul.n_tokens is None and nul.tok_start is None
+    assert nul.seq_first is None and nul.seq_last is None
+
+
+def test_pack_sequences_growth_stable_order(spark):
+    """Adding documents never reorders the docs already in a shard
+    relative to each other (md5 order is content-independent)."""
+    from pregel_rs_spark.operators.pipeline import pack_sequences
+
+    docs1 = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    docs2 = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    o1 = {
+        r.doc_id: (r.shard, r.tok_start)
+        for r in pack_sequences(docs1, ctx_len=8, n_shards=4).collect()
+    }
+    o2 = {
+        r.doc_id: (r.shard, r.tok_start)
+        for r in pack_sequences(docs2, ctx_len=8, n_shards=4).collect()
+    }
+    for shard in range(4):
+        small = sorted(
+            (v[1], k) for k, v in o1.items() if v[0] == shard
+        )
+        big = sorted(
+            (v[1], k) for k, v in o2.items() if v[0] == shard and k < 50
+        )
+        assert [k for _, k in small] == [k for _, k in big]
+
+
+def test_perplexity_buckets_exact_and_approx(spark):
+    """exact=True: ntile fill rule over (ppl, doc_id) per lang; buckets
+    are monotone in ppl.  exact=False: monotone in ppl with approximate
+    boundaries; every doc bucketed 1..buckets."""
+    from pregel_rs_spark.operators.text import perplexity_buckets
+
+    rows = [
+        (i, " ".join("tok%d" % ((i * j) % 13) for j in range(12)), "en")
+        for i in range(30)
+    ] + [
+        (100 + i, " ".join("mot%d" % ((i + j) % 5) for j in range(12)), "fr")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ex = perplexity_buckets(docs, buckets=3).collect()
+    assert len(ex) == 40
+    for lang, n in (("en", 30), ("fr", 10)):
+        sub = sorted(
+            [r for r in ex if r.lang == lang],
+            key=lambda r: (r.ppl, r.doc_id),
+        )
+        # ntile fill rule: sizes differ by <=1, ordered by rank
+        labels = [r.ppl_bucket for r in sub]
+        assert labels == sorted(labels)
+        from collections import Counter
+
+        sizes = Counter(labels)
+        assert set(sizes) == {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sizes[1] >= sizes[2] >= sizes[3]
+    ap = perplexity_buckets(docs, buckets=3, exact=False).collect()
+    assert len(ap) == 40
+    for lang in ("en", "fr"):
+        sub = sorted(
+            [r for r in ap if r.lang == lang],
+            key=lambda r: (r.ppl, r.doc_id),
+        )
+        labels = [r.ppl_bucket for r in sub]
+        assert labels == sorted(labels)  # monotone in ppl
+        assert all(1 <= b <= 3 for b in labels)
+
+
+def test_fix_mojibake_inverts_cp1252_corruption(spark):
+    """Every MOJIBAKE_REPAIRS pair is exactly the cp1252 double-encoding
+    of its target, and fix_mojibake inverts a corrupted document built by
+    the real encode/decode chain."""
+    from pregel_rs_spark.operators.text import MOJIBAKE_REPAIRS, fix_mojibake
+
+    for bad, good in MOJIBAKE_REPAIRS:
+        assert good.encode("utf-8").decode("cp1252") == bad
+
+    clean = "café « déjà-vu » — don’t… 25° “touché”"
+    # ” (U+201D) is unrepairable (0x9D undefined in cp1252) — drop it
+    clean = clean.replace("”", "")
+    corrupted = clean.encode("utf-8").decode("cp1252")
+    docs = spark.createDataFrame(
+        [(1, corrupted), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in fix_mojibake(docs).collect()}
+    assert out[1].fixed_text == clean
+    assert out[1].changed == 1
+    assert out[1].chars_fixed == len(corrupted) - len(clean) > 0
+    assert out[2].fixed_text == "plain ascii" and out[2].changed == 0
+    assert out[3].fixed_text is None and out[3].changed is None
+
+
+def test_neighbor_feature_agg_mean_max(spark):
+    """GraphSAGE-style pooling: exact per-dim mean/max over out-neighbor
+    vectors; closed-world (featureless neighbors drop); duplicate edges
+    count once."""
+    from pregel_rs_spark.operators.similarity import neighbor_feature_agg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 3), (2, 3), (4, 99)],
+        "subject long, object long",
+    )
+    feats = spark.createDataFrame(
+        [(2, [1.0, 4.0]), (3, [3.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.vertex_id, r.pos): r
+        for r in neighbor_feature_agg(edges, feats).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert out[(1, 0)].n_neighbors == 2
+    assert out[(1, 0)].mean_val == 2.0 and out[(1, 0)].max_val == 3.0
+    assert out[(1, 1)].mean_val == 2.0 and out[(1, 1)].max_val == 4.0
+    assert out[(2, 0)].mean_val == 3.0 and out[(2, 1)].max_val == 0.0
