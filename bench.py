@@ -283,6 +283,29 @@ def main() -> None:
         ),
     )
 
+    from pregel_rs_spark.operators.pipeline import pack_sequences
+    from pregel_rs_spark.operators.similarity import neighbor_feature_agg
+    from pregel_rs_spark.operators.text import perplexity_buckets
+
+    bench(
+        "pack_seqs",
+        lambda: _consume(pack_sequences(docs, ctx_len=512, n_shards=64)),
+    )
+    bench(
+        "ppl_buckets",
+        lambda: _consume(perplexity_buckets(docs, buckets=3, exact=False)),
+    )
+
+    def _gnn_pool():
+        c = emb.agg(F.count(F.lit(1)).alias("__c"))
+        edges = emb.crossJoin(F.broadcast(c)).select(
+            F.col("vec_id").alias("subject"),
+            ((F.col("vec_id") * 17 + 1) % F.col("__c")).alias("object"),
+        )
+        _consume(neighbor_feature_agg(edges, emb))
+
+    bench("gnn_pool", _gnn_pool)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",

@@ -154,6 +154,25 @@ EXPECT: dict[str, dict] = {
     "frontier_schedule": {
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # sequence packing: one per-shard window sort is the ONLY exchange
+    # family; reads (doc_id, text) only, never pairwise
+    "pack_seqs": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # GraphSAGE pooling: neighbor equi-join + (vertex, dim) hash agg —
+    # the dim fan-out is the skew defense, all joins equi
+    "gnn_pool": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # mojibake repair: pure replace chain — map-only, zero Exchanges,
+    # 2-col scan, whole-stage codegen
+    "mojibake_fix": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["Exchange"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
