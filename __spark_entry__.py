@@ -1309,6 +1309,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("right(fixed_text, 24)").alias("tail24"),
         )
 
+    def embed_quantize_q(spark, sf):
+        """FAISS-SQ8-style int8 scalar quantization with per-dim global
+        calibration; oracle replays the min/max calibration and the
+        floor(x+0.5) code arithmetic on identical IEEE doubles."""
+        from pregel_rs_spark.operators.similarity import quantize_embeddings
+
+        return quantize_embeddings(load_table(spark, sf, "embeddings"))
+
+    def bpe_pairs_q(spark, sf):
+        """BPE first-merge statistics: adjacent char-pair counts weighted
+        by word frequency, top-50 by (count DESC, pair ASC) — the
+        deterministic tie-break reproducible vocabularies need."""
+        from pregel_rs_spark.operators.text import bpe_pair_stats
+
+        return bpe_pair_stats(load_table(spark, sf, "documents"), top_n=50)
+
+    def sitemap_discover_q(spark, sf):
+        """Sitemap ingestion: </url>-split + regexp parse of the synth
+        sitemap corpus, anti-joined against the crawled url set — the
+        frontier discovery feed.  Oracle replays the parse in SQL over
+        the pre-materialized sitemap content (tools/gen_crawl_oracle.py)."""
+        from pregel_rs_spark.functions.extract import sitemap_discoveries
+        from pregel_rs_spark.sources.synth import synth_pages, synth_sitemaps
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        sitemaps = synth_sitemaps(spark, 2000, seed=42)
+        return sitemap_discoveries(sitemaps, pages)
+
+    def crawl_delta_q(spark, sf):
+        """Two-snapshot crawl delta (added/removed/changed/unchanged by
+        md5(html)): old = seed-42 crawl minus pages 100-149; new = mixed
+        seed-42/43 crawl (page_no % 3 picks the unchanged third) minus
+        pages 1900-1949.  Oracle joins the two pre-materialized
+        pure-Python hash tables with the identical CASE."""
+        from pregel_rs_spark.functions.extract import crawl_delta
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        def rcol():
+            return F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast(
+                "int"
+            )
+
+        old = synth_pages(spark, 2000, seed=42, partitions=8).filter(
+            ~rcol().between(100, 149)
+        )
+        p42 = synth_pages(spark, 2000, seed=42, partitions=8).filter(
+            rcol() % 3 == 0
+        )
+        p43 = synth_pages(spark, 2000, seed=43, partitions=8).filter(
+            rcol() % 3 != 0
+        )
+        new = p42.unionByName(p43).filter(~rcol().between(1900, 1949))
+        return crawl_delta(old, new)
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  Never-driver-verified additions go
@@ -1322,6 +1376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         landmark_dists=landmark_dists_q,
         gnn_pool=gnn_pool_q,
         mojibake_fix=mojibake_fix_q,
+        embed_quantize=embed_quantize_q,
+        bpe_pairs=bpe_pairs_q,
+        sitemap_discover=sitemap_discover_q,
+        crawl_delta=crawl_delta_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -3551,5 +3609,91 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(text2) - length(ft) AS BIGINT) AS chars_fixed,
                right(ft, 24) AS tail24
         FROM f
+    """
+    # embed_quantize: identical calibration + floor(x+0.5) code arithmetic
+    # on identical IEEE doubles (left-assoc op order matches the engine).
+    o["embed_quantize"] = """
+        WITH ex AS (
+          SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                 CAST(list_extract(arr, CAST(i AS INT)) AS DOUBLE) AS v
+          FROM (SELECT vec_id, embedding AS arr,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)
+        ), cal AS (
+          SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY pos
+        ), qq AS (
+          SELECT ex.vec_id, ex.pos, ex.v, cal.mn, cal.mx,
+                 CAST(CASE WHEN cal.mx = cal.mn THEN 0
+                      ELSE floor((ex.v - cal.mn) * 255.0 / (cal.mx - cal.mn)
+                                 + 0.5) END AS INT) AS q
+          FROM ex JOIN cal ON ex.pos = cal.pos
+        )
+        SELECT vec_id, pos, q,
+               ROUND(ABS(v - (mn + q * (mx - mn) / 255.0)), 6) AS err
+        FROM qq
+    """
+    # bpe_pairs: distinct-word frequency table -> in-word adjacent char
+    # pairs -> weighted counts; range(1, length) matches sequence(1, len-1).
+    o["bpe_pairs"] = r"""
+        WITH w AS (
+          SELECT w, COUNT(*) AS wc FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+          GROUP BY w
+        ), p AS (
+          SELECT substr(w, CAST(i AS INT), 1) AS left_ch,
+                 substr(w, CAST(i AS INT) + 1, 1) AS right_ch, wc
+          FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+                FROM w WHERE length(w) >= 2)
+        )
+        SELECT left_ch, right_ch, CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM p GROUP BY left_ch, right_ch
+        ORDER BY pair_count DESC, left_ch, right_ch
+        LIMIT 50
+    """
+    # sitemap_discover: replay the </url>-split + regexp parse over the
+    # pre-materialized pure-Python sitemap corpus, anti-join crawled urls.
+    o["sitemap_discover"] = """
+        WITH seg AS (
+          SELECT host, unnest(string_split(content, '</url>')) AS seg
+          FROM read_parquet(
+              '/root/repo/tests/data/sitemaps_n2000_seed42.parquet')
+        ), p AS (
+          SELECT host,
+                 regexp_extract(seg, '<loc>([^<]+)</loc>', 1) AS loc,
+                 NULLIF(regexp_extract(
+                     seg, '<lastmod>([^<]+)</lastmod>', 1), '') AS lastmod
+          FROM seg
+        )
+        SELECT host, loc, lastmod FROM p
+        WHERE loc <> ''
+          AND loc NOT IN (SELECT url FROM read_parquet(
+              '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet'))
+    """
+    # crawl_delta: the two snapshots' pure-Python md5 tables joined with
+    # the identical added/removed/changed/unchanged CASE.
+    o["crawl_delta"] = """
+        WITH o AS (
+          SELECT url, content_md5 AS ho FROM read_parquet(
+              '/root/repo/tests/data/webtext_hashes_n2000_seed42.parquet')
+          WHERE NOT (page_no BETWEEN 100 AND 149)
+        ), nn AS (
+          SELECT url, content_md5 AS hn FROM (
+            SELECT url, page_no, content_md5 FROM read_parquet(
+                '/root/repo/tests/data/webtext_hashes_n2000_seed42.parquet')
+            WHERE page_no % 3 = 0
+            UNION ALL
+            SELECT url, page_no, content_md5 FROM read_parquet(
+                '/root/repo/tests/data/webtext_hashes_n2000_seed43.parquet')
+            WHERE page_no % 3 <> 0)
+          WHERE NOT (page_no BETWEEN 1900 AND 1949)
+        )
+        SELECT COALESCE(o.url, nn.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN nn.url IS NULL THEN 'removed'
+                    WHEN ho <> hn THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN nn ON o.url = nn.url
     """
     return o

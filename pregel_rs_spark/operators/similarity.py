@@ -504,3 +504,52 @@ def neighbor_feature_agg(
         F.round(F.avg("__v"), 6).alias("mean_val"),
         F.round(F.max("__v"), 6).alias("max_val"),
     )
+
+
+def quantize_embeddings(
+    feats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Global-calibration int8 scalar quantization of an embedding column —
+    the standard memory/IO reduction for web-scale ANN (public technique:
+    FAISS ``SQ8`` / scalar quantizers; 4× smaller vectors, ~1% recall
+    loss).  Per dimension d the corpus min/max calibrate an affine code
+
+        q = floor((v − mn_d) · 255 / (mx_d − mn_d) + 0.5)   ∈ [0, 255]
+
+    and the dequantized value is ``mn_d + q · (mx_d − mn_d)/255``.
+    ``floor(x + 0.5)`` is used instead of ``round`` because HALF_UP vs
+    banker's rounding differs across engines while floor on identical
+    IEEE doubles does not — the codes are bit-exact everywhere.
+
+    Scale shape: calibration is ONE posexplode + hash aggregate keyed by
+    dimension (d rows out, broadcast back); quantization is a map-side
+    join + arithmetic — no pairwise work, two scans total.  A constant
+    dimension (mx = mn) quantizes to 0 with 0 error.  Returns
+    (id, pos, q, err) where ``err`` = |v − dequant(q)| rounded to 6 —
+    the per-coordinate reconstruction error, so the recall/size tradeoff
+    is auditable in-pipeline.
+    """
+    ex = feats.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    ).withColumn("__v", F.col("__v").cast("double"))
+    cal = ex.groupBy("pos").agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    rng = F.col("__mx") - F.col("__mn")
+    q = F.when(rng == 0, F.lit(0)).otherwise(
+        F.floor((F.col("__v") - F.col("__mn")) * 255.0 / rng + 0.5)
+    ).cast("int")
+    deq = F.col("__mn") + F.col("__q") * rng / 255.0
+    return (
+        ex.join(F.broadcast(cal), "pos")
+        .withColumn("__q", q)
+        .select(
+            id_col,
+            "pos",
+            F.col("__q").alias("q"),
+            F.round(F.abs(F.col("__v") - deq), 6).alias("err"),
+        )
+    )

@@ -574,3 +574,53 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "chars_fixed": (F.length(t) - F.length(fixed)).cast("long"),
         }
     )
+
+
+def bpe_pair_stats(
+    docs: DataFrame, top_n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the inner
+    statistic of BPE tokenizer training (Sennrich et al. ACL'16: each
+    merge step picks the most frequent adjacent symbol pair).  This is
+    the first-merge-step pass at corpus scale: lowercase whitespace
+    words, each word's adjacent char pairs weighted by the word's corpus
+    frequency, global top-``top_n`` pairs by (count DESC, pair ASC) —
+    the deterministic tie-break BPE training needs for reproducible
+    vocabularies.
+
+    Scale shape: one (word → count) hash aggregate first, so the
+    per-character explode runs over DISTINCT words (vocabulary-bounded,
+    Zipf-small — the same trick as ``ngram_lm_scores``'s count tables),
+    then one (pair) hash aggregate and a TakeOrdered top-n.  No pairwise
+    work; the explode factor is mean word length, applied to the
+    vocabulary, not the corpus.  NULL/blank text contributes nothing.
+    Returns (left_ch, right_ch, pair_count) — integer-exact.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    t = F.col(text_col)
+    words = (
+        docs.filter(t.isNotNull())
+        .filter(F.length(F.trim(t)) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.lower(t)), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "w",
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(
+        F.substring(F.col("w"), F.col("i"), 1).alias("left_ch"),
+        F.substring(F.col("w"), F.col("i") + 1, 1).alias("right_ch"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("left_ch", "right_ch")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_ch", "right_ch")
+        .limit(top_n)
+    )

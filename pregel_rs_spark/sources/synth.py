@@ -205,3 +205,68 @@ def synth_robots(
     return spark.range(0, n_sites, 1, partitions).mapInPandas(
         gen, ROBOTS_SCHEMA
     )
+
+
+SITEMAP_SCHEMA = "host string, content string"
+
+
+def gen_sitemap(j: int, n: int, seed: int = 42) -> dict | None:
+    """Pure deterministic sitemap.xml builder for site ``j`` of the synth
+    corpus — also the local oracle for functions/extract.py's sitemap
+    parser.  Lists a deterministic subset of the site's crawled pages
+    plus a few NOVEL urls the crawl has not seen (the discovery case a
+    sitemap exists for), each with a ``<lastmod>`` date.  Every 5th site
+    (j % 5 == 2) publishes no sitemap.
+    """
+    host = f"site{j}.example.com"
+    if j % 5 == 2:
+        return None
+    n_sites = max(1, n // 50)
+    entries = []
+    for i in range(j, n, n_sites):  # this site's pages
+        if (i * 7 + j) % 5 < 3:  # deterministic subset
+            d = _EPOCH + timedelta(days=(i * 31 + j) % 365)
+            entries.append((page_url(i, n), d.strftime("%Y-%m-%d")))
+    for k in range(1 + j % 3):  # novel (uncrawled) urls
+        d = _EPOCH + timedelta(days=(j * 17 + k) % 365)
+        entries.append(
+            (f"https://{host}/new/{j}-{k}", d.strftime("%Y-%m-%d"))
+        )
+    body = "".join(
+        f"<url><loc>{u}</loc><lastmod>{d}</lastmod></url>"
+        for u, d in entries
+    )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + body
+        + "</urlset>"
+    )
+    return {"host": host, "content": content}
+
+
+def synth_sitemaps(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic sitemap corpus for the ``n``-page synth
+    web (one row per site that publishes a sitemap)."""
+    n_sites = max(1, n // 50)
+    partitions = partitions or min(
+        spark.sparkContext.defaultParallelism, n_sites
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                r
+                for r in (gen_sitemap(int(j), n, seed) for j in pdf["id"])
+                if r is not None
+            ]
+            yield pd.DataFrame(rows, columns=["host", "content"])
+
+    return spark.range(0, n_sites, 1, partitions).mapInPandas(
+        gen, SITEMAP_SCHEMA
+    )

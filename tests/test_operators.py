@@ -1340,3 +1340,47 @@ def test_neighbor_feature_agg_mean_max(spark):
     assert out[(1, 0)].mean_val == 2.0 and out[(1, 0)].max_val == 3.0
     assert out[(1, 1)].mean_val == 2.0 and out[(1, 1)].max_val == 4.0
     assert out[(2, 0)].mean_val == 3.0 and out[(2, 1)].max_val == 0.0
+
+
+def test_quantize_embeddings_exact(spark):
+    """int8 scalar quantization: exact codes on a hand-computable frame,
+    constant-dim → code 0 / err 0, codes within [0,255], dequant error
+    bounded by half a step."""
+    from pregel_rs_spark.operators.similarity import quantize_embeddings
+
+    feats = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.0]), (2, [10.0, 5.0, 3.0]), (3, [5.0, 5.0, 11.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.vec_id, r.pos): r for r in quantize_embeddings(feats).collect()}
+    # dim 0: mn=0 mx=10 -> codes 0, 255, 128 (5*25.5=127.5 -> floor(128.0)=128)
+    assert out[(1, 0)].q == 0 and out[(2, 0)].q == 255
+    assert out[(3, 0)].q == 128
+    # dim 1 constant -> q=0, err=0
+    for v in (1, 2, 3):
+        assert out[(v, 1)].q == 0 and out[(v, 1)].err == 0.0
+    # dim 2: mn=3 mx=11, step=8/255; every err <= half step
+    step = 8.0 / 255.0
+    for v in (1, 2, 3):
+        r = out[(v, 2)]
+        assert 0 <= r.q <= 255
+        assert r.err <= step / 2 + 1e-9
+
+
+def test_bpe_pair_stats_exact_counts(spark):
+    """BPE pair statistics: counts weight by word frequency, 1-char words
+    drop, tie-break is (count DESC, left ASC, right ASC), top_n caps."""
+    from pregel_rs_spark.operators.text import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd a"), (2, "AB xy"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = bpe_pair_stats(docs, top_n=10).collect()
+    got = [(r.left_ch, r.right_ch, r.pair_count) for r in rows]
+    # 'ab' wc=3 (two in doc1 + lowercased AB), 'cd' 1, 'xy' 1, 'a' dropped
+    assert got == [("a", "b", 3), ("c", "d", 1), ("x", "y", 1)]
+    assert [
+        (r.left_ch, r.right_ch)
+        for r in bpe_pair_stats(docs, top_n=1).collect()
+    ] == [("a", "b")]

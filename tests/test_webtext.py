@@ -343,3 +343,97 @@ def test_frontier_schedule_politeness(spark):
         frontier_schedule(urls, delay_s=0)
     with _pytest.raises(ValueError, match="max_per_host"):
         frontier_schedule(urls, max_per_host=0)
+
+
+def test_sitemap_corpus_and_parse(spark):
+    """synth_sitemaps matches the committed pre-materialized corpus AND a
+    fresh pure-Python regeneration; parse_sitemaps extracts every entry
+    with its lastmod; discoveries are exactly the novel /new/ urls."""
+    import duckdb
+
+    from pregel_rs_spark.functions.extract import (
+        parse_sitemaps,
+        sitemap_discoveries,
+    )
+    from pregel_rs_spark.sources.synth import (
+        gen_sitemap,
+        synth_pages,
+        synth_sitemaps,
+    )
+
+    committed = {
+        (r[0], r[1])
+        for r in duckdb.sql(
+            "SELECT host, content FROM "
+            "'/root/repo/tests/data/sitemaps_n2000_seed42.parquet'"
+        ).fetchall()
+    }
+    fresh = {
+        (s["host"], s["content"])
+        for s in (gen_sitemap(j, 2000, 42) for j in range(40))
+        if s is not None
+    }
+    assert committed == fresh  # drift guard
+    sm = synth_sitemaps(spark, 2000, seed=42)
+    spark_side = {(r.host, r.content) for r in sm.collect()}
+    assert spark_side == committed  # engine guard
+
+    parsed = parse_sitemaps(sm).collect()
+    # replay the parse in python over the committed content
+    import re
+
+    expect = set()
+    for host, content in committed:
+        for seg in content.split("</url>"):
+            m = re.search(r"<loc>([^<]+)</loc>", seg)
+            if m:
+                lm = re.search(r"<lastmod>([^<]+)</lastmod>", seg)
+                expect.add((host, m.group(1), lm.group(1) if lm else None))
+    assert {(r.host, r.loc, r.lastmod) for r in parsed} == expect
+
+    pages = synth_pages(spark, 2000, seed=42, partitions=8)
+    disc = sitemap_discoveries(sm, pages).collect()
+    assert all("/new/" in r.loc for r in disc)
+    assert len(disc) == len({r.loc for r in disc}) > 0
+
+
+def test_crawl_delta_statuses(spark):
+    """crawl_delta: all four statuses on a toy pair of snapshots."""
+    from pregel_rs_spark.functions.extract import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", bytearray(b"a")), ("u2", bytearray(b"b")),
+         ("u3", bytearray(b"c"))],
+        "url string, html binary",
+    )
+    new = spark.createDataFrame(
+        [("u1", bytearray(b"a")), ("u2", bytearray(b"B")),
+         ("u4", bytearray(b"d"))],
+        "url string, html binary",
+    )
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"
+    }
+
+
+def test_crawl_hashes_committed_match_fresh():
+    """Committed hash tables equal a fresh pure-Python regeneration for
+    both seeds (drift guard for the crawl_delta oracle inputs)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    from tools.gen_crawl_oracle import expected_hashes
+
+    for seed in (42, 43):
+        committed = duckdb.sql(
+            "SELECT url, page_no, content_md5 FROM "
+            f"'/root/repo/tests/data/webtext_hashes_n2000_seed{seed}.parquet' "
+            "ORDER BY page_no"
+        ).fetchall()
+        fresh = [tuple(r) for r in expected_hashes(2000, seed)]
+        assert [tuple(r) for r in committed] == sorted(
+            fresh, key=lambda r: r[1]
+        )

@@ -173,6 +173,28 @@ EXPECT: dict[str, dict] = {
         "codegen": True,
         "forbid": ["Exchange"],
     },
+    # int8 quantization: d-row calibration broadcast back — the join must
+    # broadcast, never sort-merge the exploded fact side
+    "embed_quantize": {
+        "read_cols_max": 2,
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # BPE pair stats: two hash aggs + TakeOrdered — never pairwise
+    "bpe_pairs": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # sitemap discovery: map-only parse + one anti equi-join
+    "sitemap_discover": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # crawl delta: md5-reduced full-outer url join (sort-merge is the
+    # correct physical choice for full outer) — never pairwise
+    "crawl_delta": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
