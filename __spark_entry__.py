@@ -1363,6 +1363,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new = p42.unionByName(p43).filter(~rcol().between(1900, 1949))
         return crawl_delta(old, new)
 
+    def mirror_detect_q(spark, sf):
+        """Bharat-Broder mirror-host detection: ~30% of each site's pages
+        (every site has pages i ≡ j mod 40, so the selector strides the
+        site-internal index i//40) re-served under a mirror host, detected
+        by content-md5 set intersection with the frequent-digest guard;
+        partial mirrors make the jaccard column informative (<1).  Oracle
+        replays the rewrite and the set algebra over the pure-Python hash
+        table."""
+        from pregel_rs_spark.functions.extract import mirror_hosts
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        r = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("int")
+        mirrored = pages.filter((r.cast("long") / 40).cast("long") % 10 < 3).withColumn(
+            "url",
+            F.regexp_replace("url", "^https://site", "https://mirror"),
+        )
+        return mirror_hosts(pages.unionByName(mirrored), min_shared=2)
+
+    def hash_feats_q(spark, sf):
+        """Hashing-trick bag-of-words features (256 buckets) — the
+        vocabulary-free sparse features a corpus quality classifier
+        consumes; oracle replays the 4-nibble md5 bucket arithmetic."""
+        from pregel_rs_spark.operators.text import hash_features
+
+        return hash_features(load_table(spark, sf, "documents"), n_buckets=256)
+
+    def crawl_plan_q(spark, sf):
+        """End-to-end crawl planning: (crawled urls + sitemap discoveries)
+        → RFC 9309 robots admission → politeness frontier schedule — the
+        composition a crawler runs per cycle.  Oracle composes the
+        pre-materialized verdict tables (pages + discoveries) with the
+        sitemap parse and the frontier window in SQL."""
+        from pregel_rs_spark.functions.extract import (
+            frontier_schedule,
+            sitemap_discoveries,
+        )
+        from pregel_rs_spark.functions.robots import robots_verdicts
+        from pregel_rs_spark.sources.synth import (
+            synth_pages,
+            synth_robots,
+            synth_sitemaps,
+        )
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        robots = synth_robots(spark, 2000, seed=42)
+        sitemaps = synth_sitemaps(spark, 2000, seed=42)
+        crawled = pages.select(
+            "url", F.length("text").cast("long").alias("priority")
+        )
+        disc = sitemap_discoveries(sitemaps, pages).select(
+            F.col("loc").alias("url"),
+            F.lit(0).cast("long").alias("priority"),
+        )
+        cand = crawled.unionByName(disc)
+        v = robots_verdicts(cand.select("url"), robots)
+        admitted = cand.join(
+            v.filter(F.col("allowed")).select("url"), "url"
+        )
+        return frontier_schedule(admitted, delay_s=5.0, max_per_host=50)
+
     # Registration ORDER matters: the driver's correctness gate walks this
     # dict in insertion order under a round budget (round 2 recorded rows
     # for exactly the first 50 of 57).  Never-driver-verified additions go
@@ -1380,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_pairs=bpe_pairs_q,
         sitemap_discover=sitemap_discover_q,
         crawl_delta=crawl_delta_q,
+        mirror_detect=mirror_detect_q,
+        hash_feats=hash_feats_q,
+        crawl_plan=crawl_plan_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -3695,5 +3759,101 @@ def oracle_sql() -> dict[str, str]:
                     WHEN ho <> hn THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM o FULL OUTER JOIN nn ON o.url = nn.url
+    """
+    # mirror_detect: replay the mirror-host rewrite and the digest set
+    # algebra (cap 50, min_shared 2) over the pure-Python hash table.
+    o["mirror_detect"] = f"""
+        WITH base AS (
+          SELECT url, page_no, content_md5 FROM read_parquet(
+              '/root/repo/tests/data/webtext_hashes_n2000_seed42.parquet')
+        ), allp AS (
+          SELECT url, content_md5 FROM base
+          UNION ALL
+          SELECT regexp_replace(url, '^https://site', 'https://mirror'),
+                 content_md5
+          FROM base WHERE (page_no // 40) % 10 < 3
+        ), hm AS (
+          SELECT DISTINCT regexp_extract(url, {_dom}, 1) AS host,
+                 content_md5 AS h
+          FROM allp WHERE regexp_extract(url, {_dom}, 1) <> ''
+        ), ok AS (
+          SELECT h FROM hm GROUP BY h HAVING COUNT(*) <= 50
+        ), hmf AS (
+          SELECT hm.host, hm.h FROM hm JOIN ok USING (h)
+        ), sizes AS (
+          SELECT host, COUNT(*) AS sz FROM hmf GROUP BY host
+        ), pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM hmf a JOIN hmf b ON a.h = b.h AND a.host < b.host
+          GROUP BY a.host, b.host HAVING COUNT(*) >= 2
+        )
+        SELECT host_a, host_b, shared,
+               CAST(sa.sz AS BIGINT) AS size_a,
+               CAST(sb.sz AS BIGINT) AS size_b,
+               ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6)
+               AS jaccard
+        FROM pairs
+        JOIN sizes sa ON pairs.host_a = sa.host
+        JOIN sizes sb ON pairs.host_b = sb.host
+    """
+    # hash_feats: the portable 4-nibble md5 bucket arithmetic, replayed.
+    o["hash_feats"] = r"""
+        WITH tok AS (
+          SELECT doc_id, md5(w) AS h FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        )
+        SELECT doc_id,
+               CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256
+                    AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, bucket
+    """
+    # crawl_plan: (crawled + sitemap discoveries) -> robots admission
+    # (verdict tables pre-materialized from the pure-Python parser) ->
+    # the frontier politeness window.
+    o["crawl_plan"] = f"""
+        WITH crawled AS (
+          SELECT url, CAST(n_chars AS BIGINT) AS priority FROM read_parquet(
+              '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
+        ), seg AS (
+          SELECT unnest(string_split(content, '</url>')) AS seg
+          FROM read_parquet(
+              '/root/repo/tests/data/sitemaps_n2000_seed42.parquet')
+        ), disc AS (
+          SELECT regexp_extract(seg, '<loc>([^<]+)</loc>', 1) AS url,
+                 CAST(0 AS BIGINT) AS priority
+          FROM seg
+          WHERE regexp_extract(seg, '<loc>([^<]+)</loc>', 1) <> ''
+            AND regexp_extract(seg, '<loc>([^<]+)</loc>', 1)
+                NOT IN (SELECT url FROM crawled)
+        ), cand AS (
+          SELECT * FROM crawled UNION ALL SELECT * FROM disc
+        ), verd AS (
+          SELECT url, allowed FROM read_parquet(
+              '/root/repo/tests/data/robots_verdicts_n2000_seed42.parquet')
+          UNION ALL
+          SELECT url, allowed FROM read_parquet(
+              '/root/repo/tests/data/'
+              'robots_verdicts_discoveries_n2000_seed42.parquet')
+        ), adm AS (
+          SELECT c.url, c.priority FROM cand c
+          JOIN verd v ON c.url = v.url WHERE v.allowed
+        ), ranked AS (
+          SELECT url, regexp_extract(url, {_dom}, 1) AS host,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY regexp_extract(url, {_dom}, 1)
+                   ORDER BY priority DESC, url ASC) AS host_rank
+          FROM adm
+        )
+        SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank,
+               (host_rank - 1) * 5.0 AS fetch_slot
+        FROM ranked WHERE host_rank <= 50
     """
     return o

@@ -467,3 +467,80 @@ def crawl_delta(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise("unchanged")
     )
     return j.select("url", status.alias("status"))
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    min_shared: int = 2,
+    max_hosts_per_content: int | None = 50,
+) -> DataFrame:
+    """Mirror-site detection — host pairs serving (near-)identical content
+    sets (public technique: Bharat & Broder WWW'99 mirror detection; a
+    standard Common-Crawl dedup stage, since mirrors duplicate entire
+    sites, not single documents).  Hosts are compared by their sets of
+    page-content md5 digests:
+
+        shared(a, b)  = |digests(a) ∩ digests(b)|
+        jaccard(a, b) = shared / (|digests(a)| + |digests(b)| − shared)
+
+    Shape (100 TB-safe): pages reduce to DISTINCT (host, md5) — 32-byte
+    keys, never bodies; the intersection comes from a self equi-join ON
+    the digest, so only hosts that actually share content ever meet.
+    ``max_hosts_per_content`` is the frequent-key guard (the
+    ``max_df``/``max_bucket`` idiom): a boilerplate page served by d
+    hosts would contribute O(d²) pairs — digests on more than the cap
+    are dropped before the join (a page on 50+ hosts is boilerplate, not
+    a mirror signal).  Pairs are canonical (host_a < host_b).  Returns
+    (host_a, host_b, shared, size_a, size_b, jaccard round 6) filtered
+    to ``shared >= min_shared``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    hm = (
+        pages.select(
+            url_domain(F.col("url")).alias("host"),
+            F.md5("html").alias("__h"),
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+    )
+    if max_hosts_per_content is not None:
+        ok = (
+            hm.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_hosts_per_content)
+            .select("__h")
+        )
+        hm = hm.join(ok, "__h")
+    sizes = hm.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
+    a = hm.select(F.col("host").alias("host_a"), "__h")
+    b = hm.select(F.col("host").alias("host_b"), "__h")
+    pairs = (
+        a.join(b, "__h")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("size_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("size_b")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

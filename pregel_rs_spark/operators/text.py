@@ -624,3 +624,47 @@ def bpe_pair_stats(
         .orderBy(F.col("pair_count").desc(), "left_ch", "right_ch")
         .limit(top_n)
     )
+
+
+def hash_features(
+    docs: DataFrame, n_buckets: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick bag-of-words features (public technique: Weinberger
+    et al. ICML'09 feature hashing; fastText's input layer) — the sparse
+    feature extraction a corpus-scale quality/topic classifier trains on
+    without a driver-side vocabulary: token → md5 → bucket id, counted
+    per document.
+
+    The bucket id is the first FOUR md5 nibbles valued via the portable
+    strpos alphabet (0..65535) mod ``n_buckets`` — integer-exact in any
+    engine, no vocabulary artifact to ship, collisions are the accepted
+    tradeoff of the technique.  Lowercase whitespace tokenization (corpus
+    convention).  One explode + one (doc_id, bucket) hash aggregate —
+    map-side combine collapses repeated tokens before the shuffle.  NULL
+    or blank text yields no rows.  Returns (doc_id, bucket, cnt).
+    """
+    if not 2 <= n_buckets <= 65536:
+        raise ValueError(
+            f"n_buckets must be in [2, 65536] (four md5 nibbles), got {n_buckets}"
+        )
+    t = F.col(text_col)
+    tok = (
+        docs.filter(t.isNotNull())
+        .filter(F.length(F.trim(t)) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(t)), r"\s+")).alias("__w"),
+        )
+        .withColumn("__h", F.md5(F.col("__w")))
+    )
+    nib = lambda i: F.position(
+        F.substring(F.col("__h"), i, 1), F.lit("0123456789abcdef")
+    ) - 1
+    bucket = (
+        (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % n_buckets
+    ).cast("int")
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

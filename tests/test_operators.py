@@ -1384,3 +1384,26 @@ def test_bpe_pair_stats_exact_counts(spark):
         (r.left_ch, r.right_ch)
         for r in bpe_pair_stats(docs, top_n=1).collect()
     ] == [("a", "b")]
+
+
+def test_hash_features_exact_buckets(spark):
+    """hash_features: bucket ids are the exact 4-nibble md5 value mod
+    n_buckets; repeated tokens accumulate; NULL/blank text drops."""
+    import hashlib
+
+    from pregel_rs_spark.operators.text import hash_features
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar foo"), (2, None), (3, " ")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.bucket): r.cnt for r in hash_features(docs, 64).collect()}
+
+    def b(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 64
+
+    expect = {}
+    for w in ("foo", "bar", "foo"):
+        k = (1, b(w))
+        expect[k] = expect.get(k, 0) + 1
+    assert out == expect

@@ -437,3 +437,63 @@ def test_crawl_hashes_committed_match_fresh():
         assert [tuple(r) for r in committed] == sorted(
             fresh, key=lambda r: r[1]
         )
+
+
+def test_mirror_hosts_detection(spark):
+    """mirror_hosts: exact shared/size/jaccard on a toy corpus; the
+    frequent-digest cap drops boilerplate; min_shared filters."""
+    from pregel_rs_spark.functions.extract import mirror_hosts
+
+    rows = []
+    # hostA and hostB share 2 of 3 pages; hostC shares only 1 with A
+    for h, pages in (
+        ("a.com", ["x", "y", "z"]),
+        ("b.com", ["x", "y", "w"]),
+        ("c.com", ["x", "q", "r"]),
+    ):
+        for i, content in enumerate(pages):
+            rows.append(
+                (f"https://{h}/p{i}", bytearray(content.encode()))
+            )
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = {
+        (r.host_a, r.host_b): r for r in mirror_hosts(pages, min_shared=2).collect()
+    }
+    assert set(out) == {("a.com", "b.com")}
+    r = out[("a.com", "b.com")]
+    assert r.shared == 2 and r.size_a == 3 and r.size_b == 3
+    assert abs(r.jaccard - 2 / 4) < 1e-9
+    # content 'x' lives on 3 hosts; cap at 2 removes it everywhere
+    capped = {
+        (r.host_a, r.host_b): r.shared
+        for r in mirror_hosts(
+            pages, min_shared=1, max_hosts_per_content=2
+        ).collect()
+    }
+    assert capped == {("a.com", "b.com"): 1}  # only 'y' survives
+
+
+def test_crawl_plan_composition(spark):
+    """crawl_plan (driver query): discoveries enter the schedule with
+    priority 0 (tail of their host queue), disallowed urls never appear,
+    every host respects the 5 s delay spacing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["crawl_plan"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r.host_rank)
+        assert [r.host_rank for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert abs(r.fetch_slot - (r.host_rank - 1) * 5.0) < 1e-9
+        assert len(rows) <= 50
+    disc = [r for r in out if "/new/" in r.url]
+    assert disc, "sitemap discoveries must be schedulable"

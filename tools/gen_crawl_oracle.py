@@ -51,6 +51,53 @@ def expected_sitemaps(n: int, seed: int) -> list[tuple[str, str]]:
     return rows
 
 
+def expected_discovery_verdicts(n: int, seed: int) -> list[dict]:
+    """Robots verdicts for the sitemap DISCOVERY urls (novel /new/ paths
+    absent from the crawl) — the crawl_plan oracle unions these with the
+    page-url verdict table."""
+    import re
+
+    from pregel_rs_spark.functions.robots import (
+        parse_robots_py,
+        robots_allowed_py,
+    )
+    from pregel_rs_spark.sources.synth import gen_robots, page_url
+
+    host_re = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)")
+    n_sites = max(1, n // 50)
+    rules_by_host = {}
+    for j in range(n_sites):
+        rb = gen_robots(j, n, seed)
+        if rb is not None:
+            rules_by_host[rb["host"]] = parse_robots_py(rb["content"])
+    crawled = {page_url(i, n) for i in range(n)}
+    out = []
+    for j in range(n_sites):
+        s = gen_sitemap(j, n, seed)
+        if s is None:
+            continue
+        for seg in s["content"].split("</url>"):
+            m = re.search(r"<loc>([^<]+)</loc>", seg)
+            if not m or m.group(1) in crawled:
+                continue
+            url = m.group(1)
+            host = host_re.match(url).group(1)
+            path = url.split(host, 1)[1] or "/"
+            allowed, rule, rule_path = robots_allowed_py(
+                path, rules_by_host.get(host, [])
+            )
+            out.append(
+                {
+                    "url": url,
+                    "host": host,
+                    "allowed": allowed,
+                    "rule": rule,
+                    "rule_path": rule_path,
+                }
+            )
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seeds = (
@@ -75,6 +122,21 @@ def main() -> None:
         {"host": [r[0] for r in sm], "content": [r[1] for r in sm]}
     )
     out = os.path.join(OUT_DIR, f"sitemaps_n{n}_seed{seeds[0]}.parquet")
+    pq.write_table(tbl, out)
+    print(f"wrote {out} ({tbl.num_rows} rows)")
+    dv = expected_discovery_verdicts(n, seeds[0])
+    tbl = pa.table(
+        {
+            "url": [r["url"] for r in dv],
+            "host": [r["host"] for r in dv],
+            "allowed": [r["allowed"] for r in dv],
+            "rule": [r["rule"] for r in dv],
+            "rule_path": [r["rule_path"] for r in dv],
+        }
+    )
+    out = os.path.join(
+        OUT_DIR, f"robots_verdicts_discoveries_n{n}_seed{seeds[0]}.parquet"
+    )
     pq.write_table(tbl, out)
     print(f"wrote {out} ({tbl.num_rows} rows)")
 

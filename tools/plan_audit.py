@@ -195,6 +195,22 @@ EXPECT: dict[str, dict] = {
     "crawl_delta": {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # mirror detection: digest-keyed self equi-join after the
+    # frequent-digest cap — never all-pairs across hosts
+    "mirror_detect": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # hashing-trick features: explode + ONE (doc, bucket) hash agg
+    "hash_feats": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # crawl planning composition: robots side broadcasts, frontier window
+    # is the one politeness shuffle — never pairwise
+    "crawl_plan": {
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
