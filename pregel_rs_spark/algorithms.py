@@ -2847,3 +2847,164 @@ def landmark_distances(
         _free_checkpoint(frontier)
         settled, frontier = new_settled, nxt
     return settled
+
+
+def _edge_priority(a, b):
+    """Deterministic edge priority, replayable in ANSI SQL (the
+    :func:`_mis_priority` idiom lifted to pairs; reduced-before-multiply
+    keeps everything in int64 for full-range xxhash64 ids)."""
+    m = F.lit(999983)
+    na = ((a % m) + m) % m
+    nb = ((b % m) + m) % m
+    return (na * F.lit(104729) + nb * F.lit(7919) + F.lit(17)) % m
+
+
+def maximal_matching(
+    graph: GraphFrame,
+    max_rounds: int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Distributed maximal matching over the undirected simple view —
+    the handshake / locally-minimal-edge algorithm (public technique:
+    Israeli-Itai-style parallel matching; matching is also the motivating
+    example in Malewicz et al. SIGMOD'10 §1).  Pipelines use it for
+    conflict-free pairing: co-crawl scheduling, pairwise dedup
+    arbitration, graph coarsening (pair-contract for multilevel
+    partitioning).
+
+    Per round, every vertex picks its minimum-priority incident edge
+    (priority = :func:`_edge_priority`, ties on (a, b) — a collision-free
+    total order); an edge both endpoints picked joins the matching, its
+    endpoints leave the graph.  The globally minimal remaining edge is
+    always mutually picked, so every round matches ≥ 1 edge
+    (termination); hash priorities give O(log n) expected rounds.  Per
+    round: one union, one (vertex) hash agg, two equi-joins, two
+    anti-joins — all shuffle-bounded by the live edge set, which only
+    shrinks.  ``max_rounds`` defaults to 50 with a loud error on
+    non-convergence (the :func:`maximal_independent_set` convention).
+    Returns matched pairs ``(vertex_a, vertex_b)`` with
+    ``vertex_a < vertex_b``.
+    """
+    if max_rounds is None:
+        max_rounds = 50
+    und = (
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("pri", _edge_priority(F.col("a"), F.col("b")))
+    )
+    und = truncate_plan(und)
+    spark = graph.edges.sparkSession
+    matched = spark.createDataFrame([], "vertex_a long, vertex_b long")
+    for _ in range(max_rounds):
+        if und.isEmpty():
+            _free_checkpoint(und)
+            return matched
+        e = F.struct("pri", "a", "b")
+        inc = und.select(F.col("a").alias("v"), e.alias("e")).unionByName(
+            und.select(F.col("b").alias("v"), e.alias("e"))
+        )
+        pick = inc.groupBy("v").agg(F.min("e").alias("e"))
+        cand = (
+            und.join(
+                pick.select(F.col("v").alias("a"), F.col("e").alias("ea")),
+                "a",
+            )
+            .join(
+                pick.select(F.col("v").alias("b"), F.col("e").alias("eb")),
+                "b",
+            )
+            .filter((F.col("ea") == e) & (F.col("eb") == e))
+            .select("a", "b")
+        )
+        new = truncate_plan(
+            matched.unionByName(
+                cand.select(
+                    F.col("a").alias("vertex_a"), F.col("b").alias("vertex_b")
+                )
+            )
+        )
+        mv = (
+            cand.select(F.col("a").alias("v"))
+            .unionByName(cand.select(F.col("b").alias("v")))
+            .distinct()
+        )
+        nxt = truncate_plan(
+            und.join(mv.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(mv.select(F.col("v").alias("b")), "b", "left_anti")
+        )
+        _free_checkpoint(und)
+        _free_checkpoint(matched)
+        und, matched = nxt, new
+    if strict:
+        raise RuntimeError(
+            f"maximal_matching did not converge in {max_rounds} rounds — "
+            "raise max_rounds (every round matches >= 1 edge, so this "
+            "bounds |V|/2; hash priorities make O(log n) typical)"
+        )
+    # strict=False: the bounded-round PARTIAL matching (still a valid
+    # matching, maximality not guaranteed) — the SQL-unrollable mode the
+    # driver oracle uses, mirroring maximal_independent_set(max_rounds=2).
+    return matched
+
+
+def topo_layers(
+    graph: GraphFrame,
+    max_layers: int,
+) -> DataFrame:
+    """Topological layering of the acyclic part of a directed graph —
+    iterative zero-in-degree peel (Kahn's algorithm, layered): layer 0 is
+    every vertex with no incoming edge, layer k+1 becomes exposed when
+    layers ≤ k are removed.  Pipeline uses: dependency scheduling over
+    derived-table DAGs, redirect/canonical chain depth, DAG-depth
+    features.  Vertices on or downstream-locked-by a cycle are never
+    exposed and are ABSENT from the result (the honest contract — a
+    cycle has no topological position; compose with
+    :func:`strongly_connected_components` to collapse cycles first).
+
+    Per layer: one in-degree semi-join + one anti-join on the shrinking
+    live edge set — O(layers) rounds, each shuffle-bounded by live
+    edges.  ``max_layers`` is an explicit cap (layers beyond it are
+    absent), so the driver-side loop is bounded by contract, not data.
+    Returns ``(vertex_id, layer)``.
+    """
+    if max_layers < 1:
+        raise ValueError(f"max_layers must be >= 1, got {max_layers}")
+    edges = truncate_plan(
+        graph.edges.select(SUBJECT, OBJECT)
+        .filter(F.col(SUBJECT) != F.col(OBJECT))
+        .distinct()
+    )
+    live_v = truncate_plan(graph.vertices.select(VERTEX_ID))
+    spark = graph.edges.sparkSession
+    out = spark.createDataFrame([], f"{VERTEX_ID} long, layer int")
+    for layer in range(max_layers):
+        targets = edges.select(F.col(OBJECT).alias(VERTEX_ID)).distinct()
+        exposed = live_v.join(targets, VERTEX_ID, "left_anti")
+        exposed = truncate_plan(exposed)
+        if exposed.isEmpty():
+            _free_checkpoint(exposed)
+            break
+        new_out = truncate_plan(
+            out.unionByName(
+                exposed.select(
+                    VERTEX_ID, F.lit(layer).cast("int").alias("layer")
+                )
+            )
+        )
+        nxt_v = truncate_plan(live_v.join(exposed, VERTEX_ID, "left_anti"))
+        nxt_e = truncate_plan(
+            edges.join(
+                exposed.select(F.col(VERTEX_ID).alias(SUBJECT)),
+                SUBJECT,
+                "left_anti",
+            )
+        )
+        _free_checkpoint(out)
+        _free_checkpoint(live_v)
+        _free_checkpoint(edges)
+        out, live_v, edges = new_out, nxt_v, nxt_e
+    return out

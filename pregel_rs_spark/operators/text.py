@@ -668,3 +668,49 @@ def hash_features(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def blocklist_filter(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Blocklist screening — the C4-style "bad words" filter (public
+    technique: C4 removed any document containing a banned-word-list hit;
+    Dolma/RefinedWeb run the same stage with curated lists): word-bounded,
+    case-insensitive match of a fixed term list, with an explicit verdict
+    and hit count so filtering stays auditable (the ``corpus_filter``
+    convention — what was dropped, and why).
+
+    The list is compiled into ONE alternation regex (longest-first so
+    multi-word terms win over their prefixes) — a single map-only
+    ``regexp_extract_all`` pass, whole-stage codegen, zero shuffles at
+    any corpus size; the term list is query-shipped, never joined.
+    Terms are regex-escaped; word-boundary anchored.  NULL text
+    propagates NULL verdicts (module NULL contract).  Returns the input
+    key plus ``(block_hits, blocked)``.
+    """
+    import re as _re
+
+    if not terms:
+        raise ValueError("terms must name >= 1 blocklist entry")
+    pat = (
+        r"\b("
+        + "|".join(
+            _re.escape(t.lower())
+            for t in sorted(set(terms), key=lambda t: (-len(t), t))
+        )
+        + r")\b"
+    )
+    t = F.col(text_col)
+    hits = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(pat), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        F.when(t.isNull(), F.lit(None).cast("long"))
+        .otherwise(hits)
+        .cast("long")
+        .alias("block_hits"),
+        F.when(t.isNull(), F.lit(None).cast("int"))
+        .otherwise((hits > 0).cast("int"))
+        .alias("blocked"),
+    )

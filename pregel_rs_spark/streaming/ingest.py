@@ -20,6 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,3 +151,78 @@ def run_edges_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+
+def admit_pages_stream(pages: DataFrame, robots: DataFrame) -> DataFrame:
+    """Robots admission on the page stream — RFC 9309 verdicts applied as
+    pages arrive, so disallowed fetches never reach the corpus sink.
+
+    Stream-legal shape: the batch :func:`~pregel_rs_spark.functions.
+    robots.robots_verdicts` picks its winner with a groupBy, which a
+    stream would reject as an unwatermarked aggregation — so here the
+    static robots side (crawl-metadata-sized, the same assumption the
+    batch path's broadcast makes) is parsed ONCE with the pure-Python
+    mirror parser and shipped as a task broadcast; per page the verdict
+    is a stateless Arrow-batched pandas UDF over (host, path), both
+    extracted by Catalyst.  Parser parity Catalyst↔Python is pinned in
+    tests/test_robots.py; stream↔batch verdict parity in
+    tests/test_streaming.py.  Returns admitted page rows plus the
+    winning (rule, rule_path) audit columns.
+    """
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pregel_rs_spark.functions.extract import url_domain
+    from pregel_rs_spark.functions.robots import (
+        parse_robots_py,
+        robots_allowed_py,
+    )
+
+    rules_by_host = {
+        r["host"]: parse_robots_py(r["content"])
+        for r in robots.select("host", "content").collect()
+    }
+    bc = pages.sparkSession.sparkContext.broadcast(rules_by_host)
+
+    @_pandas_udf(
+        StructType(
+            [
+                StructField("allowed", BooleanType()),
+                StructField("rule", StringType()),
+                StructField("rule_path", StringType()),
+            ]
+        )
+    )
+    def _verdict(host: pd.Series, path: pd.Series) -> pd.DataFrame:
+        rules = bc.value
+        rows = [
+            robots_allowed_py(p, rules.get(h, []))
+            for h, p in zip(host, path)
+        ]
+        return pd.DataFrame(
+            rows, columns=["allowed", "rule", "rule_path"]
+        )
+
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$", 1
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    with_v = pages.withColumn(
+        "__v", _verdict(url_domain(F.col("url")), path)
+    )
+    return with_v.filter(F.col("__v.allowed")).select(
+        *pages.columns,
+        F.col("__v.rule").alias("rule"),
+        F.col("__v.rule_path").alias("rule_path"),
+    )

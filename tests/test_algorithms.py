@@ -1520,3 +1520,50 @@ def test_landmark_distances_truncated_bfs(spark):
         for r in landmark_distances(g, [3], max_hops=50).collect()
     }
     assert out50 == {(3, 3): 0, (4, 3): 1, (5, 3): 2}
+
+
+def test_maximal_matching_invariants_and_exact(spark):
+    """maximal_matching: a valid matching (no vertex twice), maximal (no
+    remaining edge has both endpoints unmatched), exact on a toy path."""
+    from pregel_rs_spark.algorithms import maximal_matching
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    # path 1-2-3-4-5 → a maximal matching covers >= 2 edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(edges)
+    m = maximal_matching(g).collect()
+    used = [v for r in m for v in (r.vertex_a, r.vertex_b)]
+    assert len(used) == len(set(used))  # a matching
+    matched = set(used)
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]:
+        assert a in matched or b in matched  # maximal
+    assert all(r.vertex_a < r.vertex_b for r in m)
+
+    # triangle: exactly one edge matched
+    tri = GraphFrame.from_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "subject long, object long")
+    )
+    assert len(maximal_matching(tri).collect()) == 1
+
+
+def test_topo_layers_chain_and_cycle(spark):
+    """topo_layers: exact layers on a DAG; cycle vertices (and vertices
+    locked behind the cycle) are absent; max_layers truncates."""
+    from pregel_rs_spark.algorithms import topo_layers
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    # DAG: 1→2→3, 1→3, 4→3 ; cycle 10↔11 feeding 12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 3), (10, 11), (11, 10), (10, 12)],
+        "subject long, object long",
+    )
+    g = GraphFrame.from_edges(edges)
+    got = {r.vertex_id: r.layer for r in topo_layers(g, max_layers=10).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 2}  # 10,11 cyclic; 12 locked
+    trunc = {
+        r.vertex_id: r.layer
+        for r in topo_layers(g, max_layers=2).collect()
+    }
+    assert trunc == {1: 0, 4: 0, 2: 1}

@@ -1407,3 +1407,27 @@ def test_hash_features_exact_buckets(spark):
         k = (1, b(w))
         expect[k] = expect.get(k, 0) + 1
     assert out == expect
+
+
+def test_blocklist_filter_word_bounded(spark):
+    """blocklist_filter: word-bounded case-insensitive hits, multi-word
+    terms win over prefixes, NULL propagates."""
+    from pregel_rs_spark.operators.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Bad Word here and badword joined"),
+            (2, "bad word bad word"),
+            (3, "nothing to see"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.block_hits, r.blocked)
+        for r in blocklist_filter(docs, ["bad word", "badword"]).collect()
+    }
+    assert out[1] == (2, 1)   # the phrase + the joined form
+    assert out[2] == (2, 1)   # phrase matched twice, not 4 single hits
+    assert out[3] == (0, 0)
+    assert out[4] == (None, None)

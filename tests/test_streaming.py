@@ -245,3 +245,36 @@ def test_stream_degrees_match_batch(spark, staged):
 
     with _pytest.raises(ValueError):
         degree_stream(edges, direction="sideways")
+
+
+def test_stream_robots_admission_matches_batch(spark, staged):
+    """admit_pages_stream ≡ batch robots_verdicts(allowed) on the same
+    pages — urls, audit columns, and rejections all agree."""
+    from pregel_rs_spark.functions.robots import robots_verdicts
+    from pregel_rs_spark.sources.synth import synth_robots
+    from pregel_rs_spark.streaming.ingest import admit_pages_stream
+
+    root, src, pages = staged
+    out = os.path.join(root, "admitted_out")
+    ckpt = os.path.join(root, "admit_ckpt")
+    robots = synth_robots(spark, 300, seed=7)
+
+    stream = stream_pages(spark, src + "/*", max_files_per_trigger=1)
+    admitted = admit_pages_stream(stream, robots)
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("url", "rule", "rule_path")
+    v = robots_verdicts(pages.select("url"), robots)
+    want = v.filter(F.col("allowed")).select("url", "rule", "rule_path")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # at least one page must actually be rejected for the test to bite
+    assert v.filter(~F.col("allowed")).count() > 0

@@ -211,6 +211,22 @@ EXPECT: dict[str, dict] = {
     "crawl_plan": {
         "forbid": ["CartesianProduct"],
     },
+    # blocklist: ONE map-only alternation regex — zero Exchanges
+    "blocklist": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["Exchange"],
+    },
+    # handshake matching: per-round vertex agg + equi/anti joins only
+    "matching_r2": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct"],
+    },
+    # topo layering: semi/anti equi-joins on the shrinking edge set
+    "topo_layers_r2": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
