@@ -33,7 +33,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "assortativity", "ktruss", "linkpred", "katz", "squares",
         "transitivity", "modularity", "effdiam", "trustrank", "spammass",
         "negsample", "neighsample", "salsa", "mis", "redirects",
-        "coreness",
+        "coreness", "matching", "topolayers", "landmarks", "bowtie",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -65,6 +65,8 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="negsample/neighsample: hash seed")
     ap.add_argument("--fanouts", default="2,2",
                     help="neighsample: comma-separated per-hop fan-outs")
+    ap.add_argument("--landmarks", default=None,
+                    help="landmarks: comma-separated landmark vertex ids")
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
@@ -155,6 +157,20 @@ def main(argv: list[str] | None = None) -> int:
         res = A.salsa(g, iterations=args.max_iter)
     elif args.algo == "mis":
         res = A.maximal_independent_set(g)
+    elif args.algo == "matching":
+        res = A.maximal_matching(g, max_rounds=args.max_iter)
+    elif args.algo == "topolayers":
+        res = A.topo_layers(g, max_layers=args.max_iter)
+    elif args.algo == "landmarks":
+        if not args.landmarks:
+            print("landmarks requires --landmarks", file=sys.stderr)
+            return 2
+        res = A.landmark_distances(
+            g, [int(x) for x in args.landmarks.split(",")],
+            max_hops=args.k,
+        )
+    elif args.algo == "bowtie":
+        res = A.bowtie_classes(g)
     elif args.algo == "kcore":
         res = A.k_core(g, k=args.k)
     elif args.algo == "coreness":

@@ -264,3 +264,31 @@ def test_cli_coreness(spark, tmp_path):
     got = {r.vertex_id: r.coreness
            for r in spark.read.parquet(opath).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1}
+
+
+def test_cli_matching_topolayers_landmarks(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e_mtl")
+    edges.write.parquet(epath)
+
+    o1 = os.path.join(tmp_path, "out_matching")
+    assert main(["matching", "--edges", epath, "--out", o1,
+                 "--cores", "4"]) == 0
+    m = spark.read.parquet(o1).collect()
+    used = [v for r in m for v in (r.vertex_a, r.vertex_b)]
+    assert len(used) == len(set(used)) and len(m) >= 2
+
+    o2 = os.path.join(tmp_path, "out_topo")
+    assert main(["topolayers", "--edges", epath, "--out", o2,
+                 "--max-iter", "10", "--cores", "4"]) == 0
+    layers = {r.vertex_id: r.layer for r in spark.read.parquet(o2).collect()}
+    assert layers[1] == 0 and layers[5] == layers[4] + 1
+
+    o3 = os.path.join(tmp_path, "out_lm")
+    assert main(["landmarks", "--edges", epath, "--out", o3,
+                 "--landmarks", "1,3", "--k", "2", "--cores", "4"]) == 0
+    lm = spark.read.parquet(o3)
+    assert lm.count() == 8  # matches test_landmark_distances_truncated_bfs
