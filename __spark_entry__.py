@@ -1452,6 +1452,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict=False,
         )
 
+    def approx_distinct_q(spark, sf):
+        """Portable group-HLL: per-subject approximate distinct targets on
+        the lineitem link graph; the oracle replays the whole estimator
+        bit-for-bit (Lehmer hash → registers → scaled-int sum)."""
+        from pregel_rs_spark.operators.sketches import approx_distinct
+
+        return approx_distinct(
+            _edges_li(spark, sf), ["subject"], "object",
+            log2m=5, portable=True,
+        )
+
+    def group_sample_q(spark, sf):
+        """Deterministic fixed-k per-group sample: 5 documents per
+        (lang, source) by md5 permutation — the corpus-inspection
+        reservoir; oracle is the identical window."""
+        from pregel_rs_spark.operators.pipeline import group_sample
+
+        return group_sample(
+            load_table(spark, sf, "documents"), ["lang", "source"], k=5
+        ).select("doc_id", "lang", "source", "sample_rank")
+
+    def coarsen_r2_q(spark, sf):
+        """METIS-style matching contraction (2 matching rounds, bounded
+        like matching_r2): coarse weighted edges over min-id supers."""
+        from pregel_rs_spark.algorithms import coarsen_graph
+
+        _, coarse = coarsen_graph(
+            GraphFrame.from_edges(_edges_sg(spark, sf)),
+            max_rounds=2,
+            strict=False,
+        )
+        return coarse
+
     def topo_layers_r2_q(spark, sf):
         """Kahn topological layering bounded to 2 peels on the supplier
         graph — cycle-locked vertices absent; oracle unrolls both peels."""
@@ -1484,6 +1517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         blocklist=blocklist_q,
         matching_r2=matching_r2_q,
         topo_layers_r2=topo_layers_r2_q,
+        approx_distinct_ev=approx_distinct_q,
+        group_sample=group_sample_q,
+        coarsen_r2=coarsen_r2_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -3910,8 +3946,9 @@ def oracle_sql() -> dict[str, str]:
     # matching_r2: two unrolled handshake rounds — per round every vertex
     # picks its min-(pri, a, b) incident edge (row_number replay of the
     # engine's min-struct), mutual picks matched, endpoints removed.
-    o["matching_r2"] = f"""
-        WITH raw AS (SELECT * FROM {_SG_SQL}),
+    # The CTE body is shared with coarsen_r2 (same two rounds feed the
+    # contraction there).
+    _M2 = f"""raw AS (SELECT * FROM {_SG_SQL}),
         und AS (SELECT DISTINCT LEAST(subject, object) AS a,
                                 GREATEST(subject, object) AS b
                 FROM raw WHERE subject != object),
@@ -3945,10 +3982,81 @@ def oracle_sql() -> dict[str, str]:
                JOIN pick2 pa ON pa.v = p2.a AND pa.pri = p2.pri
                              AND pa.a = p2.a AND pa.b = p2.b
                JOIN pick2 pb ON pb.v = p2.b AND pb.pri = p2.pri
-                             AND pb.a = p2.a AND pb.b = p2.b)
-        SELECT a AS vertex_a, b AS vertex_b FROM m1
-        UNION ALL
-        SELECT a AS vertex_a, b AS vertex_b FROM m2
+                             AND pb.a = p2.a AND pb.b = p2.b),
+        mm AS (SELECT a, b FROM m1 UNION ALL SELECT a, b FROM m2)"""
+    o["matching_r2"] = f"""
+        WITH {_M2}
+        SELECT a AS vertex_a, b AS vertex_b FROM mm
+    """
+    # coarsen_r2: the same two matching rounds feed a METIS-style
+    # contraction — super = matched MIN id (a) else self; relabel both
+    # endpoints, drop collapsed self-loops, weight = edge multiplicity.
+    o["coarsen_r2"] = f"""
+        WITH {_M2},
+        vv AS (SELECT DISTINCT vertex_id FROM
+               (SELECT subject AS vertex_id FROM raw
+                UNION ALL SELECT object FROM raw)),
+        mapping AS (
+          SELECT vv.vertex_id,
+                 COALESCE(pm.super_id, vv.vertex_id) AS super_id
+          FROM vv LEFT JOIN (
+            SELECT a AS vertex_id, a AS super_id FROM mm
+            UNION ALL
+            SELECT b, a FROM mm) pm
+          ON vv.vertex_id = pm.vertex_id)
+        SELECT ms.super_id AS subject, mo.super_id AS object,
+               CAST(COUNT(*) AS BIGINT) AS weight
+        FROM raw
+        JOIN mapping ms ON raw.subject = ms.vertex_id
+        JOIN mapping mo ON raw.object = mo.vertex_id
+        WHERE ms.super_id <> mo.super_id
+        GROUP BY ms.super_id, mo.super_id
+    """
+    # approx_distinct_ev: the ENTIRE portable HLL replayed — Lehmer hash
+    # chain, register/rho split, max per (subject, reg), scaled-integer
+    # register sum, linear-counting correction (log2m=5: m=32,
+    # alpha*m^2=713.728, scale 2^55).
+    o["approx_distinct_ev"] = f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+        hx AS (SELECT subject,
+                      ((((object % 2147483647 + object % 2147483629)
+                         % 2147483647) * 48271 + 13) % 2147483647) AS x1
+               FROM e),
+        hy AS (SELECT subject, (x1 * 69621) % 2147483647 AS x2 FROM hx),
+        h AS (SELECT subject,
+                     x2 * 268435456
+                     + ((x2 * 40692) % 2147483647) % 268435456 AS h
+              FROM hy),
+        s0 AS (SELECT subject, h % 32 AS reg,
+                      CASE WHEN h // 32 = 0 THEN 55
+                           ELSE 55 - length(bin(h // 32)) END AS val
+               FROM h),
+        regs AS (SELECT subject, reg, MAX(val) AS val FROM s0
+                 GROUP BY subject, reg),
+        per AS (SELECT subject, COUNT(*) AS n,
+                       SUM(CAST(1 AS BIGINT) << CAST(55 - val AS INT)) AS ss
+                FROM regs GROUP BY subject),
+        ee AS (SELECT subject,
+                      CAST(ss AS DOUBLE) / 36028797018963968.0
+                          + (32.0 - n) AS s,
+                      32.0 - n AS zeros
+               FROM per)
+        SELECT subject,
+               ROUND(CASE WHEN (713.728 / s) <= 80.0 AND zeros > 0
+                          THEN 32.0 * ln(32.0 / zeros)
+                          ELSE 713.728 / s END, 4) AS distinct_est
+        FROM ee
+    """
+    # group_sample: identical md5 permutation + per-group row_number.
+    o["group_sample"] = """
+        SELECT doc_id, lang, source, sample_rank FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('gsample:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id) AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 5
     """
     # topo_layers_r2: two unrolled zero-in-degree peels.
     o["topo_layers_r2"] = f"""

@@ -3008,3 +3008,64 @@ def topo_layers(
         _free_checkpoint(edges)
         out, live_v, edges = new_out, nxt_v, nxt_e
     return out
+
+
+def coarsen_graph(
+    graph: GraphFrame,
+    max_rounds: int | None = None,
+    strict: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """One multilevel-coarsening step (public technique: the matching-
+    contraction level of METIS-style multilevel partitioning, Karypis &
+    Kumar '98): contract each :func:`maximal_matching` pair into a
+    super-vertex (label = the pair's MIN id; unmatched vertices survive
+    as themselves), relabel edges, drop collapsed self-loops, and sum
+    edge multiplicity into a ``weight`` column.  Halves the active
+    vertex count per level on matchable graphs — the standard preamble
+    to partitioning, visualization, or hierarchy-building at web scale.
+
+    Returns ``(mapping, coarse_edges)``: mapping =
+    ``(vertex_id, super_id)`` covering EVERY vertex; coarse_edges =
+    ``(subject, object, weight)`` over super ids.  Shape: the matching's
+    rounds plus two relabel equi-joins and one (subject, object) hash
+    agg — no pairwise work.  ``strict=False`` (bounded rounds) makes the
+    whole composition SQL-unrollable, the :func:`maximal_matching`
+    convention.
+    """
+    matched = maximal_matching(graph, max_rounds=max_rounds, strict=strict)
+    pairs = matched.select(
+        F.col("vertex_a").alias(VERTEX_ID),
+        F.col("vertex_a").alias("super_id"),
+    ).unionByName(
+        matched.select(
+            F.col("vertex_b").alias(VERTEX_ID),
+            F.col("vertex_a").alias("super_id"),
+        )
+    )
+    mapping = (
+        graph.vertices.select(VERTEX_ID)
+        .join(pairs, VERTEX_ID, "left")
+        .select(
+            VERTEX_ID,
+            F.coalesce("super_id", F.col(VERTEX_ID)).alias("super_id"),
+        )
+    )
+    e = graph.edges.select(SUBJECT, OBJECT)
+    coarse = (
+        e.join(
+            mapping.select(
+                F.col(VERTEX_ID).alias(SUBJECT), F.col("super_id").alias("__s")
+            ),
+            SUBJECT,
+        )
+        .join(
+            mapping.select(
+                F.col(VERTEX_ID).alias(OBJECT), F.col("super_id").alias("__o")
+            ),
+            OBJECT,
+        )
+        .filter(F.col("__s") != F.col("__o"))
+        .groupBy(F.col("__s").alias(SUBJECT), F.col("__o").alias(OBJECT))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return mapping, coarse

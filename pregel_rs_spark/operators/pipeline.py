@@ -502,3 +502,38 @@ def pack_sequences(
         ],
     )
     return out.unionByName(nulls)
+
+
+def group_sample(
+    docs: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic fixed-``k`` sample per group — the distributed
+    reservoir every corpus-inspection loop needs (k examples per
+    (lang, source) for eval sheets, per-cluster exemplars, per-host spot
+    checks) without ``ORDER BY rand() LIMIT`` nondeterminism.
+
+    Rank = ``row_number`` over (group, ORDER BY md5(salt:key), key) — the
+    md5 order is a uniform permutation independent of the data's physical
+    order, so the sample is unbiased, reproducible across engines/reruns
+    (the :func:`corpus_sample` hash idiom), and STABLE per key: a doc's
+    rank within its group only moves when earlier-hash docs enter the
+    group.  One window shuffle keyed by group; skew bound = largest
+    group, and since only rank ≤ k survives, a 100 TB deployment prunes
+    with the same window it pays for.  NULL keys rank last
+    deterministically.  Returns the sampled rows + ``sample_rank``
+    (1-based).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc_nulls_last(), key_col)
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

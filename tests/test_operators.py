@@ -1431,3 +1431,81 @@ def test_blocklist_filter_word_bounded(spark):
     assert out[2] == (2, 1)   # phrase matched twice, not 4 single hits
     assert out[3] == (0, 0)
     assert out[4] == (None, None)
+
+
+def test_approx_distinct_accuracy_and_determinism(spark):
+    """approx_distinct: within HLL error bounds of the exact count at
+    log2m=5 (~18.7% std), identical under repartitioning (integer-exact
+    register sum), string and portable paths agree with themselves."""
+    from pregel_rs_spark.operators.sketches import approx_distinct
+
+    rows = [(g, g * 10_000 + i) for g in range(3) for i in range((g + 1) * 200)]
+    df = spark.createDataFrame(rows, "grp int, v long")
+    for portable in (False, True):
+        est = {
+            r.grp: r.distinct_est
+            for r in approx_distinct(df, ["grp"], "v", 5, portable).collect()
+        }
+        for g in range(3):
+            exact = (g + 1) * 200
+            assert abs(est[g] - exact) / exact < 0.5, (portable, g, est[g])
+        est2 = {
+            r.grp: r.distinct_est
+            for r in approx_distinct(
+                df.repartition(13), ["grp"], "v", 5, portable
+            ).collect()
+        }
+        assert est == est2  # bit-deterministic under partitioning
+
+    sdf = spark.createDataFrame(
+        [(1, f"url-{i}") for i in range(300)], "grp int, u string"
+    )
+    e = approx_distinct(sdf, ["grp"], "u", 5, portable=True).collect()[0]
+    assert abs(e.distinct_est - 300) / 300 < 0.5
+
+
+def test_group_sample_exact_replica(spark):
+    """group_sample: md5-rank python replica, k cap, growth stability."""
+    import hashlib
+
+    from pregel_rs_spark.operators.pipeline import group_sample
+
+    docs = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)],
+        "doc_id long, grp string",
+    )
+    out = group_sample(docs, ["grp"], k=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.grp, []).append((r.sample_rank, r.doc_id))
+    for g, rows in by_g.items():
+        ids = [i for i in range(60) if i % 3 == int(g[1])]
+        expect = sorted(
+            ids, key=lambda i: (hashlib.md5(f"gsample:{i}".encode()).hexdigest(), i)
+        )[:4]
+        assert [i for _, i in sorted(rows)] == expect
+        assert len(rows) == 4
+
+
+def test_coarsen_graph_contraction(spark):
+    """coarsen_graph: matched pairs contract to min-id supers, weights
+    sum multiplicity, self-loops drop, mapping covers every vertex."""
+    from pregel_rs_spark.algorithms import coarsen_graph
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    # 1-2 matched, 3-4 matched (disjoint), edges between the pairs
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(
+            [(1, 2), (3, 4), (2, 3), (1, 4), (2, 4)],
+            "subject long, object long",
+        )
+    )
+    mapping, coarse = coarsen_graph(g)
+    mp = {r.vertex_id: r.super_id for r in mapping.collect()}
+    assert set(mp) == {1, 2, 3, 4}
+    # a maximal matching on this graph pairs all 4 vertices into 2 supers
+    supers = set(mp.values())
+    assert len(supers) == 2
+    ce = {(r.subject, r.object): r.weight for r in coarse.collect()}
+    # all cross-pair edges collapse onto the single (superA, superB) pair
+    assert sum(ce.values()) == 3 and len(ce) <= 2

@@ -227,6 +227,24 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "forbid": ["CartesianProduct"],
     },
+    # group HLL: TWO hash aggregates (register max, group rollup) — the
+    # register key spreads hot groups; never joins, never pairwise
+    "approx_distinct_ev": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    # per-group reservoir: ONE group window, rank<=k pruned
+    "group_sample": {
+        "read_cols_max": 3,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    # matching contraction: relabel equi-joins + one weighted agg
+    "coarsen_r2": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
