@@ -1452,6 +1452,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict=False,
         )
 
+    def latest_crawl_q(spark, sf):
+        """Crawl-history compaction: full seed-42 crawl + a 1-day-later
+        partial recrawl (seed 43, every 3rd page) compacted to one row
+        per url via max(ts, md5) — the map-side-combinable winner pick.
+        Oracle replays the integer-µs timestamp arithmetic and the
+        (ts, md5) ordering over the pure-Python hash tables."""
+        from pregel_rs_spark.functions.extract import latest_snapshot
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        old = synth_pages(spark, 2000, seed=42, partitions=8)
+        r = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("int")
+        new = (
+            synth_pages(spark, 2000, seed=43, partitions=8)
+            .filter(r % 3 == 0)
+            .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        snap = latest_snapshot(old.unionByName(new))
+        return snap.select(
+            "url",
+            F.unix_micros("warc_ts").alias("ts_us"),
+            "content_md5",
+        )
+
+    def edge_cut_q(spark, sf):
+        """Partition-quality audit: edge cut of a deterministic 7-way
+        labeling on the supplier graph (the metric itself is the unit
+        under test; LPA/CC integration is pytest-pinned)."""
+        from pregel_rs_spark.algorithms import community_edge_cut
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        labels = g.vertices.select(
+            "vertex_id", (F.col("vertex_id") % 7).alias("label")
+        )
+        return community_edge_cut(g, labels)
+
     def approx_distinct_q(spark, sf):
         """Portable group-HLL: per-subject approximate distinct targets on
         the lineitem link graph; the oracle replays the whole estimator
@@ -1520,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         approx_distinct_ev=approx_distinct_q,
         group_sample=group_sample_q,
         coarsen_r2=coarsen_r2_q,
+        latest_crawl=latest_crawl_q,
+        edge_cut=edge_cut_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -4011,6 +4048,48 @@ def oracle_sql() -> dict[str, str]:
         JOIN mapping mo ON raw.object = mo.vertex_id
         WHERE ms.super_id <> mo.super_id
         GROUP BY ms.super_id, mo.super_id
+    """
+    # latest_crawl: pure-integer µs timestamps (epoch 2024-01-01 UTC =
+    # 1704067200 s) so no timestamp type crosses the compare; winner =
+    # (ts, md5) DESC row_number replay of the engine's max(struct).
+    o["latest_crawl"] = """
+        WITH old AS (
+          SELECT url,
+                 1704067200000000
+                 + ((page_no * 9973) % 31536000) * 1000000 AS ts_us,
+                 content_md5
+          FROM read_parquet(
+              '/root/repo/tests/data/webtext_hashes_n2000_seed42.parquet')
+        ), newp AS (
+          SELECT url,
+                 1704067200000000
+                 + ((page_no * 9973) % 31536000) * 1000000
+                 + 86400000000 AS ts_us,
+                 content_md5
+          FROM read_parquet(
+              '/root/repo/tests/data/webtext_hashes_n2000_seed43.parquet')
+          WHERE page_no % 3 = 0
+        ), allp AS (
+          SELECT * FROM old UNION ALL SELECT * FROM newp
+        )
+        SELECT url, CAST(ts_us AS BIGINT) AS ts_us, content_md5 FROM (
+          SELECT url, ts_us, content_md5,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY url
+                   ORDER BY ts_us DESC, content_md5 DESC) AS rn
+          FROM allp) WHERE rn = 1
+    """
+    # edge_cut: scalar rollup over the labeled edge list.
+    o["edge_cut"] = f"""
+        WITH e AS (SELECT subject, object FROM {_SG_SQL})
+        SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+               CAST(SUM(CASE WHEN subject % 7 <> object % 7
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+               CAST(0 AS BIGINT) AS unlabeled,
+               ROUND(SUM(CASE WHEN subject % 7 <> object % 7
+                         THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS cut_frac
+        FROM e
     """
     # approx_distinct_ev: the ENTIRE portable HLL replayed — Lehmer hash
     # chain, register/rho split, max per (subject, reg), scaled-integer

@@ -3069,3 +3069,53 @@ def coarsen_graph(
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
     )
     return mapping, coarse
+
+
+def community_edge_cut(
+    graph: GraphFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Partition-quality metric: the edge cut of a vertex labeling — the
+    count and fraction of (distinct, non-loop) edges whose endpoints
+    carry different labels (the quantity graph partitioners minimize and
+    community detection implicitly optimizes; public standard metric).
+    Pipelines use it to audit LPA/CC/coarsening output and to cost a
+    partitioning before committing a bucketed layout to storage.
+
+    Two label equi-joins + one scalar aggregate — no pairwise work;
+    edges whose endpoints lack a label are counted separately
+    (``unlabeled``) rather than silently dropped, so the metric can't
+    silently flatter a partial labeling.  Returns ONE row
+    (edges, cut_edges, unlabeled, cut_frac round 6).
+    """
+    e = (
+        graph.edges.select(SUBJECT, OBJECT)
+        .filter(F.col(SUBJECT) != F.col(OBJECT))
+        .distinct()
+    )
+    ls = labels.select(
+        F.col(VERTEX_ID).alias(SUBJECT), F.col(label_col).alias("__ls")
+    )
+    lo = labels.select(
+        F.col(VERTEX_ID).alias(OBJECT), F.col(label_col).alias("__lo")
+    )
+    j = e.join(ls, SUBJECT, "left").join(lo, OBJECT, "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("edges"),
+        F.sum(
+            (
+                F.col("__ls").isNotNull()
+                & F.col("__lo").isNotNull()
+                & (F.col("__ls") != F.col("__lo"))
+            ).cast("long")
+        ).cast("long").alias("cut_edges"),
+        F.sum(
+            (F.col("__ls").isNull() | F.col("__lo").isNull()).cast("long")
+        ).cast("long").alias("unlabeled"),
+    ).select(
+        "edges",
+        "cut_edges",
+        "unlabeled",
+        F.round(F.col("cut_edges") / F.col("edges"), 6).alias("cut_frac"),
+    )

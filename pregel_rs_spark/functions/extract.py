@@ -544,3 +544,37 @@ def mirror_hosts(
             ).alias("jaccard"),
         )
     )
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Crawl-history compaction — keep ONE row per url, the newest crawl
+    (the SCD-style "current snapshot" view every recrawl pipeline
+    maintains before analysis; WARC archives are append-only, so the
+    compaction is a read-side view, not a rewrite).
+
+    Winner per key = max (ts, md5(html)) — the digest tie-break makes
+    simultaneous recrawls deterministic.  Picked with groupBy +
+    ``max_by``-style max(struct) rather than a window: the aggregation
+    gets a map-side partial combine (each task reduces its local rows to
+    one candidate per key before the shuffle), where a window would
+    shuffle every historical version — the
+    :func:`~pregel_rs_spark.functions.robots.robots_verdicts` winner-pick
+    idiom.  Returns one row per key: (key, ts, content_md5).
+    """
+    cand = pages.select(
+        F.col(key_col).alias("__k"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.md5("html").alias("content_md5"),
+        ).alias("__c"),
+    )
+    won = cand.groupBy("__k").agg(F.max("__c").alias("__w"))
+    return won.select(
+        F.col("__k").alias(key_col),
+        F.col("__w.ts").alias(ts_col),
+        F.col("__w.content_md5").alias("content_md5"),
+    )

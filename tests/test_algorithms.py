@@ -1567,3 +1567,34 @@ def test_topo_layers_chain_and_cycle(spark):
         for r in topo_layers(g, max_layers=2).collect()
     }
     assert trunc == {1: 0, 4: 0, 2: 1}
+
+
+def test_community_edge_cut_with_lpa(spark):
+    """community_edge_cut: exact counts on a toy labeling; integration
+    with label_propagation labels (two cliques + one bridge → the only
+    cut edge is the bridge); partial labelings surface as unlabeled."""
+    from pregel_rs_spark.algorithms import community_edge_cut, label_propagation
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    # two triangles joined by one bridge edge
+    ed = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(ed, "subject long, object long")
+    )
+    labels = g.vertices.select(
+        "vertex_id",
+        (F.col("vertex_id") <= 3).cast("int").alias("label"),
+    )
+    r = community_edge_cut(g, labels).collect()[0]
+    assert (r.edges, r.cut_edges, r.unlabeled) == (7, 1, 0)
+    assert r.cut_frac == round(1 / 7, 6)  # the op rounds to 6
+
+    lpa = label_propagation(g, max_iterations=5).select(
+        "vertex_id", "label"
+    )
+    r2 = community_edge_cut(g, lpa).collect()[0]
+    assert r2.unlabeled == 0 and 0 <= r2.cut_frac <= 1
+
+    partial = labels.filter(F.col("vertex_id") != 1)
+    r3 = community_edge_cut(g, partial).collect()[0]
+    assert r3.unlabeled == 2  # edges (1,2) and (1,3)

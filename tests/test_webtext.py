@@ -497,3 +497,31 @@ def test_crawl_plan_composition(spark):
         assert len(rows) <= 50
     disc = [r for r in out if "/new/" in r.url]
     assert disc, "sitemap discoveries must be schedulable"
+
+
+def test_latest_snapshot_compaction(spark):
+    """latest_snapshot: newest ts wins per url; md5 DESC breaks exact-ts
+    ties deterministically; one row per url."""
+    from datetime import datetime, timezone
+
+    from pregel_rs_spark.functions.extract import latest_snapshot
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    rows = [
+        ("u1", t0, bytearray(b"old")), ("u1", t1, bytearray(b"new")),
+        ("u2", t0, bytearray(b"a")), ("u2", t0, bytearray(b"b")),
+        ("u3", t1, bytearray(b"only")),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = {r.url: r for r in latest_snapshot(pages).collect()}
+    import hashlib
+
+    assert len(out) == 3
+    assert out["u1"].content_md5 == hashlib.md5(b"new").hexdigest()
+    tie = max(
+        hashlib.md5(b"a").hexdigest(), hashlib.md5(b"b").hexdigest()
+    )
+    assert out["u2"].content_md5 == tie

@@ -245,6 +245,16 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "forbid": ["CartesianProduct"],
     },
+    # snapshot compaction: ONE max(struct) hash agg keyed by url — no
+    # window over history, no joins
+    "latest_crawl": {
+        "forbid": ["CartesianProduct", "Window", "Join"],
+    },
+    # edge cut: two label equi-joins + a scalar agg
+    "edge_cut": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
