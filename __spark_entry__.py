@@ -1452,6 +1452,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict=False,
         )
 
+    def incr_degrees_q(spark, sf):
+        """Incremental out-degree maintenance: old snapshot = the full
+        lineitem link graph; new snapshot = the l_quantity<=45 subgraph
+        plus the nation graph's edges (removals AND additions).  The
+        engine applies only the edge delta to the old degree table; the
+        ORACLE is a full recompute on the new snapshot — equivalence of
+        incremental and full is the property under test."""
+        from pregel_rs_spark.algorithms import (
+            edge_delta,
+            incremental_out_degrees,
+        )
+
+        old_e = _edges_li(spark, sf)
+        li = load_table(spark, sf, "lineitem")
+        new_e = (
+            li.filter(F.col("l_quantity") <= 45)
+            .select(
+                F.col("l_orderkey").alias("subject"),
+                F.col("l_suppkey").alias("object"),
+            )
+            .distinct()
+            .unionByName(_edges_ng(spark, sf))
+        )
+        old_deg = GraphFrame.from_edges(old_e).out_degrees()
+        return incremental_out_degrees(old_deg, edge_delta(old_e, new_e))
+
     def latest_crawl_q(spark, sf):
         """Crawl-history compaction: full seed-42 crawl + a 1-day-later
         partial recrawl (seed 43, every 3rd page) compacted to one row
@@ -1557,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         coarsen_r2=coarsen_r2_q,
         latest_crawl=latest_crawl_q,
         edge_cut=edge_cut_q,
+        incr_degrees=incr_degrees_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -4048,6 +4075,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN mapping mo ON raw.object = mo.vertex_id
         WHERE ms.super_id <> mo.super_id
         GROUP BY ms.super_id, mo.super_id
+    """
+    # incr_degrees: the oracle is the FULL recompute on the new snapshot —
+    # incremental-maintenance correctness is equivalence, not replay.
+    o["incr_degrees"] = f"""
+        SELECT subject AS vertex_id, CAST(COUNT(*) AS BIGINT) AS out_degree
+        FROM (
+          SELECT DISTINCT l_orderkey AS subject, l_suppkey AS object
+          FROM lineitem WHERE l_quantity <= 45
+          UNION
+          SELECT subject, object FROM {_NG_SQL}
+        )
+        GROUP BY subject
     """
     # latest_crawl: pure-integer µs timestamps (epoch 2024-01-01 UTC =
     # 1704067200 s) so no timestamp type crosses the compare; winner =

@@ -1598,3 +1598,29 @@ def test_community_edge_cut_with_lpa(spark):
     partial = labels.filter(F.col("vertex_id") != 1)
     r3 = community_edge_cut(g, partial).collect()[0]
     assert r3.unlabeled == 2  # edges (1,2) and (1,3)
+
+
+def test_incremental_degrees_equals_full_recompute(spark):
+    """incremental_out_degrees ∘ edge_delta ≡ full out_degrees on the new
+    snapshot — additions, removals, brand-new vertices, and degree-to-0
+    vertices all handled."""
+    from pregel_rs_spark.algorithms import edge_delta, incremental_out_degrees
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    old = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "subject long, object long"
+    )
+    new = spark.createDataFrame(
+        # vertex 3 loses its only out-edge (leaves the table); vertex 9 new
+        [(1, 2), (2, 3), (2, 4), (9, 1)], "subject long, object long"
+    )
+    old_deg = GraphFrame.from_edges(old).out_degrees()
+    inc = {
+        r.vertex_id: r.out_degree
+        for r in incremental_out_degrees(old_deg, edge_delta(old, new)).collect()
+    }
+    full = {
+        r.vertex_id: r.out_degree
+        for r in GraphFrame.from_edges(new).out_degrees().collect()
+    }
+    assert inc == full == {1: 1, 2: 2, 9: 1}

@@ -255,6 +255,11 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "forbid": ["CartesianProduct"],
     },
+    # incremental degree maintenance: anti-joins on the delta + one
+    # full-outer apply — never rescans into pairwise work
+    "incr_degrees": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
