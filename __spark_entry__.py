@@ -1253,7 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pack_seqs_q(spark, sf):
         """Concat-and-chunk sequence packing (GPT/T5/LLaMA pretraining
         shape): sharded md5-ordered token streams sliced into 512-token
-        sequences; oracle replays the shard nibbles, the (md5, doc_id)
+        sequences (four-nibble shard ids scale to 2^16 shards — the
+        10^12-token regime); oracle replays the shard nibbles, the (md5, doc_id)
         order, the windowed cumsum and the DIV arithmetic exactly."""
         from pregel_rs_spark.operators.pipeline import pack_sequences
 
@@ -3700,8 +3701,10 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), sh AS (
           SELECT doc_id, h, CAST(n_tokens AS BIGINT) AS n_tokens,
-                 CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8
+                 CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 8
                       AS BIGINT) AS shard
           FROM hk
         ), c AS (

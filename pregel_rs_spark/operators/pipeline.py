@@ -430,7 +430,7 @@ def pack_sequences(
     A single global concatenation order would be one total sort — the
     classic non-scalable shape.  Instead the corpus is split into
     ``n_shards`` independent streams by a salted md5 of the document key
-    (two-nibble value mod n_shards — the :func:`corpus_split` hex idiom,
+    (four-nibble value mod n_shards — the :func:`corpus_split` hex idiom,
     byte-replayable in ANSI SQL), and each shard is packed independently:
     order within a shard is (md5, key) — deterministic, growth-stable for
     the docs already in a shard, and engine-independent.  ``(shard,
@@ -452,14 +452,16 @@ def pack_sequences(
 
     if ctx_len <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")
-    if not 1 <= n_shards <= 256:
+    if not 1 <= n_shards <= 65536:
         raise ValueError(
-            f"n_shards must be in [1, 256] (two md5 nibbles), got {n_shards}"
+            f"n_shards must be in [1, 65536] (four md5 nibbles), got {n_shards}"
         )
     t = F.col(text_col)
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
-    nib = lambda i: F.position(F.substring(F.col("__h"), i, 1),
-                               F.lit("0123456789abcdef")) - 1
+    nib = lambda i: (
+        F.position(F.substring(F.col("__h"), i, 1), F.lit("0123456789abcdef"))
+        - 1
+    ).cast("long")
     tok = docs.select(
         F.col(key_col),
         h.alias("__h"),
@@ -469,7 +471,10 @@ def pack_sequences(
         .cast("long")
         .alias("n_tokens"),
     ).withColumn(
-        "shard", ((nib(1) * 16 + nib(2)) % n_shards).cast("long")
+        "shard",
+        (
+            (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % n_shards
+        ).cast("long"),
     )
     w = (
         Window.partitionBy("shard")

@@ -1201,7 +1201,10 @@ def test_pack_sequences_exact_python_replica(spark):
     per_shard = {}
     for i in range(200):
         hx = h(i)
-        shard = (alpha.index(hx[0]) * 16 + alpha.index(hx[1])) % 4
+        shard = (
+            alpha.index(hx[0]) * 4096 + alpha.index(hx[1]) * 256
+            + alpha.index(hx[2]) * 16 + alpha.index(hx[3])
+        ) % 4
         per_shard.setdefault(shard, []).append((hx, i))
     for shard, docs_in in per_shard.items():
         cum = 0
