@@ -578,3 +578,33 @@ def latest_snapshot(
         F.col("__w.ts").alias(ts_col),
         F.col("__w.content_md5").alias("content_md5"),
     )
+
+
+def merge_snapshots(*snaps: DataFrame) -> DataFrame:
+    """Merge already-reduced snapshot tables (url, warc_ts, content_md5)
+    under the SAME winner rule as :func:`latest_snapshot` (max (ts, md5)
+    per url) — the associative/commutative combine that makes snapshot
+    maintenance incremental: ``latest(A ∪ B) == merge(latest(A),
+    latest(B))``, so a stream can fold micro-batches into a running
+    compact view without ever re-reading raw history."""
+    if not snaps:
+        raise ValueError("merge_snapshots needs >= 1 snapshot")
+    u = snaps[0]
+    for s in snaps[1:]:
+        u = u.unionByName(s)
+    won = (
+        u.select(
+            "url",
+            F.struct(
+                F.col("warc_ts").alias("ts"),
+                F.col("content_md5").alias("content_md5"),
+            ).alias("__c"),
+        )
+        .groupBy("url")
+        .agg(F.max("__c").alias("__w"))
+    )
+    return won.select(
+        "url",
+        F.col("__w.ts").alias("warc_ts"),
+        F.col("__w.content_md5").alias("content_md5"),
+    )

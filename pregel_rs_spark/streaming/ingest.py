@@ -226,3 +226,32 @@ def admit_pages_stream(pages: DataFrame, robots: DataFrame) -> DataFrame:
         F.col("__v.rule").alias("rule"),
         F.col("__v.rule_path").alias("rule_path"),
     )
+
+
+def compact_pages_stream(pages: DataFrame, store, table: str = "latest_pages"):
+    """Streaming crawl-snapshot compaction: maintain the
+    :func:`~pregel_rs_spark.functions.extract.latest_snapshot` view as a
+    ``TableStore`` table, folding each micro-batch in with
+    ``merge_snapshots`` (associative winner pick, so arrival order across
+    batches cannot change the result — stream ≡ batch by construction,
+    pinned in tests/test_streaming.py).
+
+    ``foreachBatch`` is the right sink shape: the merge needs a
+    read-modify-write of the maintained table, which Structured
+    Streaming's native sinks can't express; TableStore's
+    write-tmp-then-rename keeps each commit atomic (Iceberg
+    ``createOrReplace`` on a real deployment).  Per batch the work is
+    O(|batch| + |distinct urls|) — the raw history is never re-read.
+
+    Returns the started-ready ``DataStreamWriter`` (caller picks trigger
+    and checkpoint location).
+    """
+    from pregel_rs_spark.functions.extract import latest_snapshot, merge_snapshots
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        snap = latest_snapshot(batch_df)
+        if store.exists(table):
+            snap = merge_snapshots(store.read(table), snap)
+        store.write(table, snap)
+
+    return pages.writeStream.foreachBatch(_merge)

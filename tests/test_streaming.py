@@ -278,3 +278,45 @@ def test_stream_robots_admission_matches_batch(spark, staged):
     assert want.exceptAll(got).count() == 0
     # at least one page must actually be rejected for the test to bite
     assert v.filter(~F.col("allowed")).count() > 0
+
+
+def test_stream_compaction_matches_batch_snapshot(spark, tmp_path_factory):
+    """compact_pages_stream folds micro-batches into the latest-snapshot
+    view; the final table equals latest_snapshot over ALL pages (stream ≡
+    batch — the merge is associative), including a later recrawl batch
+    overriding an earlier crawl."""
+    from pregel_rs_spark.functions.extract import latest_snapshot
+    from pregel_rs_spark.sources.io import TableStore
+    from pregel_rs_spark.sources.synth import synth_pages
+    from pregel_rs_spark.streaming.ingest import compact_pages_stream
+
+    root = tmp_path_factory.mktemp("compact")
+    src = os.path.join(str(root), "pages")
+    base = synth_pages(spark, 200, seed=11, partitions=2)
+    recrawl = (
+        synth_pages(spark, 200, seed=12, partitions=2)
+        .filter(F.xxhash64("url") % 3 == 0)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAY"))
+    )
+    base.write.parquet(os.path.join(src, "b0"))
+    recrawl.write.parquet(os.path.join(src, "b1"))
+
+    store = TableStore(spark, os.path.join(str(root), "store"))
+    stream = stream_pages(spark, src + "/*", max_files_per_trigger=1)
+    q = (
+        compact_pages_stream(stream, store)
+        .option("checkpointLocation", os.path.join(str(root), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = store.read("latest_pages")
+    want = latest_snapshot(base.unionByName(recrawl))
+    assert got.count() == want.count() == 200
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the recrawled third must carry the NEW content hashes
+    rec = {r.url: r.content_md5 for r in latest_snapshot(recrawl).collect()}
+    final = {r.url: r.content_md5 for r in got.collect()}
+    assert rec and all(final[u] == h for u, h in rec.items())

@@ -166,6 +166,12 @@ def main() -> None:
                     help="directory for the Spark event log (diagnostic "
                          "legs only: per-stage task/GC/shuffle accounting "
                          "via tools/analyze_eventlog.py)")
+    ap.add_argument("--algo", choices=["pagerank", "cc_star"],
+                    default="pagerank",
+                    help="cc_star = second-algorithm scaling evidence: "
+                         "large-star/small-star connected components to "
+                         "fixpoint, metric = whole-run wall (deterministic "
+                         "same-work at every level)")
     ap.add_argument("--extra-conf", action="append", default=[],
                     help="extra spark conf KEY=VALUE (repeatable; applied "
                          "identically at every level — protocol experiments)")
@@ -267,21 +273,28 @@ def main() -> None:
             latest = store.latest()
             resumed_from = latest[0] if latest else None
 
-    from pregel_rs_spark.algorithms import pagerank
+    from pregel_rs_spark.algorithms import connected_components, pagerank
 
     t0 = time.monotonic()
     t_epoch_start = time.time()  # maps this leg onto the ambient-probe trace
-    # tol<=0 → fixed-superstep throughput mode: no convergence tolerance,
-    # so the engine skips the per-superstep stats action when it can.
-    res = pagerank(
-        g,
-        tol=(args.tol if args.tol > 0 else None),
-        max_iterations=args.supersteps,
-        checkpoint_store=store,
-        checkpoint_every=args.ckpt_every,
-        resume=args.resume,
-    )
-    if args.ranks_out:
+    if args.algo == "cc_star":
+        # deterministic fixpoint → identical rounds/work at every level;
+        # the throughput number is the whole-run wall
+        res = connected_components(
+            g, method="star", max_iterations=args.supersteps
+        )
+    else:
+        # tol<=0 → fixed-superstep throughput mode: no convergence
+        # tolerance, so the engine skips the per-superstep stats action.
+        res = pagerank(
+            g,
+            tol=(args.tol if args.tol > 0 else None),
+            max_iterations=args.supersteps,
+            checkpoint_store=store,
+            checkpoint_every=args.ckpt_every,
+            resume=args.resume,
+        )
+    if args.ranks_out and args.algo == "pagerank":
         res.select("vertex_id", "rank").write.mode("overwrite").parquet(
             args.ranks_out
         )
