@@ -1453,6 +1453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict=False,
         )
 
+    def degree_pct_q(spark, sf):
+        """Out-degree percentile ranks on the lineitem link graph —
+        SQL-standard PERCENT_RANK with a vertex-id tie-break, exactly
+        oracled."""
+        from pregel_rs_spark.algorithms import degree_percentiles
+
+        return degree_percentiles(GraphFrame.from_edges(_edges_li(spark, sf)))
+
     def incr_degrees_q(spark, sf):
         """Incremental out-degree maintenance: old snapshot = the full
         lineitem link graph; new snapshot = the l_quantity<=45 subgraph
@@ -1585,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         latest_crawl=latest_crawl_q,
         edge_cut=edge_cut_q,
         incr_degrees=incr_degrees_q,
+        degree_pct=degree_pct_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -4078,6 +4087,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN mapping mo ON raw.object = mo.vertex_id
         WHERE ms.super_id <> mo.super_id
         GROUP BY ms.super_id, mo.super_id
+    """
+    # degree_pct: SQL-standard PERCENT_RANK, (degree, vertex_id) order.
+    o["degree_pct"] = f"""
+        WITH d AS (SELECT subject AS vertex_id,
+                          CAST(COUNT(object) AS BIGINT) AS degree
+                   FROM {_EV_SQL} GROUP BY subject)
+        SELECT vertex_id, degree,
+               ROUND(PERCENT_RANK() OVER (ORDER BY degree, vertex_id), 6)
+                   AS pct_rank
+        FROM d
     """
     # incr_degrees: the oracle is the FULL recompute on the new snapshot —
     # incremental-maintenance correctness is equivalence, not replay.

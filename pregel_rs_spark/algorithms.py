@@ -3171,3 +3171,32 @@ def incremental_out_degrees(
         )
         .filter(F.col("out_degree") > 0)
     )
+
+
+def degree_percentiles(graph: GraphFrame, direction: str = "out") -> DataFrame:
+    """Per-vertex degree percentile rank — the normalized hubness feature
+    ranking models consume (raw degree is scale-dependent; its percentile
+    is portable across crawl snapshots).  ``percent_rank`` over (degree,
+    vertex_id) — the vertex-id tie-break makes ranks deterministic even
+    on the plateau of equal-degree vertices, and SQL-standard
+    PERCENT_RANK is engine-identical, so the row is exactly oracled.
+
+    One degree aggregation + one global sort (a window without PARTITION
+    BY is range-partitioned by Spark's sort machinery — distributed, not
+    single-task; at 10^12 vertices this is the same shape as any global
+    ranking).  Returns ``(vertex_id, degree, pct_rank round 6)``.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction}")
+    key, cnt = (SUBJECT, OBJECT) if direction == "out" else (OBJECT, SUBJECT)
+    deg = graph.edges.groupBy(F.col(key).alias(VERTEX_ID)).agg(
+        F.count(cnt).alias("degree")
+    )
+    w = Window.orderBy("degree", VERTEX_ID)
+    return deg.select(
+        VERTEX_ID,
+        "degree",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

@@ -1624,3 +1624,24 @@ def test_incremental_degrees_equals_full_recompute(spark):
         for r in GraphFrame.from_edges(new).out_degrees().collect()
     }
     assert inc == full == {1: 1, 2: 2, 9: 1}
+
+
+def test_degree_percentiles_exact(spark):
+    """degree_percentiles: SQL PERCENT_RANK semantics ((rank-1)/(n-1)),
+    deterministic tie-break, in-direction support."""
+    from pregel_rs_spark.algorithms import degree_percentiles
+    from pregel_rs_spark.graphframe import GraphFrame
+
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 1), (3, 2), (3, 4)],
+            "subject long, object long",
+        )
+    )
+    out = {r.vertex_id: r for r in degree_percentiles(g).collect()}
+    # degrees: 1->2, 2->1, 3->3 ; order (2,1),(1,2),(3,3) -> ranks 0,.5,1
+    assert out[2].pct_rank == 0.0
+    assert out[1].pct_rank == 0.5
+    assert out[3].pct_rank == 1.0
+    ind = {r.vertex_id: r.degree for r in degree_percentiles(g, "in").collect()}
+    assert ind == {1: 1, 2: 2, 3: 2, 4: 1}

@@ -260,6 +260,12 @@ EXPECT: dict[str, dict] = {
     "incr_degrees": {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # degree percentiles: one degree agg + one global ranking sort
+    "degree_pct": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "Join"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
