@@ -1453,6 +1453,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict=False,
         )
 
+    def related_hosts_q(spark, sf):
+        """Bibliographic-coupling related-site pairs over the synth web
+        (shared outlink-target hosts, frequent-target guard); oracle
+        replays the set algebra over the pre-materialized link list."""
+        from pregel_rs_spark.functions.extract import related_hosts
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return related_hosts(pages, min_shared=2)
+
+    def daily_retention_q(spark, sf):
+        """Day-over-day user retention on the events table — integer
+        epoch-day arithmetic, first day honestly 0."""
+        from pregel_rs_spark.operators.events import daily_retention
+
+        return daily_retention(load_table(spark, sf, "events"))
+
     def degree_pct_q(spark, sf):
         """Out-degree percentile ranks on the lineitem link graph —
         SQL-standard PERCENT_RANK with a vertex-id tie-break, exactly
@@ -1594,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edge_cut=edge_cut_q,
         incr_degrees=incr_degrees_q,
         degree_pct=degree_pct_q,
+        related_hosts=related_hosts_q,
+        daily_retention=daily_retention_q,
     )
     q.update(
         frontier_schedule=frontier_q,
@@ -4087,6 +4106,59 @@ def oracle_sql() -> dict[str, str]:
         JOIN mapping mo ON raw.object = mo.vertex_id
         WHERE ms.super_id <> mo.super_id
         GROUP BY ms.super_id, mo.super_id
+    """
+    # related_hosts: outlink-profile coupling over the pure-Python link
+    # list — distinct (host, target-host) pairs, frequent-target cap 200,
+    # canonical-pair rollup, same jaccard arithmetic as mirror_detect.
+    o["related_hosts"] = f"""
+        WITH he AS (
+          SELECT DISTINCT regexp_extract(src_url, {_dom}, 1) AS host,
+                 regexp_extract(dst_url, {_dom}, 1) AS t
+          FROM read_parquet(
+            '/root/repo/tests/data/webtext_links_n2000_seed42.parquet')
+          WHERE regexp_extract(src_url, {_dom}, 1)
+                <> regexp_extract(dst_url, {_dom}, 1)
+        ), ok AS (
+          SELECT t FROM he GROUP BY t HAVING COUNT(*) <= 200
+        ), hf AS (
+          SELECT he.host, he.t FROM he JOIN ok USING (t)
+        ), sizes AS (
+          SELECT host, COUNT(*) AS sz FROM hf GROUP BY host
+        ), pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM hf a JOIN hf b ON a.t = b.t AND a.host < b.host
+          GROUP BY a.host, b.host HAVING COUNT(*) >= 2
+        )
+        SELECT host_a, host_b, shared,
+               CAST(sa.sz AS BIGINT) AS size_a,
+               CAST(sb.sz AS BIGINT) AS size_b,
+               ROUND(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON pairs.host_a = sa.host
+        JOIN sizes sb ON pairs.host_b = sb.host
+    """
+    # daily_retention: integer epoch-day arithmetic, left-semi replay.
+    o["daily_retention"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), act AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS actives
+          FROM ud GROUP BY day
+        ), ret AS (
+          SELECT a.day, CAST(COUNT(*) AS BIGINT) AS retained
+          FROM ud a JOIN ud b
+            ON a.user_id = b.user_id AND b.day = a.day - 1
+          GROUP BY a.day
+        )
+        SELECT act.day, act.actives,
+               COALESCE(ret.retained, 0) AS retained,
+               ROUND(COALESCE(ret.retained, 0)
+                     / CAST(act.actives AS DOUBLE), 6) AS retention_rate
+        FROM act LEFT JOIN ret ON act.day = ret.day
     """
     # degree_pct: SQL-standard PERCENT_RANK, (degree, vertex_id) order.
     o["degree_pct"] = f"""

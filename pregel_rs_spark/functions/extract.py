@@ -608,3 +608,67 @@ def merge_snapshots(*snaps: DataFrame) -> DataFrame:
         F.col("__w.ts").alias("warc_ts"),
         F.col("__w.content_md5").alias("content_md5"),
     )
+
+
+def related_hosts(
+    pages: DataFrame,
+    min_shared: int = 2,
+    max_hosts_per_target: int | None = 200,
+) -> DataFrame:
+    """Related-site suggestion by outlink-profile similarity — host pairs
+    whose sets of DISTINCT outlink target hosts overlap (bibliographic
+    coupling at host granularity, Kessler 1963; the link-graph analogue of
+    :func:`mirror_hosts`' content-set overlap).  "Sites that link to the
+    same places are about the same things" — the classic related-pages
+    signal.
+
+    Shape: pages → :func:`domain_edges` (host-level distinct link pairs)
+    → self equi-join ON the shared TARGET host → canonical pair rollup.
+    ``max_hosts_per_target`` is the frequent-key guard: a host everyone
+    links to (a CDN, a social widget) contributes O(d²) pairs and zero
+    signal — targets with more than the cap of distinct linkers are
+    dropped before the join (the ``max_df``/``max_bucket`` idiom).
+    Returns (host_a, host_b, shared, size_a, size_b, jaccard round 6)
+    filtered to ``shared >= min_shared``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    he = domain_edges(pages).select(
+        F.col("src_domain").alias("host"), F.col("dst_domain").alias("__t")
+    ).distinct()
+    if max_hosts_per_target is not None:
+        ok = (
+            he.groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_hosts_per_target)
+            .select("__t")
+        )
+        he = he.join(ok, "__t")
+    sizes = he.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
+    a = he.select(F.col("host").alias("host_a"), "__t")
+    b = he.select(F.col("host").alias("host_b"), "__t")
+    pairs = (
+        a.join(b, "__t")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("size_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("size_b")),
+            "host_b",
+        )
+        .select(
+            "host_a", "host_b", "shared", "size_a", "size_b",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

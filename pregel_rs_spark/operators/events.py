@@ -106,3 +106,46 @@ def session_bounds(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .drop("session_seq")
     )
+
+
+def daily_retention(events: DataFrame) -> DataFrame:
+    """Day-over-day user retention — the product-analytics rollup every
+    event pipeline ships: per UTC day, the count of active users, the
+    count also active the PREVIOUS day, and the retention rate.
+
+    Distinct (user, day) first (one hash agg — the dedup bound is
+    users×days, not events), then a self equi-join on (user, day−1) —
+    integer day arithmetic (epoch days via floor(epoch_us / 86400e6)) so
+    the oracle replays it exactly with no timestamp-zone hazards.  Days
+    with no previous-day actives report retained = 0, rate = 0 (the
+    first day of a dataset is honestly 0, not NULL).  Returns
+    (day, actives, retained, retention_rate round 6) — ``day`` as epoch
+    days BIGINT.
+    """
+    ud = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86400000000)
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    prev = ud.select("user_id", (F.col("day") + 1).alias("day"))
+    ret = ud.join(prev, ["user_id", "day"], "left_semi").groupBy("day").agg(
+        F.count(F.lit(1)).alias("retained")
+    )
+    act = ud.groupBy("day").agg(F.count(F.lit(1)).alias("actives"))
+    return (
+        act.join(ret, "day", "left")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("actives").cast("long").alias("actives"),
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+            F.round(
+                F.coalesce("retained", F.lit(0)) / F.col("actives"), 6
+            ).alias("retention_rate"),
+        )
+    )

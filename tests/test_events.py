@@ -62,3 +62,29 @@ def test_hourly_type_counts(spark):
 def test_props_extract(spark):
     got = {r.event_id: r.k for r in extract_props_key(_fixture(spark)).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: None}
+
+
+def test_daily_retention_exact(spark):
+    """daily_retention: retained(d) counts users active on d and d-1;
+    first day is honestly 0; NULL user/ts drop."""
+    from datetime import datetime
+
+    from pregel_rs_spark.operators.events import daily_retention
+
+    def e(i, u, day, hour=3):
+        return (i, datetime(2024, 1, day, hour), u, "t", 1.0, None)
+
+    events = spark.createDataFrame(
+        [e(1, 10, 1), e(2, 11, 1), e(3, 10, 2), e(4, 12, 2),
+         e(5, 10, 3), e(6, 12, 3), e(7, 11, 3),
+         (8, None, 10, "t", 1.0, None),
+         (9, datetime(2024, 1, 3, 4), None, "t", 1.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day - 19723: (r.actives, r.retained, r.retention_rate)
+           for r in daily_retention(events).collect()}
+    # 2024-01-01 is epoch day 19723
+    assert out[0] == (2, 0, 0.0)          # day 1: users 10,11
+    assert out[1] == (2, 1, 0.5)          # day 2: 10,12; retained {10}
+    assert out[2] == (3, 2, round(2/3, 6))  # day 3: 10,12,11; retained {10,12}

@@ -525,3 +525,45 @@ def test_latest_snapshot_compaction(spark):
         hashlib.md5(b"a").hexdigest(), hashlib.md5(b"b").hexdigest()
     )
     assert out["u2"].content_md5 == tie
+
+
+def test_related_hosts_coupling(spark):
+    """related_hosts: outlink-target set overlap with a frequent-target
+    guard; exact on a toy web."""
+    from pregel_rs_spark.functions.extract import related_hosts
+
+    def page(host, i, targets):
+        html = "".join(
+            f'<a href="https://{t}/p0">x</a>' for t in targets
+        ).encode()
+        from datetime import datetime, timezone
+
+        return (
+            f"https://{host}/p{i}",
+            datetime(2024, 1, 1, tzinfo=timezone.utc),
+            bytearray(html),
+            "",
+            "en",
+        )
+
+    rows = [
+        page("a.com", 0, ["x.com", "y.com", "cdn.com"]),
+        page("b.com", 0, ["x.com", "y.com", "cdn.com"]),
+        page("c.com", 0, ["z.com", "cdn.com"]),
+        # targets must exist: the link graph is closed-world
+        page("x.com", 0, []), page("y.com", 0, []),
+        page("z.com", 0, []), page("cdn.com", 0, []),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {
+        (r.host_a, r.host_b): r
+        for r in related_hosts(pages, min_shared=2,
+                               max_hosts_per_target=2).collect()
+    }
+    # cdn.com is linked by all 3 hosts -> dropped by the cap; a/b share x,y
+    assert set(out) == {("a.com", "b.com")}
+    r = out[("a.com", "b.com")]
+    assert r.shared == 2 and r.size_a == 2 and r.size_b == 2
+    assert r.jaccard == 1.0

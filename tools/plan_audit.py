@@ -266,6 +266,16 @@ EXPECT: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # related hosts: target-keyed self equi-join after the frequent-target
+    # cap — never all-pairs across hosts
+    "related_hosts": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # retention: one (user, day) dedup + a semi-join on (user, day-1)
+    "daily_retention": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
