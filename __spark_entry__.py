@@ -152,15 +152,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- GraphFrame operators (SURVEY §2.1 rows 2-4) --
     def out_degrees(spark, sf):
+        """Reference operator 3: out-degree per vertex (zero-out-degree
+        vertices absent — quirk pinned) on the lineitem link graph."""
         return GraphFrame.from_edges(_edges_li(spark, sf)).out_degrees()
 
     def in_degrees(spark, sf):
+        """Reference operator 4: in-degree per vertex (reference's
+        unrenamed-key quirk pinned) on the lineitem link graph."""
         return GraphFrame.from_edges(_edges_li(spark, sf)).in_degrees()
 
     def from_edges_vertices(spark, sf):
+        """Reference operator 2: vertex set derived from the edge table
+        (subject ∪ object, distinct)."""
         return GraphFrame.from_edges(_edges_li(spark, sf)).vertices
 
     def degrees_full(spark, sf):
+        """Full degree table (out + in, zero-degree vertices PRESENT) —
+        the *_full variants joined on vertex_id."""
         g = GraphFrame.from_edges(_edges_li(spark, sf))
         return g.out_degrees_full().join(
             g.in_degrees_full().select("vertex_id", "in_degree"), "vertex_id"
@@ -168,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- triplet dataflow (SURVEY §2.1 rows 7-10) --
     def two_hop_paths(spark, sf):
+        """Triplet-join primitive: 2-hop path counts per start vertex —
+        the same equi-join shape Pregel's triplet build uses (operator 7)."""
         e = _edges_li(spark, sf)
         e1 = e.select(F.col("subject").alias("v"), F.col("object").alias("m"))
         e2 = e.select(F.col("subject").alias("m"), F.col("object").alias("w"))
@@ -202,11 +212,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- algorithms --
     def pagerank_k3(spark, sf):
+        """PageRank (damping 0.85, dangling-mass redistribution) bounded to
+        3 supersteps so the DuckDB oracle can unroll it exactly; the
+        to-convergence path is pytest- (vs NumPy power iteration) and
+        bench-verified."""
         g = GraphFrame.from_edges(_edges_li(spark, sf))
         res = pagerank(g, tol=0.0, max_iterations=3)
         return res.select("vertex_id", F.round("rank", 6).alias("rank"))
 
     def connected_components_q(spark, sf):
+        """Min-label-propagation connected components (the
+        reference-faithful Pregel path; cc_star is the O(log n) twin)."""
         res = connected_components(GraphFrame.from_edges(_edges_ng(spark, sf)))
         return res.select("vertex_id", "component")
 
@@ -219,6 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("vertex_id", "component")
 
     def triangle_count_q(spark, sf):
+        """Per-vertex triangle counts via degree-ordered compact-forward
+        orientation — the O(m^1.5), hub-skew-safe plan."""
         res = triangle_count(GraphFrame.from_edges(_edges_sg(spark, sf)))
         return res.select("vertex_id", "triangles")
 
@@ -369,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def lpa_1round(spark, sf):
+        """One label-propagation round with the deterministic
+        (count DESC, label ASC) tie-break — exactly SQL-replayable."""
         res = label_propagation(
             GraphFrame.from_edges(_edges_sg(spark, sf)), max_iterations=1
         )
@@ -416,22 +436,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- dedup --
     def dedup_exact_q(spark, sf):
+        """Exact content dedup: md5 hash groups, min-doc_id survivor —
+        one 32-byte-key shuffle at any scale."""
         return dedup_exact(load_table(spark, sf, "documents"))
 
     def minhash_q(spark, sf):
+        """MinHash signatures (4 portable integer hashes over 5-char
+        shingles) — the LSH building block, integer-exact in SQL."""
         docs = load_table(spark, sf, "documents")
         return minhash_signatures(char_shingles(docs, k=5), num_hashes=4)
 
     def lsh_pairs_q(spark, sf):
+        """Banded-LSH candidate pairs (2 bands, hot buckets capped at 50)
+        — the bucketed, never-all-pairs near-dup path."""
         return lsh_candidate_pairs(
             load_table(spark, sf, "documents"), k=5, num_hashes=4, bands=2,
             max_bucket=50,
         )
 
     def ngram_jaccard_q(spark, sf):
-        # max_df exercises the frequent-shingle guard (df-based prefix
-        # filtering + exact re-rank); the oracle stays the UNGUARDED exact
-        # SQL, so the row also verifies the guard preserves exactness here
+        """Exact 5-gram Jaccard pairs (≥ 0.4) with the max_df
+        frequent-shingle guard (df prefix filtering); the oracle stays the
+        UNGUARDED exact SQL, so this row also proves the guard preserves
+        exactness on this corpus."""
         return ngram_jaccard_pairs(
             load_table(spark, sf, "documents"), k=5, threshold=0.4, max_df=50
         )
@@ -446,9 +473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def simhash_q(spark, sf):
+        """16-bit portable SimHash fingerprints (hyperplane-sign sketch,
+        Charikar STOC'02) per document."""
         return simhash(load_table(spark, sf, "documents"))
 
     def embedding_dups_q(spark, sf):
+        """Embedding cosine near-duplicate pairs (blocked by vector-norm
+        band, per-block row cap — no all-pairs work)."""
         return embedding_cosine_dups(
             load_table(spark, sf, "embeddings"), threshold=0.3
         )
@@ -564,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- similarity search --
     def ann_topk_q(spark, sf):
+        """Brute-force cosine top-5 in pure Catalyst (zip_with dot
+        products) — the exactness baseline every ANN path is checked
+        against."""
         emb = load_table(spark, sf, "embeddings")
         return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -612,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- text analysis --
     def token_counts_q(spark, sf):
+        """Whitespace + BPE-ish regex token counts per document — pure
+        codegen regexp, no Python in the hot path."""
         t = token_counts(load_table(spark, sf, "documents"))
         return t.select(
             "doc_id",
@@ -620,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def quality_q(spark, sf):
+        """Heuristic quality scoring: alpha/punct/stopword ratios, mean
+        word length, composite score — map-only."""
         r = quality_scores(load_table(spark, sf, "documents"))
         return r.select(
             "doc_id",
@@ -632,17 +670,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def langid_q(spark, sf):
+        """Stopword-marker language ID (n-gram heuristic) with confidence
+        — the fasttext-shaped interface, Catalyst-only."""
         return language_id(load_table(spark, sf, "documents"))
 
     def fingerprint_q(spark, sf):
+        """64-bit rolling-hash document fingerprints — portable arithmetic,
+        replayable in any engine."""
         return fingerprints(load_table(spark, sf, "documents"))
 
     # -- event analytics (window functions, time rollups, JSON) --
     def sessionize_q(spark, sf):
+        """30-minute-gap sessionization (lag + cumulative-sum window,
+        integer-µs time math — no float timestamps)."""
         s = sessionize(load_table(spark, sf, "events"), gap_minutes=30)
         return s.select("event_id", "user_id", "session_seq")
 
     def session_stats_q(spark, sf):
+        """Per-session rollup (event count, duration, value) over the same
+        window sessionization."""
         r = session_stats(load_table(spark, sf, "events"), gap_minutes=30)
         return r.select(
             "user_id", "session_seq",
@@ -652,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def hourly_counts_q(spark, sf):
+        """Hourly event-type counts (timestamp-truncation rollup — the
+        map-side-combinable observability agg)."""
         r = hourly_type_counts(load_table(spark, sf, "events"))
         return r.select(
             "hour_ts", "event_type",
@@ -659,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def props_extract_q(spark, sf):
+        """JSON property extraction (get_json_object) from the events
+        props column — schema-on-read, map-only."""
         return extract_props_key(load_table(spark, sf, "events"), "k")
 
     # -- webtext pipeline (synth pages → link extraction → edge table).
@@ -668,6 +718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    F.xxhash64 — tools/gen_webtext_oracle.py) into a parquet the DuckDB
     #    side reads; byte-identity of the extractors is pytest-verified too.
     def webtext_edges_q(spark, sf):
+        """Synth Common-Crawl-style pages → pandas-UDF link extraction →
+        distinct page-level edge table (the north-rule input path); oracle
+        reads the pre-materialized pure-Python edge list (bit-identical
+        extractors, pytest-pinned)."""
         from pregel_rs_spark.functions.extract import pages_to_edges
         from pregel_rs_spark.sources.synth import synth_pages
 
@@ -757,6 +811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- multimodal plumbing (real pandas-UDF decode path) --
     def multimodal_q(spark, sf):
+        """Opaque-binary media decode plumbing (mapInPandas Arrow batches,
+        typed metadata out); real codecs absent from the container are
+        stubbed behind register_decoder — the schema/batch shape is what
+        this row verifies."""
         media = documents_to_media(load_table(spark, sf, "documents"))
         d = decode_media(media)
         return d.select(
