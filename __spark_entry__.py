@@ -1338,6 +1338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return landmark_distances(g, [1, 2, 3], max_hops=2)
 
+    def betweenness_k2_q(spark, sf):
+        """Hop-bounded Brandes betweenness (sources 1,2,3, paths ≤ 2 hops)
+        on the supplier graph — scaled-integer dependency accumulation, so
+        the DuckDB oracle replays the exact int64 floor arithmetic."""
+        from pregel_rs_spark.algorithms import betweenness
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        return betweenness(g, [1, 2, 3], max_hops=2)
+
     def gnn_pool_q(spark, sf):
         """GraphSAGE-style neighbor mean/max pooling over the embedding
         table, on a deterministic 2-out-regular graph derived from vec_id
@@ -1647,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        betweenness_k2=betweenness_k2_q,
         pack_seqs=pack_seqs_q,
         ppl_buckets=ppl_buckets_q,
         landmark_dists=landmark_dists_q,
@@ -3845,6 +3855,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(3) OVER (PARTITION BY d.lang
                     ORDER BY s.ppl, s.doc_id) AS INT) AS ppl_bucket
         FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """
+    # betweenness_k2: the full scaled-int Brandes pipeline unrolled for
+    # 2 hops — level-synchronous path counts (anti-joined against settled),
+    # one backward floor-division accumulation, integer sums throughout.
+    o["betweenness_k2"] = f"""
+        WITH e AS (SELECT subject, object FROM {_SG_SQL}),
+        l0 AS (SELECT CAST(s AS BIGINT) AS vertex_id, CAST(s AS BIGINT) AS src,
+                      CAST(1 AS BIGINT) AS sigma
+               FROM (VALUES (1), (2), (3)) t(s)),
+        l1 AS (SELECT e.object AS vertex_id, l0.src AS src,
+                      CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+               FROM l0 JOIN e ON l0.vertex_id = e.subject
+               WHERE e.object <> l0.src
+               GROUP BY e.object, l0.src),
+        l2 AS (SELECT e.object AS vertex_id, l1.src AS src,
+                      CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+               FROM l1 JOIN e ON l1.vertex_id = e.subject
+               WHERE e.object <> l1.src
+                 AND NOT EXISTS (SELECT 1 FROM l1 p
+                                 WHERE p.vertex_id = e.object AND p.src = l1.src)
+               GROUP BY e.object, l1.src),
+        d1 AS (SELECT l1.vertex_id, l1.src,
+                      CAST(SUM((l1.sigma * (1000000 + 0)) // l2.sigma) AS BIGINT)
+                        AS delta
+               FROM l1 JOIN e ON l1.vertex_id = e.subject
+                    JOIN l2 ON l2.vertex_id = e.object AND l2.src = l1.src
+               GROUP BY l1.vertex_id, l1.src),
+        u AS (SELECT l1.vertex_id, COALESCE(d1.delta, 0) AS delta
+              FROM l1 LEFT JOIN d1
+                   ON d1.vertex_id = l1.vertex_id AND d1.src = l1.src
+              UNION ALL
+              SELECT vertex_id, CAST(0 AS BIGINT) FROM l2)
+        SELECT vertex_id, CAST(SUM(delta) AS BIGINT) AS bc_scaled,
+               ROUND(CAST(SUM(delta) AS DOUBLE) / 1000000, 6) AS bc
+        FROM u GROUP BY vertex_id
     """
     # landmark_dists: recursive closure capped at 2 hops, MIN per
     # (vertex, landmark) — BFS first-visit distance.

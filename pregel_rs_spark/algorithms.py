@@ -3200,3 +3200,144 @@ def degree_percentiles(graph: GraphFrame, direction: str = "out") -> DataFrame:
         "degree",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+def betweenness(
+    graph: GraphFrame,
+    sources: list[int],
+    max_hops: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hop-bounded Brandes betweenness centrality from an explicit source
+    set (public technique: Brandes JMS'01 dependency accumulation;
+    source-sampled betweenness per Brandes-Pich'07 / Riondato-Kornaropoulos
+    WSDM'14).  The web-graph use: rank pages by how much shortest-path
+    traffic they broker between hub seeds — the navigational-centrality
+    complement to PageRank's endorsement centrality.
+
+    Semantics: directed, unit hop metric, shortest paths of length
+    ``<= max_hops`` only, sources = the sampled pivot set (exact Brandes
+    = all vertices as sources; at 10^12 vertices you sample pivots, which
+    is the standard estimator).  Endpoints get no credit (Brandes'
+    convention): ``bc(v) = sum over (s, w) pairs of sigma_sv/sigma_sw *
+    (1 + delta_w)`` restricted to shortest paths through ``v``.
+
+    Engine-portability: the fractional dependency ``delta`` is carried as
+    a SCALED INTEGER — per backward level each term is
+    ``(sigma_v * (scale + delta_w)) div sigma_w`` in int64, so every
+    aggregation is an integer sum (order-independent, bit-identical in
+    any engine) and the DuckDB oracle replays the whole pipeline exactly.
+    The floor per term under-counts by < 1/scale per (v, w) pair —
+    documented estimator bias, not engine noise.  An overflow guard
+    raises if ``max(sigma) * (scale + max(delta))`` could exceed int64 at
+    any level (sigma grows with path multiplicity; bounded hops + sampled
+    sources keep it small in practice).
+
+    Scale shape: forward phase is level-synchronous BFS with path
+    counting on the composite key ``(vertex, src)`` — per hop one
+    frontier×edges equi-join, one integer-sum groupBy, one anti-join
+    against settled pairs (each pair shuffled O(1) times across the run);
+    backward phase mirrors it level by level.  State is O(reached pairs)
+    <= |V|·|sources|; plans are truncated per level (O(1) lineage).  No
+    reference counterpart (extension — the reference ships no centrality
+    beyond its PageRank example config).
+
+    Returns ``(vertex_id, bc_scaled, bc)`` for every vertex reached at
+    depth >= 1 from any source: ``bc_scaled`` the exact int64 scaled
+    dependency sum, ``bc = round(bc_scaled / scale, 6)``.
+    """
+    if not sources:
+        raise ValueError("sources must name >= 1 vertex id")
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    spark = graph.edges.sparkSession
+    edges = truncate_plan(graph.edges.select(SUBJECT, OBJECT).distinct())
+    lvl0 = truncate_plan(
+        spark.createDataFrame(
+            [(int(s), int(s), 1) for s in sorted(set(sources))],
+            schema=f"{VERTEX_ID} long, src long, sigma long",
+        )
+    )
+    levels = [lvl0]
+    settled = lvl0.select(VERTEX_ID, "src")
+    # -- forward: level-synchronous BFS with integer path counting --
+    for _hop in range(1, max_hops + 1):
+        prev = levels[-1]
+        msgs = prev.join(edges, prev[VERTEX_ID] == edges[SUBJECT]).select(
+            F.col(OBJECT).alias(VERTEX_ID),
+            prev["src"].alias("src"),
+            prev["sigma"].alias("sigma"),
+        )
+        nxt = (
+            msgs.groupBy(VERTEX_ID, "src")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, [VERTEX_ID, "src"], "left_anti")
+        )
+        nxt = truncate_plan(nxt)
+        if nxt.isEmpty():
+            _free_checkpoint(nxt)
+            break
+        levels.append(nxt)
+        new_settled = truncate_plan(settled.unionByName(nxt.select(VERTEX_ID, "src")))
+        _free_checkpoint(settled)
+        settled = new_settled
+    # -- backward: scaled-integer dependency accumulation, deepest first --
+    deepest = len(levels) - 1
+    zero = F.lit(0).cast("long").alias("delta")
+    deltas = {deepest: levels[deepest].select(VERTEX_ID, "src", zero)}
+    for d in range(deepest - 1, 0, -1):
+        below = (
+            levels[d + 1]
+            .join(deltas[d + 1], [VERTEX_ID, "src"])
+            .select(
+                F.col(VERTEX_ID).alias("w_id"),
+                F.col("src").alias("w_src"),
+                F.col("sigma").alias("w_sigma"),
+                F.col("delta").alias("w_delta"),
+            )
+        )
+        # overflow guard: the per-term product must fit int64
+        guard = levels[d].agg(F.max("sigma")).first()[0] or 0
+        dmax = below.agg(F.max("w_delta")).first()[0] or 0
+        if guard * (scale + dmax) >= 2**63:
+            raise OverflowError(
+                f"betweenness scaled-int overflow risk at level {d}: "
+                f"max sigma {guard} * (scale + max delta {dmax}) >= 2^63; "
+                "lower scale, hops, or the source sample"
+            )
+        cur = levels[d]
+        contrib = (
+            cur.join(edges, cur[VERTEX_ID] == edges[SUBJECT])
+            .join(
+                below,
+                (F.col(OBJECT) == F.col("w_id")) & (cur["src"] == F.col("w_src")),
+            )
+            .select(
+                cur[VERTEX_ID].alias(VERTEX_ID),
+                cur["src"].alias("src"),
+                F.expr(f"(sigma * ({scale} + w_delta)) div w_sigma").alias("term"),
+            )
+            .groupBy(VERTEX_ID, "src")
+            .agg(F.sum("term").alias("delta"))
+        )
+        delta_d = (
+            levels[d]
+            .select(VERTEX_ID, "src")
+            .join(contrib, [VERTEX_ID, "src"], "left")
+            .fillna({"delta": 0})
+        )
+        deltas[d] = truncate_plan(delta_d)
+    # -- fold: per-vertex sum over sources and levels --
+    if deepest == 0:
+        return spark.createDataFrame(
+            [], schema=f"{VERTEX_ID} long, bc_scaled long, bc double"
+        )
+    acc = deltas[1]
+    for d in range(2, deepest + 1):
+        acc = acc.unionByName(deltas[d])
+    return acc.groupBy(VERTEX_ID).agg(
+        F.sum("delta").alias("bc_scaled"),
+        F.round(F.sum("delta") / F.lit(float(scale)), 6).alias("bc"),
+    )

@@ -1645,3 +1645,102 @@ def test_degree_percentiles_exact(spark):
     assert out[3].pct_rank == 1.0
     ind = {r.vertex_id: r.degree for r in degree_percentiles(g, "in").collect()}
     assert ind == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def _bc_py(edges, sources, max_hops, scale=1_000_000):
+    """Pure-Python replay of the scaled-int hop-bounded Brandes pipeline
+    (independent of Spark — dict BFS + the identical floor arithmetic)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, o in edges:
+        adj[s].add(o)
+    bc = defaultdict(int)
+    for src in sorted(set(sources)):
+        sigma = {src: 1}
+        levels = [[src]]
+        settled = {src}
+        for _ in range(max_hops):
+            nxt = defaultdict(int)
+            for v in levels[-1]:
+                for w in adj[v]:
+                    if w not in settled:
+                        nxt[w] += sigma[v]
+            if not nxt:
+                break
+            levels.append(sorted(nxt))
+            for w, sg in nxt.items():
+                sigma[w] = sg
+                settled.add(w)
+        delta = {v: 0 for v in levels[-1]}
+        for d in range(len(levels) - 2, 0, -1):
+            cur = {}
+            for v in levels[d]:
+                t = 0
+                for w in adj[v]:
+                    if w in delta:
+                        t += (sigma[v] * (scale + delta[w])) // sigma[w]
+                cur[v] = t
+            for v in levels[d]:
+                bc[v] += cur[v]
+            delta = cur
+        for v in levels[-1]:
+            bc[v] += 0
+        # every reached vertex appears (possibly with 0)
+        for lv in levels[1:]:
+            for v in lv:
+                bc[v] += 0
+    return dict(bc)
+
+
+def test_betweenness_diamond_exact(spark):
+    """Hand-computed Brandes on the diamond 1→{2,3}→4→5 from source 1:
+    each of 2, 3 brokers half of the two s→5 three-hop paths plus half a
+    two-hop path to 4; vertex 4 brokers both paths to 5."""
+    from pregel_rs_spark.algorithms import betweenness
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "subject long, object long"
+    )
+    g = GraphFrame.from_edges(edges)
+    out = {r.vertex_id: (r.bc_scaled, r.bc) for r in betweenness(g, [1], 3).collect()}
+    assert out == {
+        2: (1_000_000, 1.0),
+        3: (1_000_000, 1.0),
+        4: (1_000_000, 1.0),
+        5: (0, 0.0),
+    }
+
+
+def test_betweenness_matches_python_replay(spark):
+    """Multi-source, 3-hop run on a 40-vertex deterministic graph matches
+    the independent pure-Python scaled-int Brandes replay row for row."""
+    from pregel_rs_spark.algorithms import betweenness
+
+    edges = [(v, (v * 7 + 3) % 40) for v in range(40)] + [
+        (v, (v * 13 + 1) % 40) for v in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame.from_edges(df)
+    got = {
+        r.vertex_id: r.bc_scaled for r in betweenness(g, [0, 5, 11], 3).collect()
+    }
+    want = _bc_py(set(edges), [0, 5, 11], 3)
+    assert got == want
+    # bc is exactly the scaled value over 1e6, rounded
+    for r in betweenness(g, [0, 5, 11], 3).collect():
+        assert r.bc == round(r.bc_scaled / 1e6, 6)
+
+
+def test_betweenness_validation(spark):
+    from pregel_rs_spark.algorithms import betweenness
+
+    e = spark.createDataFrame([(1, 2)], "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    with pytest.raises(ValueError):
+        betweenness(g, [], 2)
+    with pytest.raises(ValueError):
+        betweenness(g, [1], 0)
+    with pytest.raises(ValueError):
+        betweenness(g, [1], 2, scale=0)
