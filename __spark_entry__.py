@@ -1338,6 +1338,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return landmark_distances(g, [1, 2, 3], max_hops=2)
 
+    def msf_r2_q(spark, sf):
+        """Borůvka minimum spanning forest bounded to 2 rounds on the
+        supplier graph (the matching_r2/mis_r2 bounded-prefix convention:
+        the oracle unrolls both rounds — struct-min picks, 2-cycle break,
+        recursive-CTE root resolution — exactly); full-run MSF ≡ Kruskal
+        is pytest-pinned."""
+        from pregel_rs_spark.algorithms import minimum_spanning_forest
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        return minimum_spanning_forest(g, max_rounds=2, strict=False)
+
     def betweenness_k2_q(spark, sf):
         """Hop-bounded Brandes betweenness (sources 1,2,3, paths ≤ 2 hops)
         on the supplier graph — scaled-integer dependency accumulation, so
@@ -1656,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        msf_r2=msf_r2_q,
         betweenness_k2=betweenness_k2_q,
         pack_seqs=pack_seqs_q,
         ppl_buckets=ppl_buckets_q,
@@ -3855,6 +3867,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(3) OVER (PARTITION BY d.lang
                     ORDER BY s.ppl, s.doc_id) AS INT) AS ppl_bucket
         FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """
+    # msf_r2: two Borůvka rounds unrolled — per-component struct-min edge
+    # pick (ROW_NUMBER over the shared (w, a, b) total order), mutual-pick
+    # 2-cycle break toward the smaller label, recursive-CTE root
+    # resolution standing in for the engine's pointer doubling (same
+    # fixpoint), then the round-2 pick over contracted components.
+    o["msf_r2"] = f"""
+        WITH RECURSIVE ew AS (
+            SELECT LEAST(subject, object) AS a, GREATEST(subject, object) AS b,
+                   CAST(1 + (LEAST(subject, object) + GREATEST(subject, object))
+                        % 5 AS BIGINT) AS w
+            FROM {_SG_SQL}
+            WHERE subject <> object
+            GROUP BY 1, 2, 3),
+        c1 AS (SELECT a AS c, w, a, b, b AS oc FROM ew
+               UNION ALL
+               SELECT b, w, a, b, a FROM ew),
+        p1 AS (SELECT c, w, a, b, oc FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b)
+                        AS rn FROM c1) t
+               WHERE rn = 1),
+        ch1 AS (SELECT DISTINCT w, a, b FROM p1),
+        pb1 AS (SELECT p1.c,
+                       CASE WHEN p1.c < p1.oc
+                                 AND EXISTS (SELECT 1 FROM p1 q
+                                             WHERE q.c = p1.oc AND q.oc = p1.c)
+                            THEN p1.c ELSE p1.oc END AS p
+                FROM p1),
+        rr(c, p) AS (SELECT c, p FROM pb1
+                     UNION
+                     SELECT rr.c, pb1.p FROM rr JOIN pb1 ON rr.p = pb1.c
+                     WHERE rr.p <> pb1.p),
+        r1 AS (SELECT c, p FROM rr
+               WHERE EXISTS (SELECT 1 FROM pb1 z WHERE z.c = rr.p AND z.p = rr.p)),
+        vs AS (SELECT a AS v FROM ew UNION SELECT b FROM ew),
+        cmp1 AS (SELECT vs.v, COALESCE(r1.p, vs.v) AS comp
+                 FROM vs LEFT JOIN r1 ON r1.c = vs.v),
+        l2 AS (SELECT ew.a, ew.b, ew.w, ca.comp AS ca, cb.comp AS cb
+               FROM ew JOIN cmp1 ca ON ca.v = ew.a
+                       JOIN cmp1 cb ON cb.v = ew.b
+               WHERE ca.comp <> cb.comp),
+        c2 AS (SELECT ca AS c, w, a, b, cb AS oc FROM l2
+               UNION ALL
+               SELECT cb, w, a, b, ca FROM l2),
+        p2 AS (SELECT c, w, a, b, oc FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b)
+                        AS rn FROM c2) t
+               WHERE rn = 1),
+        ch2 AS (SELECT DISTINCT w, a, b FROM p2)
+        SELECT a AS vertex_a, b AS vertex_b, CAST(w AS BIGINT) AS weight
+        FROM (SELECT * FROM ch1 UNION SELECT * FROM ch2) u
     """
     # betweenness_k2: the full scaled-int Brandes pipeline unrolled for
     # 2 hops — level-synchronous path counts (anti-joined against settled),

@@ -3341,3 +3341,158 @@ def betweenness(
         F.sum("delta").alias("bc_scaled"),
         F.round(F.sum("delta") / F.lit(float(scale)), 6).alias("bc"),
     )
+
+
+def minimum_spanning_forest(
+    graph: GraphFrame,
+    max_rounds: int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Minimum spanning forest via Borůvka's algorithm — the canonical
+    O(log n)-round distributed MSF (public technique: Borůvka 1926;
+    the parallel formulation is standard in Pregel/MapReduce texts, e.g.
+    Malewicz et al. SIGMOD'10 §1 cites it as a motivating workload).
+    Web-pipeline uses: cheapest backbone of a host-similarity graph,
+    single-linkage clustering of near-dup components (MSF = the
+    single-linkage dendrogram), redundancy pruning of crawl topologies.
+
+    Weights: if the edge table has a ``weight`` column the undirected
+    simple view takes MIN(weight) per (a, b) pair; otherwise the
+    deterministic ``1 + (a + b) % 5`` (the :func:`sssp_weighted`
+    convention).  Ties are broken by the composite total order
+    ``(weight, a, b)`` — collision-free, so the MSF is UNIQUE and equals
+    Kruskal's result under the same order (exact oracle, no
+    tie-ambiguity).
+
+    Per Borůvka round: every component picks its minimum incident
+    cross-component edge (one union + one struct-min hash agg — the
+    :func:`maximal_matching` idiom lifted to components), mutual picks'
+    2-cycles are broken toward the smaller label, and the resulting
+    parent forest is contracted by pointer doubling (O(log depth) tiny
+    self-joins).  Every component with a live edge merges, so component
+    count at least halves per round — O(log n) rounds total.  The live
+    edge set only shrinks (intra-component edges are dropped each round),
+    bounding every shuffle by the surviving frontier; a mega-hub costs
+    one agg row per component, never its adjacency in one task.
+
+    No reference counterpart (extension).  Returns the forest edges
+    ``(vertex_a, vertex_b, weight)`` with ``vertex_a < vertex_b``.
+    ``max_rounds`` defaults to 50 with a loud error on non-convergence
+    when ``strict`` (the :func:`maximal_independent_set` convention);
+    ``strict=False`` returns the bounded-prefix forest (the oracle mode:
+    a fixed round budget is exactly SQL-unrollable).
+    """
+    if max_rounds is None:
+        max_rounds = 50
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    has_w = "weight" in graph.edges.columns
+    base = graph.edges.select(
+        F.least(SUBJECT, OBJECT).alias("a"),
+        F.greatest(SUBJECT, OBJECT).alias("b"),
+        *([F.col("weight").cast("long").alias("w")] if has_w else []),
+    ).filter(F.col("a") != F.col("b"))
+    if has_w:
+        und = base.groupBy("a", "b").agg(F.min("w").alias("w"))
+    else:
+        und = base.distinct().withColumn(
+            "w", F.lit(1) + (F.col("a") + F.col("b")) % F.lit(5)
+        )
+    und = truncate_plan(und)
+    spark = graph.edges.sparkSession
+    comp = truncate_plan(
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+    )
+    forest = spark.createDataFrame([], "vertex_a long, vertex_b long, weight long")
+    for rnd in range(max_rounds):
+        live = (
+            und.join(
+                comp.select(F.col("v").alias("a"), F.col("comp").alias("ca")), "a"
+            )
+            .join(
+                comp.select(F.col("v").alias("b"), F.col("comp").alias("cb")), "b"
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .select("a", "b", "w", "ca", "cb")
+        )
+        live = truncate_plan(live)
+        if live.isEmpty():
+            _free_checkpoint(live)
+            _free_checkpoint(und)
+            _free_checkpoint(comp)
+            return forest
+        est = F.struct("w", "a", "b", "oc")
+        cand = live.select(
+            F.col("ca").alias("c"), "w", "a", "b", F.col("cb").alias("oc")
+        ).unionByName(
+            live.select(
+                F.col("cb").alias("c"), "w", "a", "b", F.col("ca").alias("oc")
+            )
+        )
+        pick = cand.select("c", est.alias("e")).groupBy("c").agg(
+            F.min("e").alias("e")
+        )
+        parent0 = pick.select(
+            "c",
+            F.col("e.oc").alias("p"),
+            F.col("e.w").alias("w"),
+            F.col("e.a").alias("a"),
+            F.col("e.b").alias("b"),
+        )
+        chosen = parent0.select("w", "a", "b").distinct()
+        forest = truncate_plan(
+            forest.unionByName(
+                chosen.select(
+                    F.col("a").alias("vertex_a"),
+                    F.col("b").alias("vertex_b"),
+                    F.col("w").alias("weight"),
+                )
+            )
+        )
+        # break mutual-pick 2-cycles toward the smaller label (the merged
+        # tree's root), then contract by pointer doubling
+        mm = parent0.select("c", "p")
+        mutual = mm.intersect(
+            mm.select(F.col("p").alias("c"), F.col("c").alias("p"))
+        ).withColumn("m", F.lit(1))
+        par = truncate_plan(
+            mm.join(mutual, ["c", "p"], "left").select(
+                "c",
+                F.when(
+                    F.col("m").isNotNull() & (F.col("c") < F.col("p")), F.col("c")
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+        )
+        while True:
+            j = (
+                par.select("c", F.col("p").alias("mid"))
+                .join(par.select(F.col("c").alias("mid"), F.col("p").alias("p2")), "mid")
+                .select("c", F.col("mid").alias("p"), "p2")
+            )
+            if j.filter(F.col("p2") != F.col("p")).isEmpty():
+                break
+            nxt = truncate_plan(j.select("c", F.col("p2").alias("p")))
+            _free_checkpoint(par)
+            par = nxt
+        new_comp = truncate_plan(
+            comp.join(par.select(F.col("c").alias("comp"), "p"), "comp", "left")
+            .select("v", F.coalesce("p", "comp").alias("comp"))
+        )
+        _free_checkpoint(comp)
+        comp = new_comp
+        # intra-component edges never come back: shrink the live set
+        new_und = truncate_plan(live.select("a", "b", "w"))
+        _free_checkpoint(und)
+        und = new_und
+    if strict:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} rounds; "
+            "raise max_rounds (O(log n) expected) or pass strict=False for "
+            "the bounded-prefix forest"
+        )
+    return forest

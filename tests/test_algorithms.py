@@ -1744,3 +1744,103 @@ def test_betweenness_validation(spark):
         betweenness(g, [1], 0)
     with pytest.raises(ValueError):
         betweenness(g, [1], 2, scale=0)
+
+
+def _kruskal(edges, weight=None):
+    """Kruskal replay under the identical (w, a, b) total order."""
+    if weight is None:
+        und = sorted(
+            {(1 + (min(a, b) + max(a, b)) % 5, min(a, b), max(a, b)) for a, b in edges}
+        )
+    else:
+        best = {}
+        for a, b, w in edges:
+            k = (min(a, b), max(a, b))
+            best[k] = min(best.get(k, w), w)
+        und = sorted((w, a, b) for (a, b), w in best.items())
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_msf_matches_kruskal(spark):
+    """Borůvka forest equals Kruskal's under the shared (w, a, b) total
+    order — unique MSF, exact equality, on a 30-vertex two-ring graph."""
+    from pregel_rs_spark.algorithms import minimum_spanning_forest
+
+    edges = [(v, (v * 7 + 3) % 30) for v in range(30)] + [
+        (v, (v * 13 + 1) % 30) for v in range(30)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = sorted(
+        (r.vertex_a, r.vertex_b, r.weight)
+        for r in minimum_spanning_forest(g).collect()
+    )
+    assert got == _kruskal(edges)
+    # spanning forest size: |V| - #components (union-find replay)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verts = {v for e in edges for v in e}
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    ncomp = len({find(v) for v in verts})
+    assert len(got) == len(verts) - ncomp
+
+
+def test_msf_weight_column_and_disconnected(spark):
+    """Explicit weight column (MIN over parallel edges) + disconnected
+    input → one tree per component."""
+    from pregel_rs_spark.algorithms import minimum_spanning_forest
+
+    rows = [(1, 2, 9), (2, 1, 4), (2, 3, 1), (1, 3, 2), (10, 11, 7)]
+    df = spark.createDataFrame(rows, "subject long, object long, weight long")
+    g = GraphFrame.from_edges(df)
+    got = sorted(
+        (r.vertex_a, r.vertex_b, r.weight)
+        for r in minimum_spanning_forest(g).collect()
+    )
+    # parallel (1,2) collapses to weight 4; MSF picks (2,3,1),(1,3,2); 10-11 tree
+    assert got == [(1, 3, 2), (2, 3, 1), (10, 11, 7)]
+    assert got == _kruskal([(a, b, w) for a, b, w in rows], weight=True)
+
+
+def test_msf_bounded_prefix_and_strict(spark):
+    """max_rounds=1 with strict=False returns round-1 picks only (a valid
+    sub-forest); strict=True raises loudly when rounds remain."""
+    from pregel_rs_spark.algorithms import minimum_spanning_forest
+
+    # path 0-1-2-...-9: round 1 cannot finish (log n rounds needed)
+    edges = [(i, i + 1) for i in range(9)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    full = sorted(
+        (r.vertex_a, r.vertex_b) for r in minimum_spanning_forest(g).collect()
+    )
+    assert full == [(i, i + 1) for i in range(9)]  # the path IS its MSF
+    part = minimum_spanning_forest(g, max_rounds=1, strict=False).collect()
+    assert 0 < len(part) <= 9
+    assert {(r.vertex_a, r.vertex_b) for r in part} <= set(full)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        minimum_spanning_forest(g, max_rounds=1, strict=True)
