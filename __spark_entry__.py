@@ -1338,6 +1338,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return landmark_distances(g, [1, 2, 3], max_hops=2)
 
+    def classifier_score_q(spark, sf):
+        """Linear quality-classifier inference (fastText/DCLM-shape) over
+        256-bucket hashed features with deterministic integer weights
+        ((bucket·104729 + 17) % 2001 − 1000, scale 1000, bias 500) — the
+        broadcast-join + int64-dot scoring path; oracle replays features,
+        weights, and the integer arithmetic exactly."""
+        from pregel_rs_spark.operators.text import classifier_scores
+
+        w = spark.range(256).select(
+            F.col("id").cast("int").alias("bucket"),
+            ((F.col("id") * 104729 + 17) % 2001 - 1000)
+            .cast("long")
+            .alias("w_scaled"),
+        )
+        return classifier_scores(
+            load_table(spark, sf, "documents"),
+            w,
+            n_buckets=256,
+            bias_scaled=500,
+            threshold_scaled=0,
+        )
+
     def msf_r2_q(spark, sf):
         """Borůvka minimum spanning forest bounded to 2 rounds on the
         supplier graph (the matching_r2/mis_r2 bounded-prefix convention:
@@ -1667,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        classifier_score=classifier_score_q,
         msf_r2=msf_r2_q,
         betweenness_k2=betweenness_k2_q,
         pack_seqs=pack_seqs_q,
@@ -3867,6 +3890,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(3) OVER (PARTITION BY d.lang
                     ORDER BY s.ppl, s.doc_id) AS INT) AS ppl_bucket
         FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """
+    # classifier_score: hashed features (the hash_feats arithmetic at 256
+    # buckets) ⨝ deterministic integer weights, int64 dot + bias, left
+    # join keeps featureless docs at the bias-only logit.
+    o["classifier_score"] = r"""
+        WITH tok AS (
+          SELECT doc_id, md5(w) AS h FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        ), feats AS (
+          SELECT doc_id,
+                 CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256
+                      AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY doc_id, bucket
+        ), w AS (
+          SELECT CAST(i AS INT) AS bucket,
+                 CAST((i * 104729 + 17) % 2001 - 1000 AS BIGINT) AS w_scaled
+          FROM range(256) t(i)
+        ), dots AS (
+          SELECT f.doc_id, SUM(f.cnt * w.w_scaled) AS dot
+          FROM feats f JOIN w ON w.bucket = f.bucket
+          GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(500 + COALESCE(dots.dot, 0) AS BIGINT) AS logit_scaled,
+               ROUND(CAST(500 + COALESCE(dots.dot, 0) AS DOUBLE) / 1000, 6)
+                 AS score,
+               (500 + COALESCE(dots.dot, 0)) >= 0 AS keep
+        FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id
     """
     # msf_r2: two Borůvka rounds unrolled — per-component struct-min edge
     # pick (ROW_NUMBER over the shared (w, a, b) total order), mutual-pick

@@ -714,3 +714,57 @@ def blocklist_filter(
         .otherwise((hits > 0).cast("int"))
         .alias("blocked"),
     )
+
+
+def classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    bias_scaled: int = 0,
+    threshold_scaled: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear text-classifier INFERENCE over hashing-trick features — the
+    corpus-quality-filter production path (public technique: fastText's
+    linear layer, Joulin et al. EACL'17; the model-based keep/drop stage
+    of DCLM / FineWeb-Edu-style pipelines runs exactly this shape at
+    corpus scale: score every document with a small linear model, keep
+    above threshold).
+
+    ``weights`` is a small table ``(bucket, w_scaled)`` of INTEGER-scaled
+    weights (train offline, scale by e.g. 1000, ship the table —
+    no float model artifact).  The logit is then pure int64:
+    ``logit_scaled = bias_scaled + Σ cnt · w_scaled`` — every aggregation
+    an integer sum, order-independent, bit-identical in any engine (the
+    repo's scaled-int convention), so inference is exactly auditable and
+    SQL-replayable.  ``score`` divides by 1000 only for display.
+
+    Scale shape: feature extraction is :func:`hash_features` (one explode
+    + one combine-collapsed hash agg); the model join BROADCASTS the
+    weight table (≤ 65536 rows by construction — never a shuffle); one
+    integer-sum agg per doc_id; docs with NULL/blank text (no features)
+    come back via a left join with the bias-only logit, keeping the
+    verdict total over the corpus (the ``corpus_filter`` auditability
+    convention).  Returns ``(doc_id, logit_scaled, score, keep)``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    feats = hash_features(docs, n_buckets=n_buckets, text_col=text_col)
+    dots = (
+        feats.join(broadcast(weights.select("bucket", "w_scaled")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w_scaled")).alias("__dot"))
+    )
+    logit = (F.lit(int(bias_scaled)) + F.coalesce(F.col("__dot"), F.lit(0))).cast(
+        "long"
+    )
+    return (
+        docs.select("doc_id")
+        .join(dots, "doc_id", "left")
+        .select(
+            "doc_id",
+            logit.alias("logit_scaled"),
+            F.round(logit / F.lit(1000.0), 6).alias("score"),
+            (logit >= F.lit(int(threshold_scaled))).alias("keep"),
+        )
+    )

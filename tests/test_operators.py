@@ -1512,3 +1512,52 @@ def test_coarsen_graph_contraction(spark):
     ce = {(r.subject, r.object): r.weight for r in coarse.collect()}
     # all cross-pair edges collapse onto the single (superA, superB) pair
     assert sum(ce.values()) == 3 and len(ce) <= 2
+
+
+def test_classifier_scores_integer_exact_and_bias_only(spark):
+    """classifier_scores: int64 dot replayed in Python token by token;
+    NULL/blank docs come back at the bias-only logit; keep respects the
+    scaled threshold; the weight join is a broadcast."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pregel_rs_spark.operators.text import classifier_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "spam spam spam buy now"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    weights = spark.range(64).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * 7919 + 3) % 401 - 200).cast("long").alias("w_scaled"),
+    )
+    out = {
+        r.doc_id: (r.logit_scaled, r.score, r.keep)
+        for r in classifier_scores(
+            docs, weights, n_buckets=64, bias_scaled=100, threshold_scaled=50
+        ).collect()
+    }
+
+    def logit_py(text):
+        dot = 0
+        for w in text.strip().lower().split():
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:4], 16) % 64
+            dot += (b * 7919 + 3) % 401 - 200
+        return 100 + dot
+
+    for doc_id, text in [(1, "the cat sat on the mat"), (2, "spam spam spam buy now")]:
+        want = logit_py(text)
+        assert out[doc_id] == (want, round(want / 1000, 6), want >= 50)
+    # featureless docs: bias-only logit, still present (total verdicts)
+    assert out[3] == (100, 0.1, True)
+    assert out[4] == (100, 0.1, True)
+    # the model join must broadcast, not shuffle, the weight table
+    plan = classifier_scores(docs, weights, n_buckets=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
