@@ -306,6 +306,27 @@ def main() -> None:
 
     bench("gnn_pool", _gnn_pool)
 
+    from pregel_rs_spark.algorithms import minimum_spanning_forest
+    from pregel_rs_spark.operators.text import classifier_scores
+
+    bench(
+        "msf",
+        lambda: _consume(
+            minimum_spanning_forest(GraphFrame.from_edges(li_edges))
+        ),
+    )
+
+    def _classifier():
+        w = spark.range(1024).select(
+            F.col("id").cast("int").alias("bucket"),
+            ((F.col("id") * 104729 + 17) % 2001 - 1000)
+            .cast("long")
+            .alias("w_scaled"),
+        )
+        _consume(classifier_scores(docs, w, n_buckets=1024, bias_scaled=500))
+
+    bench("classifier_score", _classifier)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",
