@@ -1338,6 +1338,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return landmark_distances(g, [1, 2, 3], max_hops=2)
 
+    def coloring_r2_q(spark, sf):
+        """Jones-Plassmann greedy coloring bounded to 2 rounds on the
+        lineitem link graph (mis_r2 convention: bounded rounds make the oracle
+        an exact 2-round SQL unroll — local-max selection, greedy mex via
+        the {0} ∪ {c+1} candidate anti-join); full-run properness and the
+        Python-replay parity are pytest-pinned."""
+        from pregel_rs_spark.algorithms import greedy_coloring
+
+        g = GraphFrame.from_edges(_edges_li(spark, sf))
+        return greedy_coloring(g, max_rounds=2, strict=False)
+
     def classifier_score_q(spark, sf):
         """Linear quality-classifier inference (fastText/DCLM-shape) over
         256-bucket hashed features with deterministic integer weights
@@ -1689,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        coloring_r2=coloring_r2_q,
         classifier_score=classifier_score_q,
         msf_r2=msf_r2_q,
         betweenness_k2=betweenness_k2_q,
@@ -3890,6 +3902,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(3) OVER (PARTITION BY d.lang
                     ORDER BY s.ppl, s.doc_id) AS INT) AS ppl_bucket
         FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """
+    # coloring_r2: two Jones-Plassmann rounds unrolled — local-max
+    # selection on the (Lehmer priority, id) total order, then the greedy
+    # mex as MIN over {0} ∪ {c+1} candidates anti-joined against the
+    # colored-neighbor colors.  Round 1 has no colored neighbors → 0.
+    o["coloring_r2"] = f"""
+        WITH raw AS (SELECT * FROM {_EV_SQL}),
+        und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                GREATEST(subject, object) AS b
+                FROM raw WHERE subject <> object),
+        nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+        vs AS (SELECT DISTINCT v FROM nbr),
+        p AS (SELECT v, (((v % 999983) + 999983) % 999983
+                         * 104729 + 7919) % 999983 AS pr
+              FROM vs),
+        sel1 AS (SELECT pv.v FROM p pv
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM nbr JOIN p pu ON pu.v = nbr.u
+                   WHERE nbr.v = pv.v
+                     AND (pv.pr < pu.pr
+                          OR (pv.pr = pu.pr AND pv.v < pu.v)))),
+        col1 AS (SELECT v AS vertex_id, 0 AS color FROM sel1),
+        unc2 AS (SELECT v FROM vs EXCEPT SELECT v FROM sel1),
+        sel2 AS (SELECT pv.v FROM unc2 uv JOIN p pv ON pv.v = uv.v
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM nbr
+                   JOIN unc2 uu ON uu.v = nbr.u
+                   JOIN p pu ON pu.v = nbr.u
+                   WHERE nbr.v = pv.v
+                     AND (pv.pr < pu.pr
+                          OR (pv.pr = pu.pr AND pv.v < pu.v)))),
+        nc2 AS (SELECT DISTINCT s.v, c.color AS c
+                FROM sel2 s JOIN nbr ON nbr.v = s.v
+                JOIN col1 c ON c.vertex_id = nbr.u),
+        cand2 AS (SELECT v, 0 AS k FROM sel2
+                  UNION ALL SELECT v, c + 1 FROM nc2),
+        mex2 AS (SELECT cand2.v, MIN(cand2.k) AS color FROM cand2
+                 WHERE NOT EXISTS (SELECT 1 FROM nc2
+                                   WHERE nc2.v = cand2.v AND nc2.c = cand2.k)
+                 GROUP BY cand2.v)
+        SELECT vertex_id, CAST(color AS INT) AS color FROM col1
+        UNION ALL
+        SELECT v AS vertex_id, CAST(color AS INT) AS color FROM mex2
     """
     # classifier_score: hashed features (the hash_feats arithmetic at 256
     # buckets) ⨝ deterministic integer weights, int64 dot + bias, left

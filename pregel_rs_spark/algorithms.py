@@ -3496,3 +3496,117 @@ def minimum_spanning_forest(
             "the bounded-prefix forest"
         )
     return forest
+
+
+def greedy_coloring(
+    graph: GraphFrame,
+    max_rounds: int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Distributed greedy graph coloring — Jones-Plassmann (public
+    technique: Jones & Plassmann, SIAM J. Sci. Comput. 1993; the standard
+    parallel greedy coloring).  Web-pipeline uses: conflict-free
+    scheduling rounds (hosts sharing an edge never crawl in the same
+    slot), register allocation-style resource assignment over co-location
+    graphs, and seeding for distributed symmetry breaking.
+
+    Per round, every uncolored vertex whose deterministic priority
+    (:func:`_mis_priority`, ties on vertex id — collision-free total
+    order) is a strict local maximum among its UNCOLORED neighbors picks
+    the minimum color unused by its colored neighbors (the greedy mex).
+    Selected sets per round are independent sets, so the coloring is
+    always proper; every round colors at least the globally maximal
+    uncolored vertex (termination), and hash priorities give the usual
+    O(log n / log log n)-ish expected rounds on bounded-degree graphs.
+
+    The mex is computed distributively, never per-vertex in Python:
+    candidates = {0} ∪ {c+1 : c a colored-neighbor color}, mex = MIN
+    candidate that is NOT itself a colored-neighbor color — one union,
+    one anti-join, one MIN agg, all integer-exact (SQL-replayable).
+    Per round: the live-edge neighbor view shrinks monotonically
+    (colored endpoints drop out), bounding every shuffle by the
+    surviving frontier.  Colors are dense small ints ≤ degeneracy+1 in
+    the usual greedy sense (not optimal chromatic — NP-hard).
+
+    No reference counterpart (extension).  Returns ``(vertex_id,
+    color)``; ``max_rounds`` defaults to 50 with a loud error on
+    non-convergence when ``strict`` (the :func:`maximal_independent_set`
+    convention); ``strict=False`` returns the bounded-prefix partial
+    coloring (the oracle mode — vertices not yet colored are absent).
+    """
+    if max_rounds is None:
+        max_rounds = 50
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    und = (
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = truncate_plan(
+        und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+    )
+    spark = graph.edges.sparkSession
+    uncol = truncate_plan(nbr.select("v").distinct())
+    colored = spark.createDataFrame([], f"{VERTEX_ID} long, color int")
+    for _rnd in range(max_rounds):
+        if uncol.isEmpty():
+            _free_checkpoint(uncol)
+            _free_checkpoint(nbr)
+            return colored
+        # edges whose BOTH endpoints are uncolored decide local maxima
+        live = nbr.join(uncol, "v").join(
+            uncol.select(F.col("v").alias("u")), "u"
+        )
+        pv, pu = _mis_priority(F.col("v")), _mis_priority(F.col("u"))
+        losers = (
+            live.filter(
+                (pv < pu) | ((pv == pu) & (F.col("v") < F.col("u")))
+            )
+            .select("v")
+            .distinct()
+        )
+        sel = truncate_plan(uncol.join(losers, "v", "left_anti"))
+        # greedy mex over already-colored neighbors
+        nc = (
+            nbr.join(sel, "v")
+            .join(
+                colored.select(
+                    F.col(VERTEX_ID).alias("u"), F.col("color").alias("c")
+                ),
+                "u",
+            )
+            .select("v", "c")
+            .distinct()
+        )
+        cand = sel.select("v", F.lit(0).alias("k")).unionByName(
+            nc.select("v", (F.col("c") + 1).alias("k"))
+        )
+        mex = (
+            cand.join(
+                nc.select("v", F.col("c").alias("k")), ["v", "k"], "left_anti"
+            )
+            .groupBy("v")
+            .agg(F.min("k").cast("int").alias("color"))
+        )
+        colored = truncate_plan(
+            colored.unionByName(
+                mex.select(F.col("v").alias(VERTEX_ID), "color")
+            )
+        )
+        new_uncol = truncate_plan(uncol.join(sel, "v", "left_anti"))
+        _free_checkpoint(uncol)
+        _free_checkpoint(sel)
+        uncol = new_uncol
+    if strict:
+        raise RuntimeError(
+            f"greedy_coloring did not converge in {max_rounds} rounds; "
+            "raise max_rounds or pass strict=False for the bounded-prefix "
+            "partial coloring"
+        )
+    return colored

@@ -1844,3 +1844,70 @@ def test_msf_bounded_prefix_and_strict(spark):
     assert {(r.vertex_a, r.vertex_b) for r in part} <= set(full)
     with pytest.raises(RuntimeError, match="did not converge"):
         minimum_spanning_forest(g, max_rounds=1, strict=True)
+
+
+def _jp_coloring_py(edges):
+    """Round-synchronous Jones-Plassmann replay with the engine's
+    (priority, id) total order and greedy mex."""
+
+    def pri(v):
+        return ((v % 999983 + 999983) % 999983 * 104729 + 7919) % 999983
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    col, unc = {}, set(nbrs)
+    while unc:
+        sel = [
+            v
+            for v in unc
+            if all((pri(v), v) > (pri(u), u) for u in nbrs[v] if u in unc)
+        ]
+        for v in sel:
+            used = {col[u] for u in nbrs[v] if u in col}
+            k = 0
+            while k in used:
+                k += 1
+            col[v] = k
+        unc -= set(sel)
+    return col
+
+
+def test_greedy_coloring_proper_and_replay(spark):
+    """Coloring is proper (no monochromatic edge) and matches the
+    round-synchronous Jones-Plassmann Python replay exactly."""
+    from pregel_rs_spark.algorithms import greedy_coloring
+
+    edges = [(v, (v * 7 + 3) % 40) for v in range(40)] + [
+        (v, (v * 13 + 1) % 40) for v in range(40)
+    ] + [(v, (v + 1) % 40) for v in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {r.vertex_id: r.color for r in greedy_coloring(g).collect()}
+    assert got == _jp_coloring_py(edges)
+    for a, b in {(min(a, b), max(a, b)) for a, b in edges}:
+        assert got[a] != got[b]
+
+
+def test_greedy_coloring_clique_and_bounded(spark):
+    """K4 needs exactly colors {0,1,2,3}; bounded prefix is a subset of
+    the full coloring; strict raises when rounds remain."""
+    from pregel_rs_spark.algorithms import greedy_coloring
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(k4, "subject long, object long")
+    )
+    full = {r.vertex_id: r.color for r in greedy_coloring(g).collect()}
+    assert sorted(full.values()) == [0, 1, 2, 3]
+    part = {
+        r.vertex_id: r.color
+        for r in greedy_coloring(g, max_rounds=2, strict=False).collect()
+    }
+    assert part == {v: c for v, c in full.items() if v in part} and len(part) == 2
+    with pytest.raises(RuntimeError, match="did not converge"):
+        greedy_coloring(g, max_rounds=1, strict=True)
