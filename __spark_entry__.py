@@ -1338,6 +1338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return landmark_distances(g, [1, 2, 3], max_hops=2)
 
+    def wl_r2_q(spark, sf):
+        """Weisfeiler-Leman color refinement (sum-hash variant, 2 rounds)
+        on the supplier graph — structural-role signatures whose integer
+        modular arithmetic the oracle replays term by term."""
+        from pregel_rs_spark.algorithms import wl_colors
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        return wl_colors(g, rounds=2)
+
     def coloring_r2_q(spark, sf):
         """Jones-Plassmann greedy coloring bounded to 2 rounds on the
         lineitem link graph (mis_r2 convention: bounded rounds make the oracle
@@ -1700,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        wl_r2=wl_r2_q,
         coloring_r2=coloring_r2_q,
         classifier_score=classifier_score_q,
         msf_r2=msf_r2_q,
@@ -3902,6 +3912,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(3) OVER (PARTITION BY d.lang
                     ORDER BY s.ppl, s.doc_id) AS INT) AS ppl_bucket
         FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """
+    # wl_r2: two sum-hash WL recolor rounds in exact modular arithmetic —
+    # h(x) = (((x % M + M) % M) * 104729 + 7919) % M over M = 1e12-prime,
+    # new = (13*h(c) % M + SUM(h(c_u)) % M) % M, init = degree % M.
+    o["wl_r2"] = f"""
+        WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                                     GREATEST(subject, object) AS b
+                     FROM {_SG_SQL} WHERE subject <> object),
+        nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+        c0 AS (SELECT v, CAST(COUNT(*) % 999999999989 AS BIGINT) AS c
+               FROM nbr GROUP BY v),
+        s1 AS (SELECT nbr.v,
+                      CAST(SUM((((cu.c % 999999999989) + 999999999989)
+                                % 999999999989 * 104729 + 7919)
+                               % 999999999989) % 999999999989 AS BIGINT) AS s
+               FROM nbr JOIN c0 cu ON cu.v = nbr.u GROUP BY nbr.v),
+        c1 AS (SELECT c0.v,
+                      CAST((13 * ((((c0.c % 999999999989) + 999999999989)
+                                   % 999999999989 * 104729 + 7919)
+                                  % 999999999989) % 999999999989 + s1.s)
+                           % 999999999989 AS BIGINT) AS c
+               FROM c0 JOIN s1 ON s1.v = c0.v),
+        s2 AS (SELECT nbr.v,
+                      CAST(SUM((((cu.c % 999999999989) + 999999999989)
+                                % 999999999989 * 104729 + 7919)
+                               % 999999999989) % 999999999989 AS BIGINT) AS s
+               FROM nbr JOIN c1 cu ON cu.v = nbr.u GROUP BY nbr.v),
+        c2 AS (SELECT c1.v,
+                      CAST((13 * ((((c1.c % 999999999989) + 999999999989)
+                                   % 999999999989 * 104729 + 7919)
+                                  % 999999999989) % 999999999989 + s2.s)
+                           % 999999999989 AS BIGINT) AS c
+               FROM c1 JOIN s2 ON s2.v = c1.v)
+        SELECT v AS vertex_id, c AS wl_color FROM c2
     """
     # coloring_r2: two Jones-Plassmann rounds unrolled — local-max
     # selection on the (Lehmer priority, id) total order, then the greedy

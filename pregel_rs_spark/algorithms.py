@@ -3610,3 +3610,77 @@ def greedy_coloring(
             "partial coloring"
         )
     return colored
+
+
+_WL_M = 999_999_999_989  # largest prime < 1e12: keeps h*A in int64
+_WL_A = 104_729
+_WL_B = 7_919
+
+
+def _wl_hash(x):
+    """Lehmer-style recolor hash over the WL modulus — reduced before the
+    multiply so everything stays in int64 (term < 1e12, ×104729 < 2^63)."""
+    m = F.lit(_WL_M)
+    return (((x % m) + m) % m * F.lit(_WL_A) + F.lit(_WL_B)) % m
+
+
+def wl_colors(graph: GraphFrame, rounds: int = 2) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement (public technique:
+    the WL isomorphism test; Shervashidze et al. JMLR'11 WL kernels; the
+    expressiveness yardstick of message-passing GNNs, Xu et al. ICLR'19).
+    Web-pipeline uses: structural-role features (two pages with the same
+    WL color at round k have isomorphic k-hop neighborhoods up to hash
+    collision) for template/mirror detection, spam-farm shape signatures,
+    and GNN pre-bucketing.
+
+    This is the SUM-HASH variant: a vertex's new color is
+    ``(13·h(c_v) + Σ_u h(c_u)) mod M`` over its undirected neighbors,
+    with ``h`` the Lehmer hash above and M prime < 1e12 — the neighbor
+    multiset enters through an order-independent integer SUM, so the
+    operator is one equi-join + one map-side-combinable hash agg per
+    round (no collect_list: a mega-hub costs a running sum, never its
+    adjacency in one buffer) and the arithmetic replays exactly in ANSI
+    SQL.  Versus canonical sorted-multiset WL this trades theoretical
+    injectivity for hash equality-up-to-collision (< 1e-4 total at 1e4
+    vertices against M ≈ 1e12; partial sums stay in int64 for degrees
+    < ~9·10^6 — beyond that, pre-reduce per salt bucket).  Initial color
+    = degree.
+
+    No reference counterpart (extension).  Returns ``(vertex_id,
+    wl_color)`` for every non-isolated vertex.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    und = (
+        graph.edges.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = truncate_plan(
+        und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+    )
+    col = truncate_plan(
+        nbr.groupBy("v").agg((F.count(F.lit(1)) % F.lit(_WL_M)).alias("c"))
+    )
+    for _ in range(rounds):
+        msgs = nbr.join(
+            col.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
+        ).select("v", _wl_hash(F.col("cu")).alias("t"))
+        sums = msgs.groupBy("v").agg((F.sum("t") % F.lit(_WL_M)).alias("s"))
+        new_col = truncate_plan(
+            col.join(sums, "v").select(
+                "v",
+                (
+                    (F.lit(13) * _wl_hash(F.col("c")) % F.lit(_WL_M) + F.col("s"))
+                    % F.lit(_WL_M)
+                ).alias("c"),
+            )
+        )
+        _free_checkpoint(col)
+        col = new_col
+    return col.select(F.col("v").alias(VERTEX_ID), F.col("c").alias("wl_color"))

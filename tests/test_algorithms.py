@@ -1911,3 +1911,54 @@ def test_greedy_coloring_clique_and_bounded(spark):
     assert part == {v: c for v, c in full.items() if v in part} and len(part) == 2
     with pytest.raises(RuntimeError, match="did not converge"):
         greedy_coloring(g, max_rounds=1, strict=True)
+
+
+def _wl_py(edges, rounds):
+    """Pure-Python replay of the sum-hash WL recoloring."""
+    M, A, B = 999_999_999_989, 104_729, 7_919
+
+    def h(x):
+        return ((x % M + M) % M * A + B) % M
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    col = {v: len(ns) % M for v, ns in nbrs.items()}
+    for _ in range(rounds):
+        col = {
+            v: (13 * h(col[v]) % M + sum(h(col[u]) for u in nbrs[v]) % M) % M
+            for v in nbrs
+        }
+    return col
+
+
+def test_wl_colors_replay_and_structure(spark):
+    """wl_colors matches the Python replay exactly; structurally
+    equivalent vertices share colors (path endpoints vs middles), and
+    refinement separates degree-equal but neighborhood-distinct roles."""
+    from pregel_rs_spark.algorithms import wl_colors
+
+    # path 0-1-2-3-4-5: endpoints {0,5}, next-in {1,4}, middles {2,3}
+    path = [(i, i + 1) for i in range(5)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(path, "subject long, object long")
+    )
+    got = {r.vertex_id: r.wl_color for r in wl_colors(g, rounds=2).collect()}
+    assert got == _wl_py(path, 2)
+    assert got[0] == got[5] and got[1] == got[4] and got[2] == got[3]
+    # round 0 = degree classes only: 1 and 2 collide; round 2 splits them
+    got0 = {r.vertex_id: r.wl_color for r in wl_colors(g, rounds=0).collect()}
+    assert got0[1] == got0[2]
+    assert got[1] != got[2]
+    # a bigger deterministic graph, exact replay
+    edges = [(v, (v * 7 + 3) % 50) for v in range(50)] + [
+        (v, (v * 13 + 1) % 50) for v in range(50)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    g2 = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got2 = {r.vertex_id: r.wl_color for r in wl_colors(g2, rounds=3).collect()}
+    assert got2 == _wl_py(edges, 3)
