@@ -1338,6 +1338,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return landmark_distances(g, [1, 2, 3], max_hops=2)
 
+    def pagerank_warm_k2_q(spark, sf):
+        """Warm-started PageRank (the incremental-crawl-update path):
+        init_ranks = (out_degree+1)/(E+n) — a degree-proportional prior
+        that sums to 1 — then 2 fixed supersteps; the oracle replays the
+        identical init and both iterations in IEEE doubles.  Proves the
+        ``init_ranks`` engine path through the driver contract (the
+        same-fixpoint property is pytest-pinned)."""
+        from pregel_rs_spark.algorithms import pagerank
+
+        e = _edges_li(spark, sf)
+        g = GraphFrame.from_edges(e)
+        od = g.out_degrees_full()
+        tot = e.count()
+        n = od.count()
+        init = od.select(
+            "vertex_id",
+            (
+                (F.col("out_degree") + 1) / F.lit(float(tot + n))
+            ).alias("rank"),
+        )
+        res = pagerank(g, tol=0.0, max_iterations=2, init_ranks=init)
+        return res.select("vertex_id", F.round("rank", 6).alias("rank"))
+
     def wl_r2_q(spark, sf):
         """Weisfeiler-Leman color refinement (sum-hash variant, 2 rounds)
         on the supplier graph — structural-role signatures whose integer
@@ -1709,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths — then everything else in its prior relative order, so across
     # rounds every query holds a green row.
     q.update(
+        pagerank_warm_k2=pagerank_warm_k2_q,
         wl_r2=wl_r2_q,
         coloring_r2=coloring_r2_q,
         classifier_score=classifier_score_q,
@@ -1974,6 +1998,28 @@ def oracle_sql() -> dict[str, str]:
         + pr_iter.format(t=2, p=1, ev=_EV_SQL)
         + pr_iter.format(t=3, p=2, ev=_EV_SQL)
         + " SELECT vertex_id, ROUND(rank, 6) AS rank FROM r3"
+    )
+    # pagerank_warm_k2: same iteration template, warm init r0 =
+    # (out_degree+1)/(E+n) — both engines compute the identical IEEE
+    # double division; dangling vertices (out_degree 0) start at 1/(E+n).
+    o["pagerank_warm_k2"] = (
+        f"""
+        WITH v AS (SELECT DISTINCT vertex_id FROM
+                   (SELECT subject AS vertex_id FROM {_EV_SQL}
+                    UNION ALL SELECT object FROM {_EV_SQL})),
+             n AS (SELECT COUNT(*) AS c FROM v),
+             tot AS (SELECT COUNT(*) AS e FROM {_EV_SQL} t),
+             od AS (SELECT subject AS vertex_id, COUNT(*) AS out_degree
+                    FROM {_EV_SQL} GROUP BY subject),
+             r0 AS (SELECT v.vertex_id,
+                           (COALESCE(od.out_degree, 0) + 1)
+                             / CAST(tot.e + n.c AS DOUBLE) AS rank
+                    FROM v LEFT JOIN od USING (vertex_id)
+                    CROSS JOIN tot CROSS JOIN n)
+        """
+        + pr_iter.format(t=1, p=0, ev=_EV_SQL)
+        + pr_iter.format(t=2, p=1, ev=_EV_SQL)
+        + " SELECT vertex_id, ROUND(rank, 6) AS rank FROM r2"
     )
     o["connected_components"] = f"""
         WITH RECURSIVE
