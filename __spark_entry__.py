@@ -312,6 +312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("vertex_id", "coreness")
 
+    def densest_r2_q(spark, sf):
+        """2 batched peel rounds of the greedy 2(1+ε)-approximate densest
+        subgraph (Charikar 2000 / Bahmani et al. VLDB 2012) on the
+        lineitem link graph, ε=1/2 — the integer-exact peel test
+        (deg·V·2 > 6·E) lets the DuckDB oracle unroll the rounds
+        bit-for-bit; production runs ``max_rounds=None`` (link-farm /
+        spam-cluster detection)."""
+        from pregel_rs_spark.algorithms import densest_subgraph
+
+        return densest_subgraph(
+            GraphFrame.from_edges(_edges_li(spark, sf)), max_rounds=2
+        )
+
     def walks_k3_q(spark, sf):
         """3-step deterministic pseudo-random walks from every vertex of
         the lineitem link graph (DeepWalk/node2vec corpus generator).  The
@@ -1831,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scc=scc_q,
         kcore3_r2=kcore3_r2_q,
         coreness_r3=coreness_r3_q,
+        densest_r2=densest_r2_q,
         walks_k3=walks_k3_q,
         neighborhood_k2=neighborhood_k2_q,
         hyperball_regs_k2=hyperball_regs_q,
@@ -2710,6 +2724,49 @@ def oracle_sql() -> dict[str, str]:
                (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
         GROUP BY v HAVING COUNT(*) >= 3
     """
+    # densest_r2: Bahmani-style batched peel unrolled 2 rounds.  Per
+    # round r: keep v iff deg(v)·2·V > 6·E (the ε=1/2 integer-exact
+    # test), re-induce the edge set, emit one trace row; round r is
+    # emitted only when round r-1 still had edges (Spark breaks at
+    # n_edges=0 — the fixpoint-before-bound contract, same as kcore3_r2).
+    o["densest_r2"] = f"""
+        WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                            GREATEST(subject, object) AS b
+                     FROM {_EV_SQL} WHERE subject != object),
+             d0 AS (SELECT v, COUNT(*) AS degree FROM
+                    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY v),
+             s0 AS (SELECT (SELECT COUNT(*) FROM d0) AS nv,
+                           (SELECT COUNT(*) FROM und) AS ne),
+             k1 AS (SELECT v FROM d0, s0 WHERE degree * 2 * nv > 6 * ne),
+             e1 AS (SELECT und.a, und.b FROM und
+                    JOIN k1 x ON und.a = x.v JOIN k1 y ON und.b = y.v),
+             d1 AS (SELECT v, COUNT(*) AS degree FROM
+                    (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                    GROUP BY v),
+             s1 AS (SELECT (SELECT COUNT(*) FROM d1) AS nv,
+                           (SELECT COUNT(*) FROM e1) AS ne),
+             k2 AS (SELECT v FROM d1, s1 WHERE degree * 2 * nv > 6 * ne),
+             e2 AS (SELECT e1.a, e1.b FROM e1
+                    JOIN k2 x ON e1.a = x.v JOIN k2 y ON e1.b = y.v),
+             d2 AS (SELECT v, COUNT(*) AS degree FROM
+                    (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+                    GROUP BY v),
+             s2 AS (SELECT (SELECT COUNT(*) FROM d2) AS nv,
+                           (SELECT COUNT(*) FROM e2) AS ne)
+        SELECT 0 AS peel_round, nv AS n_vertices, ne AS n_edges,
+               CASE WHEN nv = 0 THEN 0.0
+                    ELSE ROUND(ne / CAST(nv AS DOUBLE), 6) END AS density
+        FROM s0
+        UNION ALL
+        SELECT 1, nv, ne, CASE WHEN nv = 0 THEN 0.0
+               ELSE ROUND(ne / CAST(nv AS DOUBLE), 6) END
+        FROM s1 WHERE (SELECT ne FROM s0) > 0
+        UNION ALL
+        SELECT 2, nv, ne, CASE WHEN nv = 0 THEN 0.0
+               ELSE ROUND(ne / CAST(nv AS DOUBLE), 6) END
+        FROM s2 WHERE (SELECT ne FROM s1) > 0
+    """
     # coreness_r3: the identical h-operator (Montresor et al.) unrolled
     # 3 rounds — per round: neighbor-value counts, cumulative count over
     # values DESC, h = max(min(value, #neighbors with core >= value)),
@@ -3156,7 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT vertex_id, 'excluded' FROM x2
         UNION ALL SELECT vertex_id, 'undecided' FROM u2
     """
-    o["repetition"] = """
+    o["repetition"] = r"""
         WITH toks AS (
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN []
@@ -3205,7 +3262,7 @@ def oracle_sql() -> dict[str, str]:
                    AS n_phones
         FROM documents
     """
-    o["corpus_stats"] = """
+    o["corpus_stats"] = r"""
         SELECT lang, source,
                COUNT(*) AS n_docs,
                CAST(SUM(length(text)) AS BIGINT) AS total_chars,

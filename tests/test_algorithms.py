@@ -1962,3 +1962,39 @@ def test_wl_colors_replay_and_structure(spark):
     )
     got2 = {r.vertex_id: r.wl_color for r in wl_colors(g2, rounds=3).collect()}
     assert got2 == _wl_py(edges, 3)
+
+
+def test_densest_subgraph_peels_to_clique(spark):
+    from pregel_rs_spark.algorithms import densest_subgraph
+
+    # K5 clique (density 10/5 = 2.0) + a 6-vertex path dangling off it
+    # (path vertices have degree <= 2 and are peeled before the clique)
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    path = [(5, 10), (10, 11), (11, 12), (12, 13), (13, 14)]
+    e = spark.createDataFrame(clique + path, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    trace, verts = densest_subgraph(g, return_subgraph=True)
+    rows = {r.peel_round: r for r in trace.collect()}
+    # round 0: 10 vertices, 15 edges, density 1.5; the first peel with
+    # threshold deg*V*2 <= 6*E (deg <= 4.5) removes EVERYTHING including
+    # the clique (deg 4..5), so the best subgraph is the full graph --
+    # the documented 2(1+eps) approximation: 1.5 >= 2.0 / 3
+    assert rows[0].n_vertices == 10 and rows[0].n_edges == 15
+    assert rows[0].density == 1.5
+    best = {r.vertex_id for r in verts.collect()}
+    assert len(best) == rows[max(rows)].n_vertices or len(best) == 10
+    # tighter eps=1/10: threshold deg*V*10 <= 22*E keeps the clique core
+    trace2, verts2 = densest_subgraph(
+        g, epsilon_num=1, epsilon_den=10, return_subgraph=True
+    )
+    best2 = {r.vertex_id for r in verts2.collect()}
+    t2 = sorted((r.peel_round, r.n_vertices, r.n_edges, r.density)
+                for r in trace2.collect())
+    # the max-density round must be the K5 clique itself
+    dens = {r[0]: r[3] for r in t2}
+    best_round = max(dens, key=lambda k: (dens[k], -k))
+    assert best2 == {1, 2, 3, 4, 5}
+    assert dens[best_round] == 2.0
+    # fixed 0-round prefix: trace is just the input graph summary
+    t0 = densest_subgraph(g, max_rounds=0).collect()
+    assert len(t0) == 1 and t0[0].n_vertices == 10

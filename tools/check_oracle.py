@@ -7,6 +7,7 @@ Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [only...]
 
 import math
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -39,9 +40,11 @@ def main():
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
     failures = []
+    timings = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
@@ -84,8 +87,14 @@ def main():
                 print("   duck :", b)
             failures.append(name)
         else:
-            print(f"OK   {name}: {len(srows)} rows")
+            dt = time.monotonic() - t0
+            timings.append((dt, name))
+            print(f"OK   {name}: {len(srows)} rows  [{dt:.1f}s]", flush=True)
     print()
+    print("slowest:")
+    for dt, name in sorted(timings, reverse=True)[:15]:
+        print(f"  {dt:7.1f}s  {name}")
+    print(f"total spark+oracle wall: {sum(t for t, _ in timings):.1f}s")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
