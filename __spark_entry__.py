@@ -1416,6 +1416,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold_scaled=0,
         )
 
+    def dsir_weights_q(spark, sf):
+        """DSIR importance weights (Xie et al. 2023 hashed-ngram variant):
+        target seed = the 'src0' documents, raw = the whole corpus,
+        256-bucket hashed unigrams, Laplace alpha=1 — per-doc hashed
+        log-likelihood ratio toward the seed distribution, the weighting
+        stage before importance resampling a pretraining corpus."""
+        from pregel_rs_spark.operators.pipeline import dsir_weights
+
+        docs = load_table(spark, sf, "documents")
+        return dsir_weights(
+            docs, docs.filter(F.col("source") == "src0"), n_buckets=256
+        )
+
     def msf_r2_q(spark, sf):
         """Borůvka minimum spanning forest bounded to 2 rounds on the
         supplier graph (the matching_r2/mis_r2 bounded-prefix convention:
@@ -1749,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wl_r2=wl_r2_q,
         coloring_r2=coloring_r2_q,
         classifier_score=classifier_score_q,
+        dsir_weights=dsir_weights_q,
         msf_r2=msf_r2_q,
         betweenness_k2=betweenness_k2_q,
         pack_seqs=pack_seqs_q,
@@ -4096,6 +4110,48 @@ def oracle_sql() -> dict[str, str]:
     # classifier_score: hashed features (the hash_feats arithmetic at 256
     # buckets) ⨝ deterministic integer weights, int64 dot + bias, left
     # join keeps featureless docs at the bias-only logit.
+    # dsir_weights: replay the 256-bucket hashed features (the
+    # hash_feats CTE), estimate Laplace-smoothed bucket distributions for
+    # the src0 seed set and the whole corpus, and score every doc by
+    # sum(cnt * (ln p_target - ln p_raw)); featureless docs -> 0.0.
+    o["dsir_weights"] = r"""
+        WITH tok AS (
+          SELECT doc_id, md5(w) AS h FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        ), feats AS (
+          SELECT doc_id,
+                 ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256
+                  AS bucket,
+                 COUNT(*) AS cnt
+          FROM tok GROUP BY doc_id, bucket
+        ), raw_b AS (
+          SELECT bucket, SUM(cnt) AS c_r FROM feats GROUP BY bucket
+        ), tgt_b AS (
+          SELECT f.bucket, SUM(f.cnt) AS c_t
+          FROM feats f JOIN documents d USING (doc_id)
+          WHERE d.source = 'src0' GROUP BY f.bucket
+        ), tot AS (
+          SELECT (SELECT COALESCE(SUM(c_r), 0) FROM raw_b) AS t_r,
+                 (SELECT COALESCE(SUM(c_t), 0) FROM tgt_b) AS t_t
+        ), llr AS (
+          SELECT r.bucket,
+                 ln((COALESCE(t.c_t, 0) + 1.0) / (tot.t_t + 256.0))
+               - ln((r.c_r + 1.0) / (tot.t_r + 256.0)) AS llr
+          FROM raw_b r LEFT JOIN tgt_b t USING (bucket), tot
+        ), per_doc AS (
+          SELECT f.doc_id, SUM(f.cnt * l.llr) AS w
+          FROM feats f JOIN llr l USING (bucket) GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               ROUND(COALESCE(p.w, 0.0), 6) AS dsir_weight
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
     o["classifier_score"] = r"""
         WITH tok AS (
           SELECT doc_id, md5(w) AS h FROM (

@@ -327,6 +327,24 @@ def main() -> None:
 
     bench("classifier_score", _classifier)
 
+    from pregel_rs_spark.algorithms import densest_subgraph
+    from pregel_rs_spark.operators.pipeline import dsir_weights
+
+    bench(
+        "densest_subgraph",
+        lambda: _consume(
+            densest_subgraph(GraphFrame.from_edges(li_edges), max_rounds=None)
+        ),
+    )
+    bench(
+        "dsir_weights",
+        lambda: _consume(
+            dsir_weights(
+                docs, docs.filter(F.col("source") == "src0"), n_buckets=1024
+            )
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",

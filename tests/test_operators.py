@@ -1561,3 +1561,69 @@ def test_classifier_scores_integer_exact_and_bias_only(spark):
     # the model join must broadcast, not shuffle, the weight table
     plan = classifier_scores(docs, weights, n_buckets=64)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR hashed-LLR weights: docs sharing the target's vocabulary
+    score positive, off-target docs negative, blank docs exactly 0.0,
+    and the weight equals a pure-Python replay of the estimator."""
+    import hashlib
+    import math
+
+    from pregel_rs_spark.operators.pipeline import dsir_weights
+
+    rows = [
+        (1, "aard aard vark", "seed"),
+        (2, "aard vark vark", "seed"),
+        (3, "aard aard aard vark", "web"),
+        (4, "zebra zebra yak yak yak", "web"),
+        (5, "   ", "web"),
+        (6, None, "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    target = docs.filter(F.col("source") == "seed")
+    out = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(
+            docs, target, n_buckets=64, alpha=0.01
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[5] == 0.0 and out[6] == 0.0
+    assert out[3] > 0 > out[4]
+
+    # pure-Python replay (same md5-nibble bucketing, alpha=0.01, m=64;
+    # small alpha because with 6 target tokens Laplace alpha=1 swamps the
+    # signal and every weight goes negative -- the estimator, not a bug)
+    def bucket(w):
+        h = hashlib.md5(w.encode()).hexdigest()
+        a = "0123456789abcdef"
+        return (
+            a.index(h[0]) * 4096 + a.index(h[1]) * 256
+            + a.index(h[2]) * 16 + a.index(h[3])
+        ) % 64
+
+    def counts(texts):
+        c = {}
+        for t in texts:
+            for w in t.split():
+                b = bucket(w)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    raw = counts([t for _, t, _ in rows if t and t.strip()])
+    tgt = counts([t for _, t, s in rows if s == "seed"])
+    t_r, t_t = sum(raw.values()), sum(tgt.values())
+    for doc_id, text, _ in rows:
+        if not text or not text.strip():
+            continue
+        w = sum(
+            c * (
+                math.log((tgt.get(b, 0) + 0.01) / (t_t + 0.64))
+                - math.log((raw[b] + 0.01) / (t_r + 0.64))
+            )
+            for b, c in counts([text]).items()
+        )
+        assert abs(out[doc_id] - w) < 1e-5, (doc_id, out[doc_id], w)
