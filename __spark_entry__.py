@@ -621,6 +621,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf, "embeddings")
         return brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
+    def ann_topk_pq_q(spark, sf):
+        """The 100 TB memory-compression path: product quantization
+        (Jégou et al. 2011 / FAISS IndexPQ) — 4 subspaces × 16
+        deterministic md5-seeded codes, corpus PQ-encoded once
+        (write-time), queries scored via the asymmetric-distance LUT
+        (no corpus-side float math).  The oracle replays codebooks,
+        encoding, LUT, and ADC ranking in SQL."""
+        from pregel_rs_spark.operators.similarity import pq_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        return pq_topk(
+            emb, k=5, n_queries=10, n_codes=16, m_sub=4, dim=64
+        )
+
     def ann_topk_ivf_q(spark, sf):
         """The 100 TB cell-pruning path: IVF-flat — deterministic
         (md5-seeded, engine-portable) coarse quantizer, corpus assigned
@@ -1835,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sssp_weighted=sssp_weighted_q,
         ann_topk_lsh=ann_topk_lsh_q,
         ann_topk_ivf=ann_topk_ivf_q,
+        ann_topk_pq=ann_topk_pq_q,
         token_counts=token_counts_q,
         quality_scores=quality_q,
         language_id=langid_q,
@@ -2539,6 +2554,49 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b)"
         )
 
+    # ann_topk_pq: PQ/ADC replay — identical md5-seeded codebooks
+    # (4 subspaces x 16 codes = slices of the 16 md5-smallest vectors),
+    # identical per-subspace nearest-code encode (squared L2 rounded 6dp,
+    # ties by code ASC), per-query LUT, ADC = sum of 4 LUT entries.
+    _l2 = (
+        lambda a, b: f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    _sl = lambda a: f"list_slice({a}, b.sub * 16 + 1, b.sub * 16 + 16)"
+    o["ann_topk_pq"] = f"""
+        WITH seeds AS (
+            SELECT vec_id AS code, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        books AS (
+            SELECT s.sub, seeds.code,
+                   list_slice(seeds.embedding, s.sub * 16 + 1,
+                              s.sub * 16 + 16) AS cent_sub
+            FROM seeds, (SELECT unnest([0, 1, 2, 3]) AS sub) s),
+        enc AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, b.sub, b.code,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.sub
+                           ORDER BY ROUND({_l2(_sl('e.embedding'), 'b.cent_sub')}, 6)
+                               ASC, b.code ASC) AS rn
+                FROM embeddings e CROSS JOIN books b)
+            WHERE rn = 1),
+        lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   ROUND({_l2(_sl('q.embedding'), 'b.cent_sub')}, 6) AS d
+            FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10),
+        scored AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   ROUND(SUM(l.d), 6) AS adc_dist
+            FROM enc e JOIN lut l USING (sub, code)
+            WHERE e.vec_id != l.query_id GROUP BY 1, 2),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, adc_dist, rank
+        FROM ranked WHERE rank <= 5
+    """
     _bucket_sql = " + ".join(
         f"(CASE WHEN {_dot_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(4)

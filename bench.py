@@ -248,6 +248,15 @@ def main() -> None:
         ),
     )
 
+    from pregel_rs_spark.operators.similarity import pq_topk
+
+    bench(
+        "ann_topk_pq",
+        lambda: _consume(
+            pq_topk(emb, k=10, n_queries=50, n_codes=32, m_sub=4, dim=64)
+        ),
+    )
+
     from pregel_rs_spark.algorithms import k_core, random_walks
 
     bench(

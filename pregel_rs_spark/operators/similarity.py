@@ -553,3 +553,173 @@ def quantize_embeddings(
             F.round(F.abs(F.col("__v") - deq), 6).alias("err"),
         )
     )
+
+
+def pq_codebooks(
+    emb: DataFrame, n_codes: int = 16, m_sub: int = 4, dim: int = 64
+) -> DataFrame:
+    """Deterministic product-quantization codebooks (Jégou, Douze &
+    Schmid, TPAMI 2011 — public literature; the FAISS ``IndexPQ``
+    layout): the embedding space is split into ``m_sub`` contiguous
+    subspaces of ``dim/m_sub`` dims, and each subspace's ``n_codes``
+    centroids are the corresponding SLICES of the ``n_codes``
+    md5-smallest corpus vectors — the same zero-model-artifact seeded
+    quantizer as :func:`ivf_centroids`, so the whole index is
+    reproducible from the data alone (and a trained codebook plugs in
+    through the same ``(sub, code, cent_sub)`` contract).
+
+    Returns ``(sub, code, cent_sub)`` — ``m_sub · n_codes`` rows, tiny
+    by construction (broadcast side everywhere it is used).
+    """
+    if dim % m_sub != 0:
+        raise ValueError(f"m_sub={m_sub} must divide dim={dim}")
+    ds = dim // m_sub
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__h__", F.md5(F.col("vec_id").cast("string")))
+        .orderBy(F.asc("__h__"), F.asc("vec_id"))
+        .limit(n_codes)
+        .select(F.col("vec_id").alias("code"), "embedding")
+    )
+    subs = F.explode(
+        F.sequence(F.lit(0), F.lit(m_sub - 1))
+    ).alias("sub")
+    return seeds.select("code", "embedding", subs).select(
+        "sub",
+        "code",
+        F.slice(
+            F.col("embedding"), F.col("sub") * ds + 1, ds
+        ).alias("cent_sub"),
+    )
+
+
+def _l2sq_expr(a, b):
+    """Exact squared-L2 between two float arrays as an ordered left fold
+    (same element order as DuckDB's list_reduce/list_zip replay)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: DataFrame,
+    m_sub: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ encoding: each vector → ``m_sub`` small codes (its nearest
+    codebook centroid per subspace by squared L2, rounded 6 dp for
+    engine portability, ties broken by code ASC) — the 64× memory
+    compression that lets a 10^12-vector index live in RAM.
+
+    Scale shape: one broadcast crossJoin (codebook is m_sub·n_codes
+    rows) + one per-(vec, sub) window top-1 + one per-vec collect of
+    m_sub codes — a single map-shuffle pass over the corpus; the
+    output is ``(vec_id, codes)`` with ``codes[sub]`` the chosen code.
+    """
+    ds = dim // m_sub
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(books))
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            F.round(
+                _l2sq_expr(
+                    F.slice(F.col("embedding"), F.col("sub") * ds + 1, ds),
+                    F.col("cent_sub"),
+                ),
+                6,
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d"), F.asc("code")
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("sc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_codes: int = 16,
+    m_sub: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC — Jégou et al. 2011): queries
+    stay full-precision, the corpus is scanned in its ``m_sub``-byte PQ
+    codes, and each candidate's distance is the sum of ``m_sub``
+    precomputed lookup-table entries — no corpus-side float math at all.
+
+    Pipeline: :func:`pq_codebooks` (broadcast) → :func:`pq_encode` the
+    corpus once (write-time at production scale, like the IVF cell
+    assignment) → per query build the ``m_sub · n_codes`` LUT of
+    subspace distances (a broadcast table of n_queries · m_sub ·
+    n_codes rows) → explode corpus codes, broadcast-join the LUT, one
+    (query, neighbor) integer-keyed hash agg sums the m_sub entries —
+    map-side combined, the only corpus-sized shuffle.  Self-matches are
+    excluded; ADC distance is rounded 6 dp, rank ties break by
+    neighbor_id ASC (engine-portable total order).
+
+    With ``m_sub=1, n_codes=|corpus|`` every vector is its own centroid
+    and ADC degenerates to EXACT squared-L2 brute force — the
+    correctness anchor the pytest pins (the analogue of IVF's
+    nprobe=n_cells ≡ brute-force proof).
+
+    Returns ``(query_id, neighbor_id, adc_dist, rank)``.
+    """
+    books = pq_codebooks(emb, n_codes=n_codes, m_sub=m_sub, dim=dim)
+    ds = dim // m_sub
+    codes = pq_encode(emb, books, m_sub=m_sub, dim=dim)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    lut = queries.crossJoin(F.broadcast(books)).select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(
+            _l2sq_expr(
+                F.slice(F.col("qe"), F.col("sub") * ds + 1, ds),
+                F.col("cent_sub"),
+            ),
+            6,
+        ).alias("d"),
+    )
+    exploded = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -1627,3 +1627,49 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
             for b, c in counts([text]).items()
         )
         assert abs(out[doc_id] - w) < 1e-5, (doc_id, out[doc_id], w)
+
+
+def test_pq_topk_degenerates_to_exact_l2_and_recall(spark):
+    """PQ/ADC correctness anchor: with m_sub=1 and n_codes=|corpus| every
+    vector is its own centroid, so the asymmetric distance IS the exact
+    squared L2 and the top-k equals a NumPy brute force (the analogue of
+    the IVF nprobe=n_cells proof).  At real compression (m_sub=4,
+    n_codes=8) recall@5 vs exact must stay well above chance."""
+    import numpy as np
+
+    from pregel_rs_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(7)
+    n, dim = 40, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(emb, k=5, n_queries=4, n_codes=n, m_sub=1, dim=dim)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in out.collect()
+    }
+    v64 = vecs.astype("float64")
+    for q in range(4):
+        d = np.round(((v64 - v64[q]) ** 2).sum(axis=1), 6)
+        order = sorted(
+            (float(d[i]), i) for i in range(n) if i != q
+        )[:5]
+        for rank, (dist, nid) in enumerate(order, 1):
+            gnid, gdist = got[(q, rank)]
+            assert gnid == nid, (q, rank, gnid, nid)
+            assert abs(gdist - dist) < 2e-6
+    # compressed index: recall@5 well above the 5/39 ~ 13% chance level
+    comp = pq_topk(emb, k=5, n_queries=4, n_codes=8, m_sub=4, dim=dim)
+    hits = 0
+    approx = {}
+    for r in comp.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q in range(4):
+        d = np.round(((v64 - v64[q]) ** 2).sum(axis=1), 6)
+        exact = {i for _, i in sorted(
+            (float(d[i]), i) for i in range(n) if i != q)[:5]}
+        hits += len(exact & approx[q])
+    assert hits >= 8, f"recall@5 too low: {hits}/20"
