@@ -3987,7 +3987,11 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT tc.s, e.o FROM tc JOIN e ON tc.o = e.s
         ),
-        tcr AS (SELECT s, o FROM tc UNION SELECT id, id FROM v),
+        -- DISTINCT is explicit: inside WITH RECURSIVE DuckDB treats a
+        -- non-self-referencing CTE's bare UNION as UNION ALL (measured:
+        -- 9800 rows vs 9703 distinct here), so dedup must not rely on it
+        tcr AS (SELECT DISTINCT s, o FROM
+                (SELECT s, o FROM tc UNION ALL SELECT id, id FROM v)),
         comp AS (SELECT p.s AS id, MAX(p.o) AS component
                  FROM tcr p JOIN tcr q ON p.s = q.o AND p.o = q.s
                  GROUP BY p.s),
@@ -4275,7 +4279,11 @@ def oracle_sql() -> dict[str, str]:
                      WHERE rr.p <> pb1.p),
         r1 AS (SELECT c, p FROM rr
                WHERE EXISTS (SELECT 1 FROM pb1 z WHERE z.c = rr.p AND z.p = rr.p)),
-        vs AS (SELECT a AS v FROM ew UNION SELECT b FROM ew),
+        -- explicit DISTINCT: bare UNION of a non-self-referencing CTE
+        -- inside WITH RECURSIVE does NOT dedup in DuckDB (measured 9894
+        -- rows vs 100 distinct -> a 99x fan-out into l2: 31M rows, 50s)
+        vs AS (SELECT DISTINCT v FROM
+               (SELECT a AS v FROM ew UNION ALL SELECT b FROM ew)),
         cmp1 AS (SELECT vs.v, COALESCE(r1.p, vs.v) AS comp
                  FROM vs LEFT JOIN r1 ON r1.c = vs.v),
         l2 AS (SELECT ew.a, ew.b, ew.w, ca.comp AS ca, cb.comp AS cb
