@@ -467,6 +467,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket=50,
         )
 
+    def incr_dedup_q(spark, sf):
+        """Dedup-at-ingest: the even-doc_id half of the corpus is the
+        standing LSH band index (written once), the odd half is the new
+        snapshot screened against it — per-doc (old, in-batch) collision
+        counts + first-occurrence-wins admission verdict."""
+        from pregel_rs_spark.operators.dedup import (
+            incremental_dedup,
+            lsh_band_index,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        idx = lsh_band_index(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            k=5, num_hashes=4, bands=2, max_bucket=50,
+        )
+        return incremental_dedup(
+            docs.filter(F.col("doc_id") % 2 == 1), idx,
+            k=5, num_hashes=4, bands=2, max_bucket=50,
+        )
+
     def ngram_jaccard_q(spark, sf):
         """Exact 5-gram Jaccard pairs (≥ 0.4) with the max_df
         frequent-shingle guard (df prefix filtering); the oracle stays the
@@ -1893,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact=dedup_exact_q,
         minhash_signatures=minhash_q,
         lsh_candidate_pairs=lsh_pairs_q,
+        incr_dedup=incr_dedup_q,
         ngram_jaccard=ngram_jaccard_q,
         simhash=simhash_q,
         embedding_cosine_dups=embedding_dups_q,
@@ -2299,6 +2320,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a JOIN kept b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    # incr_dedup: same banding as lsh_candidate_pairs; the max_bucket cap
+    # is applied PER SET (the standing index was capped when written, the
+    # snapshot when banded), then new x old / new x earlier-new bucket
+    # joins, verdict row for every odd doc.
+    o["incr_dedup"] = f"""
+        WITH sig AS ({_MINHASH_SQL}),
+        band AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                        md5(string_agg(minhash, ',' ORDER BY minhash)) AS bucket
+                 FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+        old_idx AS (SELECT band, bucket, doc_id FROM (
+            SELECT band, bucket, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                      ORDER BY doc_id) AS rn
+            FROM band WHERE doc_id % 2 = 0) WHERE rn <= 50),
+        new_idx AS (SELECT band, bucket, doc_id FROM (
+            SELECT band, bucket, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                      ORDER BY doc_id) AS rn
+            FROM band WHERE doc_id % 2 = 1) WHERE rn <= 50),
+        oldh AS (SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS c
+                 FROM new_idx n JOIN old_idx o USING (band, bucket)
+                 GROUP BY n.doc_id),
+        newh AS (SELECT n.doc_id, COUNT(DISTINCT p.doc_id) AS c
+                 FROM new_idx n JOIN new_idx p
+                   ON p.band = n.band AND p.bucket = n.bucket
+                  AND p.doc_id < n.doc_id
+                 GROUP BY n.doc_id)
+        SELECT d.doc_id,
+               COALESCE(oldh.c, 0) AS old_candidates,
+               COALESCE(newh.c, 0) AS new_candidates,
+               (COALESCE(oldh.c, 0) + COALESCE(newh.c, 0)) = 0 AS admit
+        FROM documents d
+        LEFT JOIN oldh ON oldh.doc_id = d.doc_id
+        LEFT JOIN newh ON newh.doc_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
     """
     o["ngram_jaccard"] = f"""
         WITH sh AS ({_SHINGLES_SQL}),

@@ -97,6 +97,115 @@ def minhash_signatures(
     )
 
 
+def lsh_band_index(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The persisted LSH index artifact ``(doc_id, band, bucket)`` —
+    shingle → minhash → band signature re-hashed to a bucket key, hot
+    buckets capped at ``max_bucket`` rows (row_number by doc_id ASC, so
+    the cap is deterministic).  At production scale this table is
+    written ONCE per corpus (write-time indexing, like the IVF cell
+    assignment) and every later dedup pass — batch self-join
+    (:func:`lsh_candidate_pairs`) or snapshot screening
+    (:func:`incremental_dedup`) — joins against it instead of
+    re-shingling the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    if shingles is None:
+        shingles = char_shingles(docs, k, text_col)
+    sig = minhash_signatures(shingles, num_hashes)
+    band = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    return (
+        band.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .select("doc_id", "band", "bucket")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-at-ingest: screen a NEW crawl snapshot against an EXISTING
+    corpus's persisted LSH index (:func:`lsh_band_index` output) without
+    touching the corpus text — the incremental production shape (each
+    snapshot is banded once, then joined against the standing index; the
+    corpus is never re-shingled).
+
+    A new doc is **rejected** when any of its band buckets collides with
+    a corpus doc (``old_candidates``) or with a LOWER-doc_id doc of the
+    same snapshot (``new_candidates`` — first-occurrence-wins within the
+    batch, the :func:`dedup_exact` convention).  Blank/NULL-text docs
+    have no shingles, hence no buckets, and are admitted with zero
+    candidates (quality filters own them downstream); the verdict table
+    covers EVERY new doc (``corpus_filter`` auditability convention).
+
+    LSH collision is a candidate signal, not proof — pipe rejected docs
+    through :func:`lsh_jaccard_rerank`-style exact verification when the
+    false-positive cost matters.  Scale shape: one band build over the
+    snapshot (shuffle keyed by (band, bucket)), two bucket equi-joins
+    against capped indexes (hot buckets bounded by ``max_bucket``² per
+    side), one per-doc count agg — no corpus-sized pairwise work.
+
+    Returns ``(doc_id, old_candidates, new_candidates, admit)``.
+    """
+    new_idx = lsh_band_index(
+        new_docs, k, num_hashes, bands, max_bucket, text_col
+    )
+    old_hits = (
+        new_idx.join(
+            corpus_index.select(
+                "band", "bucket", F.col("doc_id").alias("__old")
+            ),
+            ["band", "bucket"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("__old")).alias("old_candidates"))
+    )
+    new_hits = (
+        new_idx.join(
+            new_idx.select(
+                "band", "bucket", F.col("doc_id").alias("__peer")
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("__peer") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("__peer")).alias("new_candidates"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(old_hits, "doc_id", "left")
+        .join(new_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("old_candidates", F.lit(0)).alias("old_candidates"),
+            F.coalesce("new_candidates", F.lit(0)).alias("new_candidates"),
+            (
+                F.coalesce("old_candidates", F.lit(0))
+                + F.coalesce("new_candidates", F.lit(0))
+                == 0
+            ).alias("admit"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -116,18 +225,8 @@ def lsh_candidate_pairs(
     needs them for the exact intersection) pass them in instead of paying
     the explode+distinct again.
     """
-    rows_per_band = num_hashes // bands
-    if shingles is None:
-        shingles = char_shingles(docs, k, text_col)
-    sig = minhash_signatures(shingles, num_hashes)
-    band = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
-    )
-    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    band = band.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= max_bucket
+    band = lsh_band_index(
+        docs, k, num_hashes, bands, max_bucket, text_col, shingles
     )
     a = band.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b = band.select("band", "bucket", F.col("doc_id").alias("doc_b"))

@@ -77,3 +77,42 @@ def test_dedup_chunks_matches_python_oracle(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="chunk"):
         dedup_chunks(docs, chunk=0)
+
+
+def test_incremental_dedup_screens_snapshot_against_index(spark):
+    """Dedup-at-ingest: a new doc whose text duplicates a corpus doc
+    collides through the standing LSH index and is rejected; a unique
+    new doc is admitted; within the batch first-occurrence wins; blank
+    docs are admitted with zero candidates (verdict total over batch)."""
+    from pregel_rs_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_band_index,
+    )
+
+    corpus_text = "the quick brown fox jumps over the lazy dog " * 4
+    other_text = "completely different content about spark shuffles " * 4
+    old = spark.createDataFrame(
+        [(10, corpus_text), (12, "some unrelated corpus document " * 5)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (21, corpus_text),      # dup of corpus doc 10 -> reject
+            (23, other_text),       # unique vs corpus, first in batch
+            (25, other_text),       # in-batch dup of 23 -> reject
+            (27, "   "),            # blank: no shingles, admitted
+        ],
+        "doc_id long, text string",
+    )
+    idx = lsh_band_index(old, k=5, num_hashes=4, bands=2)
+    out = {
+        r.doc_id: (r.old_candidates, r.new_candidates, r.admit)
+        for r in incremental_dedup(
+            new, idx, k=5, num_hashes=4, bands=2
+        ).collect()
+    }
+    assert set(out) == {21, 23, 25, 27}
+    assert out[21][0] >= 1 and not out[21][2]
+    assert out[23] == (0, 0, True)
+    assert out[25][1] >= 1 and not out[25][2]
+    assert out[27] == (0, 0, True)
