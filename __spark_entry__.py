@@ -337,6 +337,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("walk_id", "step", "vertex_id")
 
+    def node2vec_k2_q(spark, sf):
+        """2-step node2vec biased walks (Grover & Leskovec 2016) from
+        every vertex of the lineitem link graph — integer α weights
+        (return 1, near 4, far 2 ≡ p=4, q=2 scaled); step 1 is the
+        uniform first-order pick, step 2 the second-order weighted pick,
+        both pure modular arithmetic the oracle replays exactly."""
+        from pregel_rs_spark.algorithms import node2vec_walks
+
+        return node2vec_walks(
+            GraphFrame.from_edges(_edges_li(spark, sf)),
+            length=2, w_return=1, w_near=4, w_far=2, seed=42,
+        ).select("walk_id", "step", "vertex_id")
+
     def neighborhood_k2_q(spark, sf):
         """Exact 2-hop neighborhood function on the supplier graph — the
         verification baseline for the HyperBall scale path."""
@@ -1895,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         coreness_r3=coreness_r3_q,
         densest_r2=densest_r2_q,
         walks_k3=walks_k3_q,
+        node2vec_k2=node2vec_k2_q,
         neighborhood_k2=neighborhood_k2_q,
         hyperball_regs_k2=hyperball_regs_q,
         lpa_1round=lpa_1round,
@@ -2957,6 +2971,57 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
     )
+    # node2vec_k2: step 1 = the uniform first-order pick (walks_k3
+    # arithmetic), step 2 = the second-order weighted pick — per
+    # candidate weight 1 (return) / 4 ((prev,nxt) is an edge) / 2 (else),
+    # r = hash mod total weight, first candidate whose cumulative weight
+    # exceeds r (cumsum window ordered by neighbour index).
+    o["node2vec_k2"] = f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+        nbr AS (SELECT subject, object,
+                       ROW_NUMBER() OVER (PARTITION BY subject
+                                          ORDER BY object) - 1 AS idx
+                FROM e),
+        deg AS (SELECT subject, COUNT(*) AS d FROM e GROUP BY subject),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        s0 AS (SELECT vertex_id AS walk_id, vertex_id, 0 AS step FROM v),
+        s1 AS (SELECT s0.walk_id, s0.vertex_id AS prev,
+                      nbr.object AS vertex_id, 1 AS step
+               FROM s0
+               JOIN deg ON deg.subject = s0.vertex_id
+               JOIN nbr ON nbr.subject = s0.vertex_id
+                AND nbr.idx = ((s0.walk_id % 1000003) * 7919
+                             + (s0.vertex_id % 999983) * 104729
+                             + (1 * 7919 + 42)) % deg.d),
+        cand AS (SELECT s1.walk_id, s1.prev, s1.vertex_id AS cur,
+                        nbr.object AS nxt, nbr.idx,
+                        CASE WHEN nbr.object = s1.prev THEN 1
+                             WHEN EXISTS (SELECT 1 FROM e
+                                          WHERE e.subject = s1.prev
+                                            AND e.object = nbr.object)
+                                  THEN 4
+                             ELSE 2 END AS w
+                 FROM s1 JOIN nbr ON nbr.subject = s1.vertex_id),
+        agg AS (SELECT *,
+                       SUM(w) OVER (PARTITION BY walk_id) AS tw,
+                       COALESCE(SUM(w) OVER (PARTITION BY walk_id
+                           ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cb
+                FROM cand),
+        s2 AS (SELECT walk_id, nxt AS vertex_id, 2 AS step FROM (
+                 SELECT *, ((walk_id % 1000003) * 7919
+                          + (cur % 999983) * 104729
+                          + (prev % 999983) * 31
+                          + (2 * 7919 + 42)) % tw AS r
+                 FROM agg)
+               WHERE cb <= r AND r < cb + w)
+        SELECT walk_id, step, vertex_id FROM
+        (SELECT walk_id, step, vertex_id FROM s0
+         UNION ALL SELECT walk_id, step, vertex_id FROM s1
+         UNION ALL SELECT walk_id, step, vertex_id FROM s2)
+    """
     o["neighborhood_k2"] = f"""
         WITH e AS (SELECT subject, object FROM {_SG_SQL}),
         v AS (SELECT DISTINCT vertex_id FROM

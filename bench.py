@@ -272,6 +272,18 @@ def main() -> None:
         ),
     )
 
+    from pregel_rs_spark.algorithms import node2vec_walks
+
+    bench(
+        "node2vec_k3",
+        lambda: _consume(
+            node2vec_walks(
+                GraphFrame.from_edges(li_edges),
+                length=3, w_return=1, w_near=4, w_far=2, seed=42,
+            )
+        ),
+    )
+
     from pregel_rs_spark.algorithms import katz_centrality, link_prediction
 
     # max_degree=100 exercises the hub-cap path: every supplier-side hub

@@ -3796,3 +3796,172 @@ def densest_subgraph(
             else spark.createDataFrame([], f"{VERTEX_ID} bigint, degree bigint")
         )
     return trace_df
+
+
+def node2vec_walks(
+    graph: GraphFrame,
+    length: int,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order biased walks (node2vec — Grover & Leskovec, KDD 2016;
+    public literature; no reference counterpart — extension): the
+    transition out of ``cur`` given the previous vertex weights each
+    candidate ``nxt`` by the node2vec α — return (``nxt == prev``),
+    near (``(prev, nxt)`` is an edge — BFS-like), far (everything else —
+    DFS-like).  Weights are INTEGERS (α(1/p, 1, 1/q) scaled by a common
+    multiple: e.g. p=1, q=2 → ``(w_return, w_near, w_far) = (2, 2, 1)``),
+    so the weighted pick is exact modular arithmetic, reproducible across
+    engines and cluster sizes and SQL-replayable like
+    :func:`random_walks`:
+
+        r_t = ((walk % 1000003)·7919 + (cur % 999983)·104729
+               + (prev % 999983)·31 + t·7919 + seed) mod W
+
+    with ``W`` the walk's total candidate weight; the picked neighbour is
+    the first (by neighbour index) whose cumulative weight exceeds
+    ``r_t``.  Step 1 has no ``prev`` and uses :func:`random_walks`'
+    uniform first-order pick (the node2vec convention).
+
+    Scale shape: per step, one equi-join to the neighbour index, one
+    ``(prev, nxt)``-keyed edge-membership left join (THE node2vec cost —
+    O(walks · avg_degree) candidate rows, all key-partitioned, no
+    pairwise blow-up), and one per-walk window (a walk has ≤ deg(cur)
+    candidate rows).  State is O(walks); lineage truncated per step;
+    walks stop early at dangling vertices.  Start from a vertex sample
+    via ``starts`` at web scale, exactly as in :func:`random_walks`.
+
+    Returns ``(walk_id, step, vertex_id)`` — step 0 is the start vertex.
+    """
+    from pyspark.sql.window import Window
+
+    if length < 0:
+        raise ValueError(f"length must be >= 0, got {length}")
+    if min(w_return, w_near, w_far) < 1:
+        raise ValueError(
+            f"integer weights must be >= 1, got "
+            f"({w_return}, {w_near}, {w_far})"
+        )
+    edges = graph.edges.select(SUBJECT, OBJECT).distinct()
+    wspec = Window.partitionBy(SUBJECT).orderBy(OBJECT)
+    nbr = truncate_plan(
+        edges.select(
+            F.col(SUBJECT).alias("nbr_subject"),
+            F.col(OBJECT).alias("nbr_object"),
+            (F.row_number().over(wspec) - 1).cast("long").alias("nbr_idx"),
+        )
+    )
+    deg = truncate_plan(
+        edges.groupBy(F.col(SUBJECT).alias("deg_subject")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+    )
+    flag = edges.select(
+        F.col(SUBJECT).alias("__ps"),
+        F.col(OBJECT).alias("__po"),
+        F.lit(1).alias("__near"),
+    )
+
+    start_set = graph.vertices if starts is None else starts
+    state = start_set.select(
+        F.col(VERTEX_ID).alias("walk_id"),
+        F.col(VERTEX_ID).alias("vertex_id"),
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).alias("step"),
+    )
+    frames = [state]
+    for t in range(1, length + 1):
+        if t == 1:
+            j = state.join(
+                deg, state["vertex_id"] == deg["deg_subject"], "inner"
+            )
+            pick = (
+                (F.col("walk_id").cast("long") % F.lit(1000003))
+                * F.lit(7919)
+                + (F.col("vertex_id").cast("long") % F.lit(999983))
+                * F.lit(104729)
+                + F.lit(t * 7919 + seed)
+            ) % F.col("out_degree")
+            j = j.select(
+                "walk_id",
+                F.col("vertex_id").alias("cur"),
+                pick.alias("pick_idx"),
+            )
+            state = truncate_plan(
+                j.join(
+                    nbr,
+                    (j["cur"] == nbr["nbr_subject"])
+                    & (j["pick_idx"] == nbr["nbr_idx"]),
+                    "inner",
+                ).select(
+                    "walk_id",
+                    F.col("nbr_object").alias("vertex_id"),
+                    F.col("cur").alias("prev"),
+                    F.lit(t).alias("step"),
+                )
+            )
+        else:
+            cand = (
+                state.join(
+                    nbr, state["vertex_id"] == nbr["nbr_subject"], "inner"
+                )
+                .join(
+                    flag,
+                    (F.col("prev") == F.col("__ps"))
+                    & (F.col("nbr_object") == F.col("__po")),
+                    "left",
+                )
+                .select(
+                    "walk_id",
+                    F.col("prev"),
+                    F.col("vertex_id").alias("cur"),
+                    F.col("nbr_object").alias("nxt"),
+                    "nbr_idx",
+                    F.when(F.col("nbr_object") == F.col("prev"),
+                           F.lit(w_return))
+                    .when(F.col("__near").isNotNull(), F.lit(w_near))
+                    .otherwise(F.lit(w_far))
+                    .cast("long")
+                    .alias("w"),
+                )
+            )
+            wtot = Window.partitionBy("walk_id")
+            wcum = (
+                Window.partitionBy("walk_id")
+                .orderBy("nbr_idx")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            r = (
+                (F.col("walk_id").cast("long") % F.lit(1000003))
+                * F.lit(7919)
+                + (F.col("cur").cast("long") % F.lit(999983))
+                * F.lit(104729)
+                + (F.col("prev").cast("long") % F.lit(999983)) * F.lit(31)
+                + F.lit(t * 7919 + seed)
+            ) % F.sum("w").over(wtot)
+            cand = cand.select(
+                "walk_id", "cur", "nxt",
+                F.coalesce(F.sum("w").over(wcum), F.lit(0)).alias("cb"),
+                F.col("w"),
+                r.alias("r"),
+            )
+            state = truncate_plan(
+                cand.filter(
+                    (F.col("cb") <= F.col("r"))
+                    & (F.col("r") < F.col("cb") + F.col("w"))
+                ).select(
+                    "walk_id",
+                    F.col("nxt").alias("vertex_id"),
+                    F.col("cur").alias("prev"),
+                    F.lit(t).alias("step"),
+                )
+            )
+        frames.append(state)
+
+    out = frames[0].select("walk_id", "step", "vertex_id")
+    for f in frames[1:]:
+        out = out.unionAll(f.select("walk_id", "step", "vertex_id"))
+    return out

@@ -1998,3 +1998,60 @@ def test_densest_subgraph_peels_to_clique(spark):
     # fixed 0-round prefix: trace is just the input graph summary
     t0 = densest_subgraph(g, max_rounds=0).collect()
     assert len(t0) == 1 and t0[0].n_vertices == 10
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    """Second-order biased picks are a pure function of
+    (walk, prev, cur, step) — a Python replay of the integer arithmetic
+    reproduces every step exactly; uniform weights reduce the bias cases
+    to a single branch (near == far == return)."""
+    from pregel_rs_spark.algorithms import node2vec_walks
+
+    edges = sorted({(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 1), (3, 1)})
+    e = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    out = node2vec_walks(g, length=3, w_return=1, w_near=4, w_far=2)
+    rows = sorted((r.walk_id, r.step, r.vertex_id) for r in out.collect())
+
+    nbrs = {}
+    for s, o in edges:
+        nbrs.setdefault(s, []).append(o)
+    for s in nbrs:
+        nbrs[s].sort()
+    eset = set(edges)
+    seed = 42
+
+    def replay(start, length, wr, wn, wf):
+        acc = [(start, 0, start)]
+        cur, prev = start, None
+        for t in range(1, length + 1):
+            if cur not in nbrs:
+                break
+            cands = nbrs[cur]
+            if t == 1:
+                idx = ((start % 1000003) * 7919
+                       + (cur % 999983) * 104729
+                       + t * 7919 + seed) % len(cands)
+                nxt = cands[idx]
+            else:
+                ws = [wr if c == prev
+                      else (wn if (prev, c) in eset else wf)
+                      for c in cands]
+                r = ((start % 1000003) * 7919 + (cur % 999983) * 104729
+                     + (prev % 999983) * 31 + t * 7919 + seed) % sum(ws)
+                cb = 0
+                for c, w in zip(cands, ws):
+                    if cb <= r < cb + w:
+                        nxt = c
+                        break
+                    cb += w
+            acc.append((start, t, nxt))
+            prev, cur = cur, nxt
+        return acc
+
+    exp = sorted(x for v in (1, 2, 3, 4) for x in replay(v, 3, 1, 4, 2))
+    assert rows == exp
+    # invalid weights rejected
+    import pytest as _p
+    with _p.raises(ValueError, match="weights"):
+        node2vec_walks(g, 2, w_return=0)
