@@ -337,6 +337,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("walk_id", "step", "vertex_id")
 
+    def skipgram_k2_q(spark, sf):
+        """Skip-gram (center, context) pair counts, window 2, over the
+        walks_k3 walk corpus — the DeepWalk corpus-generation stage;
+        the oracle replays the walks then the banded self-join."""
+        from pregel_rs_spark.algorithms import random_walks, skipgram_pairs
+
+        w = random_walks(
+            GraphFrame.from_edges(_edges_li(spark, sf)), length=3, seed=42
+        )
+        return skipgram_pairs(w, window=2)
+
+    def pmi_k2_q(spark, sf):
+        """PMI scores (Levy-Goldberg implicit word2vec matrix) over the
+        skipgram_k2 co-occurrence table — marginals + total + ln ratio,
+        rounded 6 dp."""
+        from pregel_rs_spark.algorithms import (
+            pmi_scores,
+            random_walks,
+            skipgram_pairs,
+        )
+
+        w = random_walks(
+            GraphFrame.from_edges(_edges_li(spark, sf)), length=3, seed=42
+        )
+        return pmi_scores(skipgram_pairs(w, window=2))
+
     def node2vec_k2_q(spark, sf):
         """2-step node2vec biased walks (Grover & Leskovec 2016) from
         every vertex of the lineitem link graph — integer α weights
@@ -1909,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         densest_r2=densest_r2_q,
         walks_k3=walks_k3_q,
         node2vec_k2=node2vec_k2_q,
+        skipgram_k2=skipgram_k2_q,
+        pmi_k2=pmi_k2_q,
         neighborhood_k2=neighborhood_k2_q,
         hyperball_regs_k2=hyperball_regs_q,
         lpa_1round=lpa_1round,
@@ -2971,6 +2999,31 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
     )
+    # skipgram_k2 / pmi_k2: compose the walks_k3 replay (nested WITH —
+    # legal CTE body) with the banded self-join, then marginals + total.
+    o["skipgram_k2"] = f"""
+        WITH w AS ({o['walks_k3']})
+        SELECT a.vertex_id AS center, b.vertex_id AS context,
+               COUNT(*) AS cnt
+        FROM w a JOIN w b
+          ON a.walk_id = b.walk_id AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2
+    """
+    # p is referenced 4x (pairs, both marginals, the total) and itself
+    # replays the walk corpus — MATERIALIZED or DuckDB re-executes the
+    # whole walk replay per reference (measured 214 s -> ~15 s).
+    o["pmi_k2"] = f"""
+        WITH p AS MATERIALIZED ({o['skipgram_k2']}),
+        mc AS (SELECT center, SUM(cnt) AS cc FROM p GROUP BY center),
+        mx AS (SELECT context, SUM(cnt) AS cx FROM p GROUP BY context),
+        t AS (SELECT SUM(cnt) AS tt FROM p)
+        SELECT p.center, p.context, p.cnt,
+               ROUND(ln(CAST(p.cnt AS DOUBLE) * CAST(t.tt AS DOUBLE)
+                     / (CAST(mc.cc AS DOUBLE) * CAST(mx.cx AS DOUBLE))), 6)
+                 AS pmi
+        FROM p JOIN mc USING (center) JOIN mx USING (context), t
+    """
     # node2vec_k2: step 1 = the uniform first-order pick (walks_k3
     # arithmetic), step 2 = the second-order weighted pick — per
     # candidate weight 1 (return) / 4 ((prev,nxt) is an edge) / 2 (else),

@@ -3965,3 +3965,84 @@ def node2vec_walks(
     for f in frames[1:]:
         out = out.unionAll(f.select("walk_id", "step", "vertex_id"))
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (DeepWalk/node2vec's
+    corpus-generation stage — Perozzi et al. KDD 2014; public
+    literature): every ordered (center, context) pair of vertices that
+    co-occur within ``window`` steps on the same walk, with its
+    occurrence count — the input to any word2vec-style embedding
+    trainer (and, symmetrized+counted, the co-occurrence matrix the
+    PMI factorization view of word2vec uses).
+
+    ``walks`` is :func:`random_walks` / :func:`node2vec_walks` output
+    ``(walk_id, step, vertex_id)``.  One self equi-join on walk_id with
+    the |Δstep| ≤ window band predicate, one count agg — walks are
+    O(length) rows each, so the join fans out ≤ 2·window rows per
+    position: O(corpus · window), never pairwise in the graph.  Returns
+    ``(center, context, cnt)``.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        "walk_id",
+        F.col("step").alias("__sa"),
+        F.col("vertex_id").alias("center"),
+    )
+    b = walks.select(
+        "walk_id",
+        F.col("step").alias("__sb"),
+        F.col("vertex_id").alias("context"),
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("__sa") != F.col("__sb"))
+            & (F.abs(F.col("__sa") - F.col("__sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def pmi_scores(pairs: DataFrame) -> DataFrame:
+    """Pointwise mutual information over a co-occurrence pair table —
+    word2vec-as-implicit-matrix-factorization's target matrix (Levy &
+    Goldberg, NeurIPS 2014; public literature):
+
+        pmi(x, y) = ln( cnt(x,y) · T / (cnt(x,·) · cnt(·,y)) )
+
+    with T the total pair count; rounded 6 dp (the float-log convention
+    of ``dsir_weights``).  ``pairs`` is :func:`skipgram_pairs` output
+    ``(center, context, cnt)``.
+
+    Scale shape: two marginal hash aggs (vertex-keyed, broadcast if the
+    vocabulary is small, shuffle-joined otherwise), one single-row total
+    crossJoined in, one map-side expression — no pairwise work beyond
+    the input's own rows.  Returns ``(center, context, cnt, pmi)``.
+    """
+    mc = pairs.groupBy("center").agg(F.sum("cnt").alias("__cc"))
+    mx = pairs.groupBy("context").agg(F.sum("cnt").alias("__cx"))
+    tot = pairs.agg(F.sum("cnt").alias("__t"))
+    return (
+        pairs.join(mc, "center")
+        .join(mx, "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "cnt",
+            F.round(
+                F.log(
+                    F.col("cnt").cast("double")
+                    * F.col("__t").cast("double")
+                    / (
+                        F.col("__cc").cast("double")
+                        * F.col("__cx").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

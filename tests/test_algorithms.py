@@ -2055,3 +2055,38 @@ def test_node2vec_walks_match_python_replay(spark):
     import pytest as _p
     with _p.raises(ValueError, match="weights"):
         node2vec_walks(g, 2, w_return=0)
+
+
+def test_skipgram_pairs_and_pmi_hand_computed(spark):
+    """Window-2 pairs from a 2-walk corpus against hand-enumerated
+    counts; PMI against the closed-form ln(cnt*T/(cc*cx))."""
+    import math
+
+    from pregel_rs_spark.algorithms import pmi_scores, skipgram_pairs
+
+    walks = spark.createDataFrame(
+        # walk 1: 1 -> 2 -> 3 ; walk 2: 2 -> 3
+        [(1, 0, 1), (1, 1, 2), (1, 2, 3), (2, 0, 2), (2, 1, 3)],
+        "walk_id long, step int, vertex_id long",
+    )
+    pairs = {
+        (r.center, r.context): r.cnt
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    # walk 1 contributes all 6 ordered pairs of {1,2,3}; walk 2 both of {2,3}
+    assert pairs == {
+        (1, 2): 1, (2, 1): 1, (1, 3): 1, (3, 1): 1,
+        (2, 3): 2, (3, 2): 2,
+    }
+    out = {
+        (r.center, r.context): (r.cnt, r.pmi)
+        for r in pmi_scores(skipgram_pairs(walks, window=2)).collect()
+    }
+    T = 8
+    cc = {1: 2, 2: 3, 3: 3}
+    for (x, y), c in pairs.items():
+        exp = round(math.log(c * T / (cc[x] * cc[y])), 6)
+        assert abs(out[(x, y)][1] - exp) < 1e-6, ((x, y), out[(x, y)], exp)
+    import pytest as _p
+    with _p.raises(ValueError, match="window"):
+        skipgram_pairs(walks, window=0)
