@@ -141,6 +141,7 @@ def incremental_dedup(
     bands: int = 4,
     max_bucket: int = 50,
     text_col: str = "text",
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup-at-ingest: screen a NEW crawl snapshot against an EXISTING
     corpus's persisted LSH index (:func:`lsh_band_index` output) without
@@ -163,10 +164,19 @@ def incremental_dedup(
     against capped indexes (hot buckets bounded by ``max_bucket``² per
     side), one per-doc count agg — no corpus-sized pairwise work.
 
+    ``new_index`` lets a caller that already banded the snapshot (e.g.
+    the streaming sink, which also folds the admitted bands into the
+    standing index) pass the :func:`lsh_band_index` output in instead of
+    paying the shingle pass twice.
+
     Returns ``(doc_id, old_candidates, new_candidates, admit)``.
     """
-    new_idx = lsh_band_index(
-        new_docs, k, num_hashes, bands, max_bucket, text_col
+    new_idx = (
+        new_index
+        if new_index is not None
+        else lsh_band_index(
+            new_docs, k, num_hashes, bands, max_bucket, text_col
+        )
     )
     old_hits = (
         new_idx.join(

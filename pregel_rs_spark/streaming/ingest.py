@@ -255,3 +255,86 @@ def compact_pages_stream(pages: DataFrame, store, table: str = "latest_pages"):
         store.write(table, snap)
 
     return pages.writeStream.foreachBatch(_merge)
+
+
+def lsh_dedup_stream(
+    docs: DataFrame,
+    store,
+    index_table: str = "lsh_index",
+    verdict_table: str = "dedup_verdicts",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+    text_col: str = "text",
+):
+    """Streaming NEAR-dup admission — the continuous-ingestion form of
+    :func:`~pregel_rs_spark.operators.dedup.incremental_dedup`: each
+    micro-batch is banded once, screened against the STANDING LSH index
+    (everything admitted so far), its verdicts appended to
+    ``verdict_table``, and the ADMITTED docs' bands folded into
+    ``index_table`` — so batch N+1 near-dedups against every document
+    admitted in batches 1..N, not just its own horizon (the
+    complementary exact path, :func:`dedup_content_stream`, keeps only
+    watermark-bounded state; the LSH index is the durable artifact and
+    lives in the table store, not in stream state).
+
+    ``foreachBatch`` is the right sink shape (the
+    :func:`compact_pages_stream` convention): the screen needs a
+    read-modify-write of the maintained index, and TableStore's
+    write-tmp-then-rename keeps each commit atomic (Iceberg MERGE on a
+    real deployment).  Per batch the work is one band build over the
+    batch + two capped bucket joins — the corpus text is never re-read,
+    and the index is re-capped per bucket after each merge (doc_id ASC,
+    the :func:`lsh_band_index` determinism rule) so a boilerplate bucket
+    cannot grow without bound across batches.
+
+    Rejected docs are near-dup CANDIDATES (band collision); pipe them
+    through exact-Jaccard verification where the false-positive cost
+    matters, exactly as in the batch path.
+
+    Returns the ready ``DataStreamWriter`` (caller picks trigger and
+    checkpoint location).
+    """
+    from pyspark.sql.window import Window
+
+    from pregel_rs_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_band_index,
+    )
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        new_idx = lsh_band_index(
+            batch_df, k, num_hashes, bands, max_bucket, text_col
+        )
+        # self-contained per batch: the index frame must not depend on
+        # the stream source once the batch returns
+        new_idx = new_idx.localCheckpoint(eager=True)
+        if store.exists(index_table):
+            standing = store.read(index_table)
+        else:
+            standing = new_idx.filter(F.lit(False))
+        # materialize THIS batch's verdicts before the append-write: the
+        # write replaces the verdict files, so any lazy plan still
+        # reading them (the union below) must be fully evaluated first
+        batch_verdicts = incremental_dedup(
+            batch_df, standing, k, num_hashes, bands, max_bucket,
+            text_col, new_index=new_idx,
+        ).withColumn("batch_id", F.lit(batch_id)).localCheckpoint(eager=True)
+        appended = batch_verdicts
+        if store.exists(verdict_table):
+            appended = store.read(verdict_table).unionByName(batch_verdicts)
+        store.write(verdict_table, appended)
+        admitted = batch_verdicts.filter(F.col("admit")).select("doc_id")
+        grown = standing.unionByName(
+            new_idx.join(admitted, "doc_id", "left_semi")
+        )
+        w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        grown = (
+            grown.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket)
+            .select("doc_id", "band", "bucket")
+        )
+        store.write(index_table, grown)
+
+    return docs.writeStream.foreachBatch(_screen)

@@ -320,3 +320,90 @@ def test_stream_compaction_matches_batch_snapshot(spark, tmp_path_factory):
     rec = {r.url: r.content_md5 for r in latest_snapshot(recrawl).collect()}
     final = {r.url: r.content_md5 for r in got.collect()}
     assert rec and all(final[u] == h for u, h in rec.items())
+
+
+def test_stream_lsh_dedup_grows_standing_index(spark, tmp_path_factory):
+    """lsh_dedup_stream screens each micro-batch against the standing
+    index and folds admitted bands in: verdicts equal a manual
+    sequential replay of incremental_dedup over the same batch order,
+    and a batch-2 duplicate of an admitted batch-1 doc is rejected."""
+    from pregel_rs_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_band_index,
+    )
+    from pregel_rs_spark.sources.io import TableStore
+    from pregel_rs_spark.streaming.ingest import lsh_dedup_stream
+
+    root = tmp_path_factory.mktemp("lshdedup")
+    src = os.path.join(str(root), "docs")
+    t_a = "the quick brown fox jumps over the lazy dog " * 4
+    t_b = "spark shuffles partition data across the cluster nodes " * 4
+    t_c = "an entirely distinct third document about web crawling " * 4
+    b0 = spark.createDataFrame(
+        [(1, t_a), (2, t_b)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(11, t_a), (12, t_c)], "doc_id long, text string"
+    )
+    b0.repartition(1).write.parquet(os.path.join(src, "b0"))
+    b1.repartition(1).write.parquet(os.path.join(src, "b1"))
+
+    store = TableStore(spark, os.path.join(str(root), "store"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        lsh_dedup_stream(stream, store, k=5, num_hashes=4, bands=2)
+        .option("checkpointLocation", os.path.join(str(root), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    verdicts = store.read("dedup_verdicts").collect()
+    got = {r.doc_id: (r.old_candidates, r.new_candidates, r.admit, r.batch_id)
+           for r in verdicts}
+    assert set(got) == {1, 2, 11, 12}
+    # replay sequentially in the ACTUAL batch order the stream used
+    batches = {}
+    for r in verdicts:
+        batches.setdefault(r.batch_id, set()).add(r.doc_id)
+    order = sorted(batches)
+    all_docs = b0.unionByName(b1)
+    standing = None
+    for bid in order:
+        batch = all_docs.filter(
+            F.col("doc_id").isin([int(d) for d in batches[bid]])
+        )
+        if standing is None:
+            standing = lsh_band_index(
+                batch, k=5, num_hashes=4, bands=2
+            ).filter(F.lit(False))
+        exp = {
+            r.doc_id: (r.old_candidates, r.new_candidates, r.admit)
+            for r in incremental_dedup(
+                batch, standing, k=5, num_hashes=4, bands=2
+            ).collect()
+        }
+        for d, v in exp.items():
+            assert got[d][:3] == v, (d, got[d], v)
+        admitted = [d for d, v in exp.items() if v[2]]
+        standing = standing.unionByName(
+            lsh_band_index(batch, k=5, num_hashes=4, bands=2).join(
+                spark.createDataFrame(
+                    [(int(d),) for d in admitted], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        )
+    # the duplicate of an admitted doc must be rejected cross-batch
+    dup_id = 11 if got[11][3] > got[1][3] else 1
+    assert not got[dup_id][2]
+    # unique-content docs admitted
+    assert got[2][2] and got[12][2]
+    # index contains only admitted docs' bands
+    idx_docs = {r.doc_id for r in store.read("lsh_index").collect()}
+    assert idx_docs == {d for d, v in got.items() if v[2]}
