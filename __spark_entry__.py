@@ -337,6 +337,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("walk_id", "step", "vertex_id")
 
+    def powerlaw_alpha_q(spark, sf):
+        """Continuous-MLE power-law exponent of the lineitem link graph's
+        out-degree tail (d >= 2) — Clauset-Shalizi-Newman eq. 3.1; the
+        corpus-shape drift monitor."""
+        from pregel_rs_spark.algorithms import powerlaw_alpha
+
+        return powerlaw_alpha(
+            GraphFrame.from_edges(_edges_li(spark, sf)), dmin=2
+        )
+
     def skipgram_k2_q(spark, sf):
         """Skip-gram (center, context) pair counts, window 2, over the
         walks_k3 walk corpus — the DeepWalk corpus-generation stage;
@@ -1936,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         walks_k3=walks_k3_q,
         node2vec_k2=node2vec_k2_q,
         skipgram_k2=skipgram_k2_q,
+        powerlaw_alpha=powerlaw_alpha_q,
         pmi_k2=pmi_k2_q,
         neighborhood_k2=neighborhood_k2_q,
         hyperball_regs_k2=hyperball_regs_q,
@@ -2999,6 +3010,16 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
     )
+    o["powerlaw_alpha"] = f"""
+        WITH deg AS (SELECT subject, COUNT(*) AS d FROM {_EV_SQL}
+                     GROUP BY subject HAVING COUNT(*) >= 2)
+        SELECT COUNT(*) AS n_tail, 2 AS dmin,
+               ROUND(CASE WHEN SUM(ln(CAST(d AS DOUBLE) / 1.5)) > 0
+                          THEN 1.0 + COUNT(*)
+                               / SUM(ln(CAST(d AS DOUBLE) / 1.5))
+                          END, 6) AS alpha
+        FROM deg
+    """
     # skipgram_k2 / pmi_k2: compose the walks_k3 replay (nested WITH —
     # legal CTE body) with the banded self-join, then marginals + total.
     o["skipgram_k2"] = f"""

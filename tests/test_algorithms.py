@@ -2090,3 +2090,33 @@ def test_skipgram_pairs_and_pmi_hand_computed(spark):
     import pytest as _p
     with _p.raises(ValueError, match="window"):
         skipgram_pairs(walks, window=0)
+
+
+def test_powerlaw_alpha_matches_closed_form(spark):
+    """CSN eq. 3.1 on a hand-built degree sequence: out-degrees
+    {1: 3, 2: 2, 3: 1} with dmin=2 -> tail degrees [3, 2], alpha =
+    1 + 2 / (ln(3/1.5) + ln(2/1.5))."""
+    import math
+
+    from pregel_rs_spark.algorithms import powerlaw_alpha
+
+    edges = (
+        [(1, o) for o in (10, 11, 12)]
+        + [(2, o) for o in (10, 11)]
+        + [(3, 10)]
+    )
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    row = powerlaw_alpha(g, dmin=2).collect()[0]
+    exp = 1 + 2 / (math.log(3 / 1.5) + math.log(2 / 1.5))
+    assert row.n_tail == 2 and row.dmin == 2
+    assert abs(row.alpha - round(exp, 6)) < 1e-6
+    # empty tail -> NULL alpha, zero count
+    row0 = powerlaw_alpha(g, dmin=10).collect()[0]
+    assert row0.n_tail == 0 and row0.alpha is None
+    import pytest as _p
+    with _p.raises(ValueError, match="dmin"):
+        powerlaw_alpha(g, dmin=0)
+    with _p.raises(ValueError, match="direction"):
+        powerlaw_alpha(g, direction="both")
