@@ -34,6 +34,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "transitivity", "modularity", "effdiam", "trustrank", "spammass",
         "negsample", "neighsample", "salsa", "mis", "redirects",
         "coreness", "matching", "topolayers", "landmarks", "bowtie",
+        "densest", "node2vec", "skipgram", "pmi", "powerlaw",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -63,6 +64,16 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="negsample: negatives drawn per vertex")
     ap.add_argument("--seed", type=int, default=42,
                     help="negsample/neighsample: hash seed")
+    ap.add_argument("--dmin", type=int, default=2,
+                    help="powerlaw: tail threshold degree")
+    ap.add_argument("--w-return", type=int, default=1,
+                    help="node2vec: integer return weight")
+    ap.add_argument("--w-near", type=int, default=4,
+                    help="node2vec: integer BFS-side weight")
+    ap.add_argument("--w-far", type=int, default=2,
+                    help="node2vec: integer DFS-side weight")
+    ap.add_argument("--window", type=int, default=2,
+                    help="skipgram/pmi: co-occurrence window")
     ap.add_argument("--fanouts", default="2,2",
                     help="neighsample: comma-separated per-hop fan-outs")
     ap.add_argument("--landmarks", default=None,
@@ -189,6 +200,27 @@ def main(argv: list[str] | None = None) -> int:
         res = A.harmonic_centrality(g, k=args.k)
     elif args.algo == "walks":
         res = A.random_walks(g, length=args.k)
+    elif args.algo == "densest":
+        res = A.densest_subgraph(g)
+    elif args.algo == "node2vec":
+        res = A.node2vec_walks(
+            g, length=args.k, w_return=args.w_return,
+            w_near=args.w_near, w_far=args.w_far, seed=args.seed,
+        )
+    elif args.algo == "skipgram":
+        res = A.skipgram_pairs(
+            A.random_walks(g, length=args.k, seed=args.seed),
+            window=args.window,
+        )
+    elif args.algo == "pmi":
+        res = A.pmi_scores(
+            A.skipgram_pairs(
+                A.random_walks(g, length=args.k, seed=args.seed),
+                window=args.window,
+            )
+        )
+    elif args.algo == "powerlaw":
+        res = A.powerlaw_alpha(g, dmin=args.dmin)
     elif args.algo in ("cocitation", "coupling"):
         res = A.cocitation_pairs(
             g, min_shared=args.min_shared,

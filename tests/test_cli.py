@@ -292,3 +292,30 @@ def test_cli_matching_topolayers_landmarks(spark, tmp_path):
                  "--landmarks", "1,3", "--k", "2", "--cores", "4"]) == 0
     lm = spark.read.parquet(o3)
     assert lm.count() == 8  # matches test_landmark_distances_truncated_bfs
+
+
+def test_cli_round3b_embedding_corpus_cmds(spark, tmp_path):
+    """densest/node2vec/skipgram/pmi/powerlaw subcommands round-trip
+    through parquet with the expected schemas."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (2, 4)],
+        "subject long, object long",
+    )
+    epath = os.path.join(tmp_path, "e3b")
+    edges.write.parquet(epath)
+    expect = {
+        "densest": {"peel_round", "n_vertices", "n_edges", "density"},
+        "node2vec": {"walk_id", "step", "vertex_id"},
+        "skipgram": {"center", "context", "cnt"},
+        "pmi": {"center", "context", "cnt", "pmi"},
+        "powerlaw": {"n_tail", "dmin", "alpha"},
+    }
+    for algo, cols in expect.items():
+        opath = os.path.join(tmp_path, f"out3b_{algo}")
+        assert main([
+            algo, "--edges", epath, "--out", opath, "--cores", "4",
+            "--k", "2",
+        ]) == 0
+        out = spark.read.parquet(opath)
+        assert set(out.columns) == cols, algo
+        assert out.count() >= 1
