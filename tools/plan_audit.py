@@ -200,6 +200,44 @@ EXPECT: dict[str, dict] = {
     "mirror_detect": {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # DSIR: both bucket distributions and the LUT are <= n_buckets rows
+    # -> must broadcast; the only corpus shuffles are the feature agg and
+    # the per-doc weight agg; reads (doc_id, text, source)
+    "dsir_weights": {
+        "read_cols_max": 3,
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct"],
+    },
+    # PQ/ADC: codebooks and the per-query LUT are tiny broadcast tables
+    # (the 1-row/64-row crossJoins plan as BroadcastNestedLoopJoin, which
+    # is the sanctioned shape); a non-broadcast cartesian is a FAIL
+    "ann_topk_pq": {
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct"],
+    },
+    # incremental dedup: capped (band, bucket) equi-joins only
+    "incr_dedup": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # densest subgraph: degree agg + two semi equi-joins per round
+    "densest_r2": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # node2vec: neighbour-index and edge-flag joins are all equi
+    "node2vec_k2": {
+        "forbid": ["CartesianProduct"],
+    },
+    # skip-gram pairs: ONE walk_id self equi-join + one hash agg
+    "skipgram_k2": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # power-law MLE: scan -> distinct -> two hash aggs, no joins at all
+    "powerlaw_alpha": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+    },
     # hashing-trick features: explode + ONE (doc, bucket) hash agg
     "hash_feats": {
         "read_cols_max": 2,
