@@ -951,6 +951,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), n_clusters=8, iters=2
         )
 
+    def semdedup_q(spark, sf):
+        """SemDeDup (Abbas et al. 2023): deterministic 2-iter k-means
+        clustering, then cosine >= 0.3 near-dup pairs WITHIN clusters
+        only, keep-lowest verdict per vector.  The oracle composes the
+        kmeans_2iter replay with the blocked pair join.  (max_block is
+        inactive at sf0.01's 500 vectors — clusters are far below the
+        cap.)"""
+        from pregel_rs_spark.operators.dedup import semdedup
+
+        return semdedup(
+            load_table(spark, sf, "embeddings"),
+            n_clusters=8, iters=2, threshold=0.3,
+        )
+
     def ktruss_q(spark, sf):
         """k-truss (k=3) bounded to 2 peel rounds on the supplier graph —
         surviving canonical edges + final-subgraph support, mirroring the
@@ -1899,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q.update(
         kmeans_2iter=kmeans_q,
+        semdedup=semdedup_q,
         ktruss3_r2=ktruss_q,
         mis_r2=mis_q,
         bm25_topk=bm25_q,
@@ -3347,6 +3362,23 @@ def oracle_sql() -> dict[str, str]:
         c2 AS ({_KM_UPDATE.format(assigned="a2")}),
         fin AS ({_KM_ASSIGN.format(cos=_km_cos, cents="c2")})
         SELECT vec_id, cell_id AS cluster_id, sim AS cosine FROM fin
+    """
+    # semdedup: kmeans_2iter replay (MATERIALIZED — referenced by both
+    # pair sides and the verdict) -> within-cluster cosine pairs at the
+    # same unrounded-threshold convention as embedding_cosine_dups ->
+    # keep-lowest verdict per vector.
+    o["semdedup"] = f"""
+        WITH km AS MATERIALIZED ({o["kmeans_2iter"]}),
+        blocked AS (SELECT e.vec_id, e.embedding, km.cluster_id
+                    FROM embeddings e JOIN km USING (vec_id)),
+        pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                  FROM blocked a JOIN blocked b
+                    ON a.cluster_id = b.cluster_id
+                   AND a.vec_id < b.vec_id
+                  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3),
+        drp AS (SELECT DISTINCT vb AS vec_id FROM pairs)
+        SELECT bl.vec_id, bl.cluster_id, (d.vec_id IS NULL) AS keep
+        FROM blocked bl LEFT JOIN drp d USING (vec_id)
     """
     _RERANK_SQL = f"""
         WITH pairs AS ({o["lsh_candidate_pairs"]}),

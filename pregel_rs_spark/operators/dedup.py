@@ -916,3 +916,51 @@ def dedup_chunks(
         .otherwise(F.coalesce("kept_chunks", F.lit(0)))
         .alias("kept_chunks"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication of an embedding corpus (Abbas
+    et al. 2023, arXiv:2303.09540 — public literature): k-means-cluster
+    the embeddings, then look for near-duplicate pairs ONLY within each
+    cluster (cosine ≥ ``threshold``), keeping the lowest vec_id of every
+    duplicate pair — the published recipe for pruning semantically
+    redundant web data before pretraining, and the composition this
+    repo's pieces were built for (:func:`~pregel_rs_spark.operators.
+    similarity.kmeans_assign` is the clustering stage,
+    :func:`embedding_cosine_dups` the blocked pair stage).
+
+    Scale shape: clustering is ``iters + 1`` corpus scans (broadcast
+    centroids); the pair stage is the CLUSTER-blocked self-join — O(Σ
+    b_i²) bounded by ``max_block``² per cluster instead of corpus² (at
+    10^12 vectors you raise ``n_clusters`` so clusters fit the cap, the
+    paper's own regime) — and the verdict is one anti-join-shaped left
+    join keyed by vec_id.  Deterministic end to end: md5-seeded
+    centroids, scaled-integer centroid sums, keep-lowest tie-break.
+
+    Returns ``(vec_id, cluster_id, keep)`` — one auditable verdict row
+    per input vector (the :func:`corpus_filter` convention).
+    """
+    from .similarity import kmeans_assign
+
+    assign = kmeans_assign(emb, n_clusters=n_clusters, iters=iters)
+    blocked = emb.select("vec_id", "embedding").join(
+        assign.select("vec_id", "cluster_id"), "vec_id"
+    )
+    pairs = embedding_cosine_dups(
+        blocked, threshold=threshold, block_col="cluster_id",
+        max_block=max_block,
+    )
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        blocked.select("vec_id", "cluster_id")
+        .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster_id", F.col("__d").isNull().alias("keep")
+        )
+    )

@@ -116,3 +116,30 @@ def test_incremental_dedup_screens_snapshot_against_index(spark):
     assert out[23] == (0, 0, True)
     assert out[25][1] >= 1 and not out[25][2]
     assert out[27] == (0, 0, True)
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    """SemDeDup verdict semantics: of two near-identical vectors landing
+    in the same cluster, only the lower vec_id survives; dissimilar
+    vectors keep; one verdict row per input vector."""
+    from pregel_rs_spark.operators.dedup import semdedup
+
+    # vec 1 and 2 nearly identical; 3 and 4 orthogonal-ish to them
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in semdedup(
+            emb, n_clusters=2, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # 1 and 2 cosine ~0.99995 -> same cluster (any seeding), 2 dropped
+    assert out[1][0] == out[2][0]
+    assert out[1][1] is True and out[2][1] is False
+    assert out[3][1] is True and out[4][1] is True
