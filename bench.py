@@ -349,7 +349,28 @@ def main() -> None:
     bench("classifier_score", _classifier)
 
     from pregel_rs_spark.algorithms import densest_subgraph
+    from pregel_rs_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_band_index,
+        semdedup,
+    )
     from pregel_rs_spark.operators.pipeline import dsir_weights
+
+    bench(
+        "semdedup",
+        lambda: _consume(semdedup(emb, n_clusters=8, iters=2, threshold=0.3)),
+    )
+
+    def _incr_dedup():
+        idx = lsh_band_index(
+            docs.filter(F.col("doc_id") % 2 == 0), k=5, num_hashes=4, bands=2
+        )
+        _consume(incremental_dedup(
+            docs.filter(F.col("doc_id") % 2 == 1), idx,
+            k=5, num_hashes=4, bands=2,
+        ))
+
+    bench("incr_dedup", _incr_dedup)
 
     bench(
         "densest_subgraph",
