@@ -337,6 +337,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("walk_id", "step", "vertex_id")
 
+    def eigen_k3_q(spark, sf):
+        """3-step integer power iteration (eigenvector centrality,
+        unnormalized ≡ k-step in-path counts — the HITS exactness
+        convention) on the lineitem link graph; score = count / total,
+        rounded 6 dp."""
+        from pregel_rs_spark.algorithms import eigenvector_centrality
+
+        return eigenvector_centrality(
+            GraphFrame.from_edges(_edges_li(spark, sf)), k=3
+        )
+
+    def minhash_topk_q(spark, sf):
+        """MinHash similarity retrieval: docs 0-9 as queries, top-5
+        corpus docs each by estimated Jaccard (agreeing signature
+        fraction, 4 hashes — the driver-contract MinHash). max_key is
+        inactive at sf0.01's 500-doc posting lists."""
+        from pregel_rs_spark.operators.dedup import minhash_similar
+
+        docs = load_table(spark, sf, "documents")
+        return minhash_similar(
+            docs, docs.filter(F.col("doc_id") < 10),
+            top_k=5, k=5, num_hashes=4,
+        )
+
     def powerlaw_alpha_q(spark, sf):
         """Continuous-MLE power-law exponent of the lineitem link graph's
         out-degree tail (d >= 2) — Clauset-Shalizi-Newman eq. 3.1; the
@@ -1962,6 +1986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node2vec_k2=node2vec_k2_q,
         skipgram_k2=skipgram_k2_q,
         powerlaw_alpha=powerlaw_alpha_q,
+        eigen_k3=eigen_k3_q,
+        minhash_topk=minhash_topk_q,
         pmi_k2=pmi_k2_q,
         neighborhood_k2=neighborhood_k2_q,
         hyperball_regs_k2=hyperball_regs_q,
@@ -3025,6 +3051,55 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
     )
+    # eigen_k3: x0 = 1 on every vertex; per step the in-neighbor integer
+    # sum with zero-fill over the closed vertex set; score divides by the
+    # one total.
+    _eig_step = """
+        , x{t} AS (SELECT v.vertex_id,
+                          CAST(COALESCE(s.x, 0) AS BIGINT) AS x FROM v
+                   LEFT JOIN (SELECT e.object AS vertex_id,
+                                     CAST(SUM(x{p}.x) AS BIGINT) AS x
+                              FROM e JOIN x{p} ON x{p}.vertex_id = e.subject
+                              GROUP BY e.object) s USING (vertex_id))
+    """
+    o["eigen_k3"] = (
+        f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        x0 AS (SELECT vertex_id, CAST(1 AS BIGINT) AS x FROM v)
+        """
+        + _eig_step.format(t=1, p=0)
+        + _eig_step.format(t=2, p=1)
+        + _eig_step.format(t=3, p=2)
+        + """
+        , t AS (SELECT SUM(x) AS tt FROM x3)
+        SELECT vertex_id, x AS paths_k,
+               ROUND(CASE WHEN t.tt > 0
+                          THEN CAST(x AS DOUBLE) / CAST(t.tt AS DOUBLE)
+                          ELSE 0.0 END, 6) AS score
+        FROM x3, t
+        """
+    )
+    # minhash_topk: agreement counts over the 4-hash signature index,
+    # est_jaccard = matches/4, per-query top-5 (matches DESC, doc ASC).
+    o["minhash_topk"] = f"""
+        WITH sig AS ({_MINHASH_SQL}),
+        q AS (SELECT doc_id AS query_id, seed, minhash FROM sig
+              WHERE doc_id < 10),
+        agree AS (SELECT q.query_id, s.doc_id, COUNT(*) AS matches
+                  FROM q JOIN sig s
+                    ON s.seed = q.seed AND s.minhash = q.minhash
+                   AND s.doc_id <> q.query_id
+                  GROUP BY 1, 2),
+        ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY matches DESC, doc_id ASC) AS INT) AS rank
+                   FROM agree)
+        SELECT query_id, doc_id, matches,
+               ROUND(matches / 4.0, 6) AS est_jaccard, rank
+        FROM ranked WHERE rank <= 5
+    """
     o["powerlaw_alpha"] = f"""
         WITH deg AS (SELECT subject, COUNT(*) AS d FROM {_EV_SQL}
                      GROUP BY subject HAVING COUNT(*) >= 2)

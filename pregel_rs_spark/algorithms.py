@@ -4093,3 +4093,62 @@ def powerlaw_alpha(
             6,
         ).alias("alpha"),
     )
+
+
+def eigenvector_centrality(graph: GraphFrame, k: int = 3) -> DataFrame:
+    """Truncated power-iteration eigenvector centrality (Bonacich 1972;
+    the power method — public literature; no reference counterpart —
+    extension), kept INTEGER-EXACT the same way :func:`hits` stays
+    unnormalized: from x₀ = 1, each step is x_{t+1}(v) = Σ_{u→v} x_t(u),
+    so x_k(v) is the NUMBER OF k-STEP IN-PATHS ending at v — pure int64
+    arithmetic, order-independent, bit-identical in any engine.  The
+    returned ``score`` divides by the single total (one scalar) and
+    rounds 6 dp — the direction of the dominant eigenvector without a
+    per-step float normalization that would break exact replay.
+
+    int64 bound: x_k ≤ (max in-degree)^k; with the default k=3 that
+    overflows only past ~2×10⁶ max degree — raise ``k`` with care on
+    hub-heavy graphs (the bound is the documented contract, the same
+    one as ``kmeans_assign``'s scaled-int sums).
+
+    Scale shape: k edge equi-joins + k vertex-keyed integer-sum aggs,
+    lineage truncated per step; one O(1) scalar action at the end.
+    Returns ``(vertex_id, paths_k, score)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = graph.edges.select(SUBJECT, OBJECT)
+    x = graph.vertices.select(
+        VERTEX_ID, F.lit(1).cast("long").alias("x")
+    )
+    for _ in range(k):
+        nxt = (
+            e.join(
+                x.select(
+                    F.col(VERTEX_ID).alias("__u"), F.col("x").alias("__xu")
+                ),
+                e[SUBJECT] == F.col("__u"),
+            )
+            .groupBy(F.col(OBJECT).alias(VERTEX_ID))
+            .agg(F.sum("__xu").alias("x"))
+        )
+        x = truncate_plan(
+            graph.vertices.select(VERTEX_ID)
+            .join(nxt, VERTEX_ID, "left")
+            .select(VERTEX_ID, F.coalesce("x", F.lit(0)).alias("x"))
+        )
+    tot = x.agg(F.sum("x").alias("__t"))
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .select(
+            VERTEX_ID,
+            F.col("x").alias("paths_k"),
+            F.round(
+                F.when(
+                    F.col("__t") > 0,
+                    F.col("x").cast("double") / F.col("__t").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )

@@ -964,3 +964,73 @@ def semdedup(
             "vec_id", "cluster_id", F.col("__d").isNull().alias("keep")
         )
     )
+
+
+def minhash_similar(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    k: int = 5,
+    num_hashes: int = 8,
+    max_key: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash similarity retrieval: for each query document, the
+    ``top_k`` corpus documents by ESTIMATED Jaccard — the fraction of
+    agreeing MinHash components (Broder 1997's resemblance estimator;
+    public literature) — the third retrieval modality next to BM25
+    (lexical) and embedding ANN (semantic): "find the near-duplicates
+    of THIS document" without a pairwise scan.
+
+    The corpus signature table (``minhash_signatures``, |corpus| ·
+    num_hashes rows) is the write-time index; queries join it on the
+    (seed, minhash) key, agreement counts become ĵ = matches /
+    num_hashes, and a per-query window keeps ``top_k`` (ties: higher
+    agreement first, then doc_id ASC — engine-portable total order).
+    ``max_key`` caps each (seed, minhash) key's corpus posting list
+    (row_number by doc_id — a minimum shared by half the corpus is
+    boilerplate, not signal; same guard family as ``max_bucket``).
+    Self-matches are excluded.  Returns ``(query_id, doc_id, matches,
+    est_jaccard, rank)``; est_jaccard rounds to 6 dp.
+
+    Scale shape: one signature build per side (or reuse the persisted
+    index), one capped equi-join keyed by (seed, minhash), one
+    (query, doc) count agg, one per-query window over ≤ num_hashes ·
+    max_key candidate rows.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    sig = minhash_signatures(char_shingles(docs, k, text_col), num_hashes)
+    wk = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    sig_capped = (
+        sig.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= max_key)
+        .drop("__rn")
+    )
+    qsig = minhash_signatures(
+        char_shingles(queries, k, text_col), num_hashes
+    ).select(
+        F.col("doc_id").alias("query_id"), "seed", "minhash"
+    )
+    agree = (
+        qsig.join(sig_capped, ["seed", "minhash"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("matches"), F.asc("doc_id")
+    )
+    return (
+        agree.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            "matches",
+            F.round(F.col("matches") / F.lit(num_hashes), 6).alias(
+                "est_jaccard"
+            ),
+            "rank",
+        )
+    )

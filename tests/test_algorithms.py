@@ -2120,3 +2120,23 @@ def test_powerlaw_alpha_matches_closed_form(spark):
         powerlaw_alpha(g, dmin=0)
     with _p.raises(ValueError, match="direction"):
         powerlaw_alpha(g, direction="both")
+
+
+def test_eigenvector_centrality_path_counts(spark):
+    """x_k = k-step in-path counts: on 1->3, 2->3, 3->4 the 2-step
+    paths end only at 4 (two of them: 1-3-4 and 2-3-4); scores divide
+    by the total exactly."""
+    from pregel_rs_spark.algorithms import eigenvector_centrality
+
+    g = GraphFrame.from_edges(spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "subject long, object long"))
+    out = {r.vertex_id: (r.paths_k, r.score)
+           for r in eigenvector_centrality(g, k=2).collect()}
+    assert out[4] == (2, 1.0)
+    assert out[1] == (0, 0.0) and out[2] == (0, 0.0) and out[3] == (0, 0.0)
+    one = {r.vertex_id: r.paths_k
+           for r in eigenvector_centrality(g, k=1).collect()}
+    assert one == {1: 0, 2: 0, 3: 2, 4: 1}
+    import pytest as _p
+    with _p.raises(ValueError, match="k must"):
+        eigenvector_centrality(g, k=0)

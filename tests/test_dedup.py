@@ -143,3 +143,31 @@ def test_semdedup_drops_within_cluster_near_dups(spark):
     assert out[1][0] == out[2][0]
     assert out[1][1] is True and out[2][1] is False
     assert out[3][1] is True and out[4][1] is True
+
+
+def test_minhash_similar_ranks_near_dup_first(spark):
+    """The retrieval estimator puts an exact duplicate (all signature
+    components agree, est_jaccard 1.0) above unrelated docs, excludes
+    self, and respects top_k."""
+    from pyspark.sql import functions as F
+
+    from pregel_rs_spark.operators.dedup import minhash_similar
+
+    t_dup = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, t_dup),
+        (20, t_dup),
+        (21, "completely different text about query engines " * 3),
+        (22, "yet another unrelated document on crawl frontiers " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.query_id, r.rank): (r.doc_id, r.est_jaccard, r.matches)
+           for r in minhash_similar(
+               docs, docs.filter(F.col("doc_id") == 1),
+               top_k=2, num_hashes=4,
+           ).collect()}
+    assert out[(1, 1)][0] == 20 and out[(1, 1)][1] == 1.0
+    assert out[(1, 1)][2] == 4
+    # self never appears
+    assert all(d != 1 for d, _, _ in out.values())
+    assert len(out) <= 2
