@@ -337,6 +337,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("walk_id", "step", "vertex_id")
 
+    def weighted_sample_q(spark, sf):
+        """A-ES weighted sampling without replacement: 5 docs per source,
+        inclusion ∝ n_chars, deterministic md5-derived uniforms — the
+        quality-weighted corpus-sampling stage."""
+        from pregel_rs_spark.operators.pipeline import corpus_sample_weighted
+
+        return corpus_sample_weighted(
+            load_table(spark, sf, "documents"),
+            weight_col="n_chars", n=5, group_col="source",
+        )
+
     def eigen_k3_q(spark, sf):
         """3-step integer power iteration (eigenvector centrality,
         unnormalized ≡ k-step in-path counts — the HITS exactness
@@ -1987,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         skipgram_k2=skipgram_k2_q,
         powerlaw_alpha=powerlaw_alpha_q,
         eigen_k3=eigen_k3_q,
+        weighted_sample=weighted_sample_q,
         minhash_topk=minhash_topk_q,
         pmi_k2=pmi_k2_q,
         neighborhood_k2=neighborhood_k2_q,
@@ -3051,6 +3063,33 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
     )
+    # weighted_sample: replay the dyadic uniform (first 6 md5 nibbles of
+    # md5('42|' || doc_id), +0.5, /16^6), key = ln(u)/n_chars, top-5 per
+    # source by key DESC (ties doc_id ASC).
+    o["weighted_sample"] = r"""
+        WITH keyed AS (
+          SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                 ln((
+                    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))
+                    + 0.5) / 16777216.0)
+                 / CAST(n_chars AS DOUBLE) AS es
+          FROM (SELECT source, doc_id, n_chars,
+                       md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+        ),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY es DESC, doc_id ASC) AS INT) AS rank
+          FROM keyed)
+        SELECT source, doc_id, weight, ROUND(es, 6) AS es_key, rank
+        FROM ranked WHERE rank <= 5
+    """
     # eigen_k3: x0 = 1 on every vertex; per step the in-neighbor integer
     # sum with zero-fill over the closed vertex set; score divides by the
     # one total.

@@ -632,3 +632,77 @@ def dsir_weights(
             ),
         )
     )
+
+
+def corpus_sample_weighted(
+    docs: DataFrame,
+    weight_col: str,
+    n: int,
+    group_col: str | None = None,
+    seed: int = 42,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the quality-weighted
+    counterpart to :func:`corpus_sample` (algorithm A-ES, Efraimidis &
+    Spirakis, IPL 2006 — public literature): each row draws a
+    deterministic uniform u from ``md5(seed|key)`` and is ranked by
+    ``ln(u) / w`` (monotone in the A-ES key ``u^(1/w)``); the ``n``
+    largest per group win.  Inclusion probability rises with ``w`` —
+    sampling a pretraining corpus ∝ quality score, PageRank, or length
+    without replacement and without an RNG (reruns and audits select
+    identical rows on any engine).
+
+    u is the dyadic rational ``(v + 0.5) / 16^6`` from the first 6 md5
+    nibbles — exact in IEEE-754, never 0 or 1, so ``ln`` is finite.
+    Rows with NULL or non-positive weight are EXCLUDED (a zero-weight
+    row can never win A-ES; the caller owns fixing negative weights) —
+    the returned frame is the sample, not a verdict table.  Ranking
+    ties (astronomically unlikely: u collides only on md5-prefix
+    collision) break by key ASC.
+
+    Scale shape: one map-only key computation + one per-group window
+    top-n — the same single-shuffle shape as ``group_sample``; with
+    ``group_col=None`` the window is global (one partition: fine for
+    the driver-gate sizes; at corpus scale ALWAYS pass a group).
+
+    Returns the winning rows: ``(group?, key, weight, es_key, rank)``
+    with ``es_key`` rounded 6 dp for auditability (ranking uses the
+    unrounded value).
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
+    nib = lambda i: F.position(
+        F.substring(h, i, 1), F.lit("0123456789abcdef")
+    ) - 1
+    v = (
+        nib(1) * 1048576 + nib(2) * 65536 + nib(3) * 4096
+        + nib(4) * 256 + nib(5) * 16 + nib(6)
+    )
+    u = (v.cast("double") + 0.5) / float(16 ** 6)
+    w = F.col(weight_col).cast("double")
+    es = F.log(u) / w
+    grouped = [group_col] if group_col else []
+    win = Window.partitionBy(*grouped).orderBy(
+        F.desc("__es"), F.asc(key_col)
+    )
+    return (
+        docs.filter(w.isNotNull() & (w > 0))
+        .select(
+            *grouped,
+            key_col,
+            w.alias("weight"),
+            es.alias("__es"),
+        )
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= n)
+        .select(
+            *grouped,
+            key_col,
+            "weight",
+            F.round("__es", 6).alias("es_key"),
+            "rank",
+        )
+    )

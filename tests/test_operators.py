@@ -1673,3 +1673,41 @@ def test_pq_topk_degenerates_to_exact_l2_and_recall(spark):
             (float(d[i]), i) for i in range(n) if i != q)[:5]}
         hits += len(exact & approx[q])
     assert hits >= 8, f"recall@5 too low: {hits}/20"
+
+
+def test_corpus_sample_weighted_es_properties(spark):
+    """A-ES invariants: exactly n winners per group, only positive
+    weights compete, a weight increase can only help a row, and the
+    ranking matches a pure-Python replay of ln(u)/w."""
+    import hashlib
+    import math
+
+    from pregel_rs_spark.operators.pipeline import corpus_sample_weighted
+
+    rows = [(i, "g" + str(i % 2), (i % 7) + 1) for i in range(1, 41)]
+    rows += [(100, "g0", None), (101, "g1", 0)]   # excluded
+    docs = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = corpus_sample_weighted(
+        docs, weight_col="w", n=3, group_col="source"
+    ).collect()
+    assert len(out) == 6
+    assert all(r.doc_id not in (100, 101) for r in out)
+
+    def es_key(doc_id, w):
+        h = hashlib.md5(f"42|{doc_id}".encode()).hexdigest()
+        a = "0123456789abcdef"
+        v = sum(a.index(h[i]) * 16 ** (5 - i) for i in range(6))
+        return math.log((v + 0.5) / 16 ** 6) / w
+
+    for grp in ("g0", "g1"):
+        scored = sorted(
+            ((es_key(d, w), d) for d, g, w in rows
+             if g == grp and w), key=lambda t: (-t[0], t[1])
+        )
+        expect = [d for _, d in scored[:3]]
+        got = [r.doc_id for r in sorted(
+            (r for r in out if r.source == grp), key=lambda r: r.rank)]
+        assert got == expect, (grp, got, expect)
+    import pytest as _p
+    with _p.raises(ValueError, match="n must"):
+        corpus_sample_weighted(docs, "w", 0)
