@@ -337,6 +337,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("walk_id", "step", "vertex_id")
 
+    def bloom_screen_q(spark, sf):
+        """Bloom seen-set screen: filter built over md5(text) of the
+        even-doc_id half (2^20 bits, 4 hashes), the odd half probed —
+        maybe_seen per distinct probe content key; no false negatives
+        by construction, FPR ~ (1-e^{-kn/m})^k ~ 1e-12 at this fill."""
+        from pregel_rs_spark.operators.dedup import bloom_build, bloom_screen
+
+        docs = load_table(spark, sf, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        old = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5("text").alias("content_key")
+        )
+        new = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.md5("text").alias("content_key")
+        )
+        bloom = bloom_build(old, "content_key")
+        return bloom_screen(new, "content_key", bloom)
+
     def weighted_sample_q(spark, sf):
         """A-ES weighted sampling without replacement: 5 docs per source,
         inclusion ∝ n_chars, deterministic md5-derived uniforms — the
@@ -1999,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         powerlaw_alpha=powerlaw_alpha_q,
         eigen_k3=eigen_k3_q,
         weighted_sample=weighted_sample_q,
+        bloom_screen=bloom_screen_q,
         minhash_topk=minhash_topk_q,
         pmi_k2=pmi_k2_q,
         neighborhood_k2=neighborhood_k2_q,
@@ -3063,6 +3083,39 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)"""
     )
+    # bloom_screen: replay the 6-nibble positions of md5(i|key) mod 2^20
+    # for i in 0..3, 32-bit words via bit_or, probe = all 4 bits set.
+    _bloom_pos = """
+        ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 1048576
+    """
+    o["bloom_screen"] = f"""
+        WITH oldk AS (SELECT DISTINCT md5(text) AS key FROM documents
+                      WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        newk AS (SELECT DISTINCT md5(text) AS content_key FROM documents
+                 WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        opos AS (SELECT CAST({_bloom_pos} AS BIGINT) AS p FROM
+                 (SELECT md5(CAST(i AS VARCHAR) || '|' || key) AS h
+                  FROM oldk, (SELECT unnest([0, 1, 2, 3]) AS i))),
+        bloom AS (SELECT p // 32 AS word_idx,
+                         bit_or(CAST(power(2, p % 32) AS BIGINT)) AS word
+                  FROM opos GROUP BY 1),
+        npos AS (SELECT content_key, CAST({_bloom_pos} AS BIGINT) AS p FROM
+                 (SELECT content_key,
+                         md5(CAST(i AS VARCHAR) || '|' || content_key) AS h
+                  FROM newk, (SELECT unnest([0, 1, 2, 3]) AS i))),
+        hits AS (SELECT n.content_key,
+                        CASE WHEN COALESCE(b.word, 0)
+                             & CAST(power(2, n.p % 32) AS BIGINT) != 0
+                             THEN 1 ELSE 0 END AS hit
+                 FROM npos n LEFT JOIN bloom b ON b.word_idx = n.p // 32)
+        SELECT content_key, (SUM(hit) = 4) AS maybe_seen
+        FROM hits GROUP BY content_key
+    """
     # weighted_sample: replay the dyadic uniform (first 6 md5 nibbles of
     # md5('42|' || doc_id), +0.5, /16^6), key = ln(u)/n_chars, top-5 per
     # source by key DESC (ties doc_id ASC).

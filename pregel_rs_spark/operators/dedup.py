@@ -1034,3 +1034,100 @@ def minhash_similar(
             "rank",
         )
     )
+
+
+def _bloom_positions(key_col: str, m_bits: int, k_hashes: int):
+    """k deterministic bit positions per key: the first 6 md5 nibbles of
+    md5(i|key) valued 0..16^6-1, mod m_bits — engine-portable integer
+    arithmetic (the hash_features nibble convention)."""
+    cols = []
+    for i in range(k_hashes):
+        h = F.md5(F.concat_ws("|", F.lit(str(i)), F.col(key_col)))
+        nib = lambda j: F.position(
+            F.substring(h, j, 1), F.lit("0123456789abcdef")
+        ) - 1
+        v = (
+            nib(1) * 1048576 + nib(2) * 65536 + nib(3) * 4096
+            + nib(4) * 256 + nib(5) * 16 + nib(6)
+        )
+        cols.append((v % m_bits).cast("long"))
+    return cols
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a TABLE of 32-bit words
+    ``(word_idx, word)`` (Bloom 1970 — public literature): the
+    memory-constant seen-set for crawl frontiers and content screens —
+    at 10^12 URLs the exact seen-set is a 10-TB shuffle per probe batch,
+    the Bloom table is ``m_bits/32`` rows broadcast once (FPR ≈
+    ``(1 - e^{-k·n/m})^k``; size m to the expected key volume).
+
+    Words are 32-bit (bit values < 2^31) so every mask is a positive
+    int64 in ANY engine — no sign-bit portability trap at bit 63.  The
+    build is one explode (k rows/key) + one ``bit_or`` hash aggregation;
+    only set words are stored (absent word_idx ≡ 0).
+    """
+    if not 32 <= m_bits <= 1 << 24:
+        raise ValueError(
+            f"m_bits must be in [32, 2^24] (6 md5 nibbles), got {m_bits}"
+        )
+    if not 1 <= k_hashes <= 16:
+        raise ValueError(f"k_hashes must be in [1, 16], got {k_hashes}")
+    pos = _bloom_positions(key_col, m_bits, k_hashes)
+    rows = keys.select(
+        F.explode(F.array(*pos)).alias("__pos")
+    )
+    return (
+        rows.select(
+            (F.col("__pos") / 32).cast("long").alias("word_idx"),
+            F.expr("CAST(pow(2, __pos % 32) AS BIGINT)").alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_screen(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: one verdict row per input row
+    with ``maybe_seen`` — True means ALL k bits are set (key was
+    inserted, OR a false positive at the filter's FPR; never a false
+    negative), False proves the key was never inserted.  The production
+    frontier rule: drop ``maybe_seen`` URLs (accepting the tiny FPR as
+    lost recrawls) or route them to the exact check.
+
+    Scale shape: one explode (k rows/key) + one BROADCAST join against
+    the word table + one per-key count agg — the probe never shuffles
+    the corpus on a 32-byte key the way exact dedup must.
+    """
+    pos = _bloom_positions(key_col, m_bits, k_hashes)
+    probes = df.select(
+        key_col, F.explode(F.array(*pos)).alias("__pos")
+    ).select(
+        key_col,
+        (F.col("__pos") / 32).cast("long").alias("word_idx"),
+        F.expr("CAST(pow(2, __pos % 32) AS BIGINT)").alias("__m"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            (
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__m"))
+                != 0
+            ).cast("int").alias("__hit"),
+        )
+        .groupBy(key_col)
+        .agg((F.sum("__hit") == k_hashes).alias("maybe_seen"))
+    )
+    return df.select(key_col).distinct().join(hits, key_col, "left")

@@ -171,3 +171,30 @@ def test_minhash_similar_ranks_near_dup_first(spark):
     # self never appears
     assert all(d != 1 for d, _, _ in out.values())
     assert len(out) <= 2
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    """Every inserted key probes maybe_seen=True (no false negatives —
+    the Bloom guarantee); a disjoint probe set at this fill level
+    (3 keys in 2^20 bits) comes back all-False; word values stay
+    positive (32-bit words, no sign-bit trap)."""
+    from pyspark.sql import functions as F
+
+    from pregel_rs_spark.operators.dedup import bloom_build, bloom_screen
+
+    keys = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "content_key string"
+    )
+    bloom = bloom_build(keys, "content_key")
+    assert all(r.word > 0 for r in bloom.collect())
+    seen = {r.content_key: r.maybe_seen
+            for r in bloom_screen(keys, "content_key", bloom).collect()}
+    assert seen == {"alpha": True, "beta": True, "gamma": True}
+    probe = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(50)], "content_key string"
+    )
+    out = bloom_screen(probe, "content_key", bloom).collect()
+    assert len(out) == 50 and not any(r.maybe_seen for r in out)
+    import pytest as _p
+    with _p.raises(ValueError, match="m_bits"):
+        bloom_build(keys, "content_key", m_bits=8)
