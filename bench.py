@@ -372,6 +372,43 @@ def main() -> None:
 
     bench("incr_dedup", _incr_dedup)
 
+    from pregel_rs_spark.algorithms import eigenvector_centrality
+    from pregel_rs_spark.operators.dedup import (
+        bloom_build,
+        bloom_screen,
+        minhash_similar,
+    )
+    from pregel_rs_spark.operators.pipeline import corpus_sample_weighted
+
+    bench(
+        "eigen_k3",
+        lambda: _consume(
+            eigenvector_centrality(GraphFrame.from_edges(li_edges), k=3)
+        ),
+    )
+    bench(
+        "minhash_topk",
+        lambda: _consume(minhash_similar(
+            docs, docs.filter(F.col("doc_id") < 50), top_k=5, num_hashes=4
+        )),
+    )
+    bench(
+        "weighted_sample",
+        lambda: _consume(corpus_sample_weighted(
+            docs, weight_col="n_chars", n=50, group_col="source"
+        )),
+    )
+
+    def _bloom():
+        base = docs.filter(F.col("text").isNotNull())
+        old = base.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5("text").alias("content_key"))
+        new = base.filter(F.col("doc_id") % 2 == 1).select(
+            F.md5("text").alias("content_key"))
+        _consume(bloom_screen(new, "content_key", bloom_build(old, "content_key")))
+
+    bench("bloom_screen", _bloom)
+
     bench(
         "densest_subgraph",
         lambda: _consume(
