@@ -1203,6 +1203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return modularity(g, label_propagation(g, max_iterations=1))
 
+    def louvain_r2_q(spark, sf):
+        """One-level Louvain local moving, 2 synchronous rounds with the
+        vertex-id-parity oscillation guard, on the supplier graph —
+        integer-exact gain2 = 2·m·k_vc − k_v·Σ_tot(c∖v), move iff > 0,
+        tie-break smallest community id; the oracle unrolls both rounds."""
+        from pregel_rs_spark.algorithms import louvain
+
+        return louvain(GraphFrame.from_edges(_edges_sg(spark, sf)), rounds=2)
+
     def katz_k3_q(spark, sf):
         """Truncated Katz centrality (beta=0.1, k=3) on the lineitem link
         graph: exact integer walk counts per level, beta powers built by
@@ -1963,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         link_prediction=link_prediction_q,
         transitivity=transitivity_q,
         modularity_lpa=modularity_lpa_q,
+        louvain_r2=louvain_r2_q,
         katz_k3=katz_k3_q,
     )
     q.update(
@@ -3984,6 +3994,55 @@ def oracle_sql() -> dict[str, str]:
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
     """
+    # louvain_r2: 2 unrolled synchronous local-moving rounds from
+    # singleton labels — gain2 = 2·m·k_vc − k_v·Σ_tot(c∖v) as exact
+    # BIGINTs, move iff gain2 > 0 (two-stage arg-max: max gain, then min
+    # community id), vertex-id-parity eligibility per round (even ids on
+    # round 0, odd on round 1) — the exact replica of algorithms.louvain.
+    _lv_round = """
+        , tot{t} AS (SELECT l.label AS c, SUM(d.k) AS tot_c
+                     FROM l{t} l JOIN deg d ON d.v = l.vertex_id
+                     GROUP BY l.label)
+        , cand{t} AS (SELECT adj.v, lnb.label AS c, COUNT(*) AS kvc
+                      FROM adj JOIN l{t} lnb ON lnb.vertex_id = adj.nb
+                      GROUP BY adj.v, lnb.label)
+        , gain{t} AS (SELECT cd.v, cd.c,
+                             2 * m.m * cd.kvc
+                             - d.k * (t.tot_c - CASE WHEN lv.label = cd.c
+                                                     THEN d.k ELSE 0 END)
+                               AS gain2
+                      FROM cand{t} cd
+                      JOIN tot{t} t ON t.c = cd.c
+                      JOIN l{t} lv ON lv.vertex_id = cd.v
+                      JOIN deg d ON d.v = cd.v, m)
+        , mx{t} AS (SELECT v, MAX(gain2) AS mg FROM gain{t}
+                    WHERE gain2 > 0 GROUP BY v)
+        , best{t} AS (SELECT g.v, MIN(g.c) AS newc FROM gain{t} g
+                      JOIN mx{t} x ON x.v = g.v AND g.gain2 = x.mg
+                      GROUP BY g.v)
+        , l{n} AS (SELECT l.vertex_id,
+                          CASE WHEN l.vertex_id % 2 = {p}
+                                AND b.newc IS NOT NULL
+                               THEN b.newc ELSE l.label END AS label
+                   FROM l{t} l LEFT JOIN best{t} b ON b.v = l.vertex_id)
+    """
+    o["louvain_r2"] = (
+        f"""
+        WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                            GREATEST(subject, object) AS b
+                     FROM {_SG_SQL} WHERE subject != object),
+        adj AS (SELECT a AS v, b AS nb FROM und
+                UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT v, COUNT(*) AS k FROM adj GROUP BY v),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        l0 AS (SELECT v AS vertex_id, v AS label FROM deg)
+        """
+        + _lv_round.format(t=0, n=1, p=0)
+        + _lv_round.format(t=1, n=2, p=1)
+        + """
+        SELECT vertex_id, label AS community FROM l2
+        """
+    )
     # beta powers written as the same left-associated double products the
     # engine builds by repeated multiplication (0.1, 0.1*0.1, 0.1*0.1*0.1)
     o["katz_k3"] = f"""

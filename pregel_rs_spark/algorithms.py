@@ -4152,3 +4152,106 @@ def eigenvector_centrality(graph: GraphFrame, k: int = 3) -> DataFrame:
             ).alias("score"),
         )
     )
+
+def louvain(graph: GraphFrame, rounds: int = 2) -> DataFrame:
+    """One-level Louvain local moving (Blondel et al. 2008, "Fast
+    unfolding of communities in large networks"; public literature — no
+    reference counterpart, extension beyond pregel-rs src/graph_frame.rs):
+    from singleton communities, each round every ELIGIBLE vertex moves to
+    the neighboring community with the highest modularity gain
+
+        ΔQ(v→c) ∝ gain2 = 2·m·k_{v,c} − k_v·Σ_tot(c∖v)
+
+    (the standard isolated-vertex gain scaled by 2m² so every term is an
+    exact int64 — same portability convention as :func:`modularity` /
+    :func:`eigenvector_centrality`), moving only when gain2 > 0,
+    tie-break smallest community id.  SYNCHRONOUS parallel moving
+    oscillates on symmetric pairs (u takes v's label while v takes u's),
+    so rounds alternate eligibility by vertex-id parity — even ids move
+    on even rounds, odd ids on odd rounds — the oscillation guard used
+    by public distributed-Louvain implementations (Sotera's
+    distributed-louvain-modularity heuristic of letting only part of the
+    vertices move per pass).  Deterministic, integer-exact, and
+    SQL-replayable round by round.
+
+    int64 bound: 2·m·k_{v,c} ≤ 2·m·k_max — overflows only past
+    m·k_max ≈ 4.6×10¹⁸ (e.g. 10¹² edges with a 4.6×10⁶-degree hub),
+    the same documented contract as ``eigenvector_centrality``.
+
+    Scale shape per round: one neighbor-label equi-join on the
+    symmetrized edge table + three vertex/community-keyed hash aggs
+    (k_{v,c}, Σ_tot, two-stage arg-max — no windows, so a mega-hub's
+    candidate set never sits in one task's sort); lineage truncated per
+    round.  Labels are one long per vertex.
+
+    Returns ``(vertex_id, community)`` for every graph vertex.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _und_simple(graph.edges)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("k"))
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    labels = graph.vertices.select(
+        VERTEX_ID, F.col(VERTEX_ID).alias("community")
+    )
+    for r in range(rounds):
+        lnb = labels.select(
+            F.col(VERTEX_ID).alias("nb"), F.col("community").alias("c")
+        )
+        cand = adj.join(lnb, "nb").groupBy("v", "c").agg(
+            F.count(F.lit(1)).alias("kvc")
+        )
+        tot = (
+            labels.join(deg, labels[VERTEX_ID] == deg["v"])
+            .groupBy(F.col("community").alias("c"))
+            .agg(F.sum("k").alias("tot_c"))
+        )
+        own = labels.select(
+            F.col(VERTEX_ID).alias("v"), F.col("community").alias("own_c")
+        )
+        gains = (
+            cand.join(tot, "c")
+            .join(own, "v")
+            .join(deg, "v")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "v",
+                "c",
+                (
+                    F.lit(2) * F.col("m") * F.col("kvc")
+                    - F.col("k")
+                    * (
+                        F.col("tot_c")
+                        - F.when(F.col("own_c") == F.col("c"), F.col("k")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("gain2"),
+            )
+            .filter(F.col("gain2") > 0)
+        )
+        # two-stage arg-max (max gain, then min community id) — no window
+        mx = gains.groupBy("v").agg(F.max("gain2").alias("mg"))
+        best = (
+            gains.join(mx, "v")
+            .filter(F.col("gain2") == F.col("mg"))
+            .groupBy("v")
+            .agg(F.min("c").alias("new_c"))
+        )
+        labels = truncate_plan(
+            labels.join(
+                best, labels[VERTEX_ID] == best["v"], "left"
+            ).select(
+                labels[VERTEX_ID],
+                F.when(
+                    (F.col(VERTEX_ID) % 2 == r % 2) & F.col("new_c").isNotNull(),
+                    F.col("new_c"),
+                )
+                .otherwise(F.col("community"))
+                .alias("community"),
+            )
+        )
+    return labels

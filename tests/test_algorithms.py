@@ -2140,3 +2140,46 @@ def test_eigenvector_centrality_path_counts(spark):
     import pytest as _p
     with _p.raises(ValueError, match="k must"):
         eigenvector_centrality(g, k=0)
+
+
+def test_louvain_two_cliques(spark):
+    """Two K3 cliques + bridge, hand-replayed with the parity guard:
+    round 0 (even ids move): 2→1, 4→5, 6→5; round 1 (odd ids): 3→1
+    (gain2 16 beats staying), 1 and 5 stay in their winning communities.
+    Result = the natural two-clique partition, and its modularity is the
+    textbook 6/7 − 1/2."""
+    from pregel_rs_spark.algorithms import louvain, modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {
+        r.vertex_id: r.community for r in louvain(g, rounds=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 5, 5: 5, 6: 5}
+    labels = louvain(g, rounds=2).select(
+        "vertex_id", F.col("community").alias("label")
+    )
+    q = modularity(g, labels).collect()[0]
+    assert q.modularity == round(6 / 7 - 0.5, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        louvain(g, rounds=0)
+
+
+def test_louvain_parity_guard_blocks_swap(spark):
+    """A single edge (1,2): without the parity guard both endpoints would
+    adopt each other's label forever; with it, round 0 moves only vertex
+    2 (2→1) and round 1 leaves vertex 1 in place (own-community gain2 ==
+    candidate gain2 → stays by the own-label no-op)."""
+    from pregel_rs_spark.algorithms import louvain
+
+    g = GraphFrame.from_edges(
+        spark.createDataFrame([(1, 2)], "subject long, object long")
+    )
+    got = {
+        r.vertex_id: r.community for r in louvain(g, rounds=2).collect()
+    }
+    assert got == {1: 1, 2: 1}
