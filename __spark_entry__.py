@@ -1879,6 +1879,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             log2m=5, portable=True,
         )
 
+    def cms_topk_q(spark, sf):
+        """Count-min-sketch heavy hitters over the documents corpus:
+        4×256 sketch (md5 first-16-bits bucket hash), top-20 terms by
+        estimate with exact counts alongside — the no-under-count
+        contract (est ≥ exact) auditable per row; the oracle rebuilds
+        the identical sketch cells in SQL."""
+        from pregel_rs_spark.operators.sketches import cms_heavy_hitters
+
+        return cms_heavy_hitters(
+            load_table(spark, sf, "documents"), depth=4, width=256, top_k=20
+        )
+
     def group_sample_q(spark, sf):
         """Deterministic fixed-k per-group sample: 5 documents per
         (lang, source) by md5 permutation — the corpus-inspection
@@ -1941,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         matching_r2=matching_r2_q,
         topo_layers_r2=topo_layers_r2_q,
         approx_distinct_ev=approx_distinct_q,
+        cms_topk=cms_topk_q,
         group_sample=group_sample_q,
         coarsen_r2=coarsen_r2_q,
         latest_crawl=latest_crawl_q,
@@ -5230,6 +5243,39 @@ def oracle_sql() -> dict[str, str]:
     # chain, register/rho split, max per (subject, reg), scaled-integer
     # register sum, linear-counting correction (log2m=5: m=32,
     # alpha*m^2=713.728, scale 2^55).
+    # cms_topk: rebuild the 4×256 count-min sketch cell-for-cell — term
+    # counts → per-row md5 first-16-bit buckets → cell sums → min-over-rows
+    # estimate → top-20 (est DESC, term ASC).  Nibble arithmetic identical
+    # to sketches._hex16 (strpos over the fixed hex alphabet).
+    _cms_h = (
+        "(((strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) "
+        "|| '|' || term), 1, 1)) - 1) * 4096 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) "
+        "|| '|' || term), 2, 1)) - 1) * 256 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) "
+        "|| '|' || term), 3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) "
+        "|| '|' || term), 4, 1)) - 1)) % 256)"
+    )
+    o["cms_topk"] = f"""
+        WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                             AS term FROM documents),
+        exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+                  FROM toks WHERE term <> '' GROUP BY term),
+        probes AS (SELECT term, exact, gs.rw AS rw, {_cms_h} AS bucket
+                   FROM exact, generate_series(0, 3) AS gs(rw)),
+        cells AS (SELECT rw, bucket, SUM(exact) AS cnt FROM probes
+                  GROUP BY rw, bucket),
+        est AS (SELECT p.term, CAST(MIN(c.cnt) AS BIGINT) AS est,
+                       MIN(p.exact) AS exact
+                FROM probes p JOIN cells c USING (rw, bucket)
+                GROUP BY p.term),
+        ranked AS (SELECT term, est, exact,
+                          CAST(ROW_NUMBER() OVER (ORDER BY est DESC,
+                               term ASC) AS INT) AS rank
+                   FROM est)
+        SELECT term, est, exact, rank FROM ranked WHERE rank <= 20
+    """
     o["approx_distinct_ev"] = f"""
         WITH e AS (SELECT subject, object FROM {_EV_SQL}),
         hx AS (SELECT subject,

@@ -105,3 +105,112 @@ def approx_distinct(
     return per_g.select(
         *group_cols, F.round(est, 4).alias("distinct_est")
     )
+
+
+def _hex16(h):
+    """First 4 hex nibbles of a md5 string → 0..65535 (portable strpos
+    arithmetic, same convention as :func:`_string_fold`)."""
+    nib = lambda i: (
+        F.position(F.substring(h, i, 1), F.lit("0123456789abcdef")) - 1
+    ).cast("long")
+    return nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch of corpus term frequencies (Cormode & Muthukrishnan
+    2005, public literature): ``depth`` independent hash rows of ``width``
+    buckets; row_i[bucket_i(t)] += count(t) for every whitespace token t.
+    Estimates never UNDER-count (min over rows ≥ true count) — the
+    mergeable O(depth·width) summary that answers "how frequent is term
+    t?" at 100 TB without re-scanning or materializing the full
+    distinct-term table downstream.
+
+    Hashes are ``md5(row || '|' || token)`` first-16-bits mod width —
+    portable strpos arithmetic, bit-identical in any SQL engine (the
+    :func:`simhash <pregel_rs_spark.operators.dedup.simhash>` convention).
+
+    Scale shape: one combiner-friendly token groupBy (the only data-sized
+    shuffle), then a depth-way explode of the TERM table (not the token
+    stream) into a (row, bucket) agg of depth·width cells.  Sketches from
+    corpus shards merge by cell-wise addition.
+
+    Returns ``(row, bucket, cnt)`` — depth·width rows, zero cells absent.
+    """
+    if depth < 1 or width < 2 or width > 65536:
+        raise ValueError(f"need depth >= 1, 2 <= width <= 65536, got {depth}x{width}")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    terms = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = terms.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        "tok",
+        "cnt",
+    ).select(
+        "row",
+        (
+            _hex16(F.md5(F.concat_ws("|", F.col("row").cast("string"), F.col("tok"))))
+            % width
+        ).alias("bucket"),
+        "cnt",
+    )
+    return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy hitters by count-min estimate: every candidate term is scored
+    est(t) = min_i sketch[i][bucket_i(t)] and the ``top_k`` by
+    (est DESC, term ASC) are returned WITH their exact counts, so the
+    sketch's no-under-count contract (est ≥ exact, always) is auditable
+    row by row.  Candidates here are the corpus's own distinct terms; at
+    100 TB the same probe works for any external candidate list without
+    touching the corpus again — the sketch (depth·width longs) is the
+    only state, broadcast to the probe side.
+
+    Returns ``(term, est, exact, rank)``, rank 1..top_k.
+    """
+    sketch = count_min_sketch(docs, depth=depth, width=width, text_col=text_col)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        "term",
+        "exact",
+    ).select(
+        "row",
+        (
+            _hex16(F.md5(F.concat_ws("|", F.col("row").cast("string"), F.col("term"))))
+            % width
+        ).alias("bucket"),
+        "term",
+        "exact",
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"), F.first("exact").alias("exact"))
+    )
+    from pyspark.sql import Window
+
+    # TakeOrdered top-k (per-partition heads + driver merge of k rows) —
+    # NOT a global row_number window, whose single-task sort over every
+    # distinct term would be the scale bottleneck; the rank window runs
+    # on the k survivors only.
+    top = est.orderBy(F.col("est").desc(), F.col("term").asc()).limit(top_k)
+    w = Window.orderBy(F.col("est").desc(), F.col("term").asc())
+    return top.select(
+        "term", "est", "exact", F.row_number().over(w).alias("rank")
+    )

@@ -1711,3 +1711,42 @@ def test_corpus_sample_weighted_es_properties(spark):
     import pytest as _p
     with _p.raises(ValueError, match="n must"):
         corpus_sample_weighted(docs, "w", 0)
+
+
+def test_cms_no_undercount_and_exact_when_wide(spark):
+    """Count-min contract: est >= exact for EVERY term at any width
+    (collisions only inflate); with width >> vocabulary and depth 4 the
+    probability all 4 rows collide is negligible for this fixture, so
+    est == exact and the top-k ranking equals the exact ranking."""
+    from pregel_rs_spark.operators.sketches import (
+        cms_heavy_hitters,
+        count_min_sketch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b b c"),
+            (2, "a b c d e"),
+            (3, "a c e e"),
+        ],
+        "doc_id long, text string",
+    )
+    wide = {r.term: r for r in cms_heavy_hitters(docs, 4, 4096, 5).collect()}
+    exact = {"a": 6, "b": 3, "c": 3, "e": 3, "d": 1}
+    assert {t: r.est for t, r in wide.items()} == exact
+    assert {t: r.exact for t, r in wide.items()} == exact
+    assert [r.term for r in sorted(wide.values(), key=lambda r: r.rank)] == [
+        "a", "b", "c", "e", "d",
+    ]
+    narrow = cms_heavy_hitters(docs, 2, 2, 5).collect()
+    assert all(r.est >= r.exact for r in narrow)
+    # sketch table: depth x <=width cells, cell sums conserve total tokens
+    sk = count_min_sketch(docs, 3, 2).collect()
+    per_row = {}
+    for r in sk:
+        per_row[r.row] = per_row.get(r.row, 0) + r.cnt
+    assert per_row == {0: 16, 1: 16, 2: 16}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        count_min_sketch(docs, 0, 2)
