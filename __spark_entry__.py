@@ -1879,6 +1879,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             log2m=5, portable=True,
         )
 
+    def perceptron_r2_q(spark, sf):
+        """Batch-perceptron training (2 rounds, integer-exact, zero
+        driver actions) of an is-English classifier over 256-bucket
+        hashed features — y = +1 iff lang='en'; bias rides as bucket −1
+        with an implicit always-on feature.  The oracle unrolls both
+        rounds from the empty weight table."""
+        from pregel_rs_spark.operators.text import perceptron_train
+
+        docs = load_table(spark, sf, "documents")
+        labels = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        )
+        return perceptron_train(docs, labels, n_buckets=256, rounds=2)
+
     def cms_topk_q(spark, sf):
         """Count-min-sketch heavy hitters over the documents corpus:
         4×256 sketch (md5 first-16-bits bucket hash), top-20 terms by
@@ -1954,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         topo_layers_r2=topo_layers_r2_q,
         approx_distinct_ev=approx_distinct_q,
         cms_topk=cms_topk_q,
+        perceptron_r2=perceptron_r2_q,
         group_sample=group_sample_q,
         coarsen_r2=coarsen_r2_q,
         latest_crawl=latest_crawl_q,
@@ -5001,6 +5017,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM tok GROUP BY doc_id, bucket
     """
+    # perceptron_r2: 2 unrolled batch-perceptron rounds from the empty
+    # weight table — feats = hash_feats' 256-bucket CTE + a bias row
+    # (bucket -1, cnt 1) per labeled doc; margin/mistake/delta arithmetic
+    # is pure BIGINT, zero-weight rows dropped per round, exactly as
+    # operators.text.perceptron_train.
+    _pc_round = """
+        , margin{t} AS (SELECT f.doc_id,
+                               SUM(f.cnt * COALESCE(w.w, 0)) AS margin
+                        FROM feats f LEFT JOIN w{t} w ON w.bucket = f.bucket
+                        GROUP BY f.doc_id)
+        , mis{t} AS (SELECT y.doc_id, y.y FROM y
+                     LEFT JOIN margin{t} m ON m.doc_id = y.doc_id
+                     WHERE y.y * COALESCE(m.margin, 0) <= 0)
+        , delta{t} AS (SELECT f.bucket, SUM(mis.y * f.cnt) AS dw
+                       FROM mis{t} mis JOIN feats f ON f.doc_id = mis.doc_id
+                       GROUP BY f.bucket)
+        , w{n} AS (SELECT COALESCE(w.bucket, d.bucket) AS bucket,
+                          CAST(COALESCE(w.w, 0) + COALESCE(d.dw, 0)
+                               AS BIGINT) AS w
+                   FROM w{t} w FULL OUTER JOIN delta{t} d
+                     ON d.bucket = w.bucket
+                   WHERE COALESCE(w.w, 0) + COALESCE(d.dw, 0) != 0)
+    """
+    o["perceptron_r2"] = (
+        r"""
+        WITH tok AS (
+          SELECT doc_id, md5(w) AS h FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        ),
+        hf AS (
+          SELECT doc_id,
+                 CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256
+                      AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY doc_id, bucket
+        ),
+        feats AS (SELECT * FROM hf
+                  UNION ALL
+                  SELECT doc_id, CAST(-1 AS INT), CAST(1 AS BIGINT)
+                  FROM documents),
+        y AS (SELECT doc_id,
+                     CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT)
+                       AS y
+              FROM documents),
+        w0 AS (SELECT CAST(NULL AS INT) AS bucket, CAST(NULL AS BIGINT) AS w
+               WHERE 1 = 0)
+        """
+        + _pc_round.format(t=0, n=1)
+        + _pc_round.format(t=1, n=2)
+        + """
+        SELECT bucket, w FROM w2
+        """
+    )
     # crawl_plan: (crawled + sitemap discoveries) -> robots admission
     # (verdict tables pre-materialized from the pure-Python parser) ->
     # the frontier politeness window.

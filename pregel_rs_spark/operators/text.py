@@ -768,3 +768,89 @@ def classifier_scores(
             (logit >= F.lit(int(threshold_scaled))).alias("keep"),
         )
     )
+
+
+def perceptron_train(
+    docs: DataFrame,
+    labels: DataFrame,
+    n_buckets: int = 1024,
+    rounds: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed batch-perceptron TRAINING over hashing-trick features —
+    the in-engine counterpart to :func:`classifier_scores` inference
+    (public technique: Rosenblatt 1958 perceptron; the batch variant sums
+    the classic per-mistake update over all currently-misclassified
+    examples each round, lr = 1).  Every quantity is an exact int64 —
+    feature counts, margins, weight deltas — so training is
+    order-independent, bit-identical in any engine, and SQL-replayable
+    round by round: the repo's scaled-int convention applied to LEARNING,
+    not just inference.
+
+    ``labels`` is ``(doc_id, y)`` with y ∈ {-1, +1}.  The bias is bucket
+    −1 with an implicit always-on feature (cnt = 1 appended per labeled
+    doc), so the whole round — margin, mistake set, update — is one
+    declarative plan with ZERO driver-side actions or scalar collects.
+
+        margin(d) = Σ_b cnt(d,b)·w(b)      (bias row included)
+        mistakes  = {d : y(d)·margin(d) ≤ 0}
+        w(b)     += Σ_{d ∈ mistakes} y(d)·cnt(d,b)
+
+    Scale shape per round: one broadcast-able weight join (≤ n_buckets+1
+    rows, enforced ≤ 65536), one doc-keyed margin agg, one bucket-keyed
+    delta agg, one tiny full-outer weight merge — the only data-sized
+    shuffles are doc/bucket hash aggs with map-side combine; lineage
+    truncated per round.  Returns the trained ``(bucket, w)`` table
+    (zero weights dropped; bucket −1 = bias) — feed it to
+    ``classifier_scores(weights=...)`` as-is.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql.functions import broadcast
+
+    from pregel_rs_spark.pregel import truncate_plan
+
+    feats = hash_features(docs, n_buckets=n_buckets, text_col=text_col).unionByName(
+        labels.select(
+            "doc_id",
+            F.lit(-1).cast("int").alias("bucket"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+    spark = docs.sparkSession
+    w = spark.createDataFrame([], "bucket int, w long")
+    y = labels.select("doc_id", F.col("y").cast("long").alias("y"))
+    for _ in range(rounds):
+        margin = (
+            feats.join(broadcast(w), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))).alias(
+                    "margin"
+                )
+            )
+        )
+        mis = (
+            y.join(margin, "doc_id", "left")
+            .select(
+                "doc_id", "y", F.coalesce("margin", F.lit(0)).alias("margin")
+            )
+            .filter(F.col("y") * F.col("margin") <= 0)
+        )
+        delta = (
+            mis.join(feats, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+        )
+        w = truncate_plan(
+            w.join(delta, "bucket", "full")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("w"), F.lit(0))
+                    + F.coalesce(F.col("dw"), F.lit(0))
+                ).alias("w"),
+            )
+            .filter(F.col("w") != 0)
+        )
+    return w

@@ -1750,3 +1750,54 @@ def test_cms_no_undercount_and_exact_when_wide(spark):
 
     with _p.raises(ValueError):
         count_min_sketch(docs, 0, 2)
+
+
+def test_perceptron_train_hand_replay_and_inference(spark):
+    """3-doc fixture hand-replayed: round 1 updates on all docs (zero
+    margins), round 2 is mistake-free so weights are stable; the trained
+    table then drives classifier_scores to the right verdicts.  The
+    empty-text doc trains only the bias (bucket -1)."""
+    import hashlib
+
+    from pregel_rs_spark.operators.text import (
+        classifier_scores,
+        perceptron_train,
+    )
+
+    def bucket(tok, n=4096):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % n
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad"), (3, "")],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, -1), (3, -1)], "doc_id long, y int"
+    )
+    w = {
+        r.bucket: r.w
+        for r in perceptron_train(docs, labels, n_buckets=4096, rounds=2).collect()
+    }
+    assert w == {bucket("good"): 2, bucket("bad"): -1, -1: -1}
+    # idempotent once separable: a third round changes nothing
+    w3 = {
+        r.bucket: r.w
+        for r in perceptron_train(docs, labels, n_buckets=4096, rounds=3).collect()
+    }
+    assert w3 == w
+    # trained weights drive inference end-to-end (bias row excluded from
+    # the weight join; it becomes bias_scaled)
+    weights = spark.createDataFrame(
+        [(b, v) for b, v in w.items() if b != -1], "bucket int, w_scaled long"
+    )
+    scored = {
+        r.doc_id: r.keep
+        for r in classifier_scores(
+            docs, weights, n_buckets=4096, bias_scaled=w[-1], threshold_scaled=1
+        ).collect()
+    }
+    assert scored == {1: True, 2: False, 3: False}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        perceptron_train(docs, labels, rounds=0)
