@@ -784,6 +784,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_cells=16, nprobe=4, rerank="arrow",
         )
 
+    def ann_eval_ivf_q(spark, sf):
+        """ANN quality gate: recall@5 / MRR / binary NDCG@5 per query of
+        a deliberately starved IVF run (nprobe=2 of 16 cells) against
+        the exact brute-force top-5 — the eval operator that makes the
+        approximate paths' quality auditable, not just their speed."""
+        from pregel_rs_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            ranking_eval,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        truth = brute_force_topk(emb, q, k=5)
+        approx = ivf_topk(emb, q, k=5, n_cells=16, nprobe=2)
+        return ranking_eval(truth, approx, k=5)
+
     def ann_topk_lsh_q(spark, sf):
         """The 100 TB candidate-pruning path: hyperplane-bucket join +
         exact re-rank inside the bucket.  The md5-derived dyadic weights
@@ -2026,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sssp_weighted=sssp_weighted_q,
         ann_topk_lsh=ann_topk_lsh_q,
         ann_topk_ivf=ann_topk_ivf_q,
+        ann_eval_ivf=ann_eval_ivf_q,
         ann_topk_pq=ann_topk_pq_q,
         token_counts=token_counts_q,
         quality_scores=quality_q,
@@ -2855,8 +2873,10 @@ def oracle_sql() -> dict[str, str]:
     o["ann_topk_arrow"] = o["ann_topk"]
     # IVF-flat: identical deterministic quantizer (16 smallest md5(vec_id)
     # seeds), identical nearest-cell assignment (cosine rounded 6dp, ties
-    # by cell_id), nprobe=4 probes, exact re-rank inside probed cells
-    o["ann_topk_ivf"] = o["ann_topk_ivf_arrow"] = f"""
+    # by cell_id), nprobe probes, exact re-rank inside probed cells —
+    # parameterized so ann_eval_ivf can replay a starved nprobe=2 run.
+    def _ivf_sql(nprobe: int) -> str:
+        return f"""
         WITH cents AS (
             SELECT vec_id AS cell_id, embedding AS cent
             FROM embeddings
@@ -2878,7 +2898,7 @@ def oracle_sql() -> dict[str, str]:
                                DESC, t.cell_id ASC) AS rn
                 FROM embeddings q CROSS JOIN cents t
                 WHERE q.vec_id < 10)
-            WHERE rn <= 4),
+            WHERE rn <= {nprobe}),
         scored AS (
             SELECT p.query_id, a.neighbor_id,
                    ROUND({_cos('p.qe', 'a.ce')}, 6) AS cosine
@@ -2888,6 +2908,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    o["ann_topk_ivf"] = o["ann_topk_ivf_arrow"] = _ivf_sql(4)
+    # ann_eval_ivf: recall@5 / MRR / binary NDCG@5 of the nprobe=2
+    # (deliberately starved) IVF run against the exact brute-force top-5
+    # — the ANN quality gate, both rankings replayed from their own CTEs.
+    o["ann_eval_ivf"] = f"""
+        WITH truth AS (SELECT query_id, neighbor_id, rank
+                       FROM ({o["ann_topk"]}) t),
+        approx AS (SELECT query_id, neighbor_id, rank
+                   FROM ({_ivf_sql(2)}) a),
+        hits AS (SELECT a.query_id, a.rank FROM approx a JOIN truth t
+                 ON t.query_id = a.query_id
+                AND t.neighbor_id = a.neighbor_id),
+        per AS (SELECT query_id, COUNT(*) AS n_hits,
+                       SUM(1.0 / log2(rank + 1)) AS dcg,
+                       MIN(rank) AS fh
+                FROM hits GROUP BY query_id),
+        idcg AS (SELECT SUM(1.0 / log2(r + 1)) AS i
+                 FROM generate_series(1, 5) AS gs(r)),
+        qs AS (SELECT DISTINCT query_id FROM truth)
+        SELECT q.query_id,
+               ROUND(COALESCE(p.n_hits, 0) / 5.0, 6) AS recall_at_k,
+               ROUND(CASE WHEN p.fh IS NULL THEN 0.0
+                          ELSE 1.0 / p.fh END, 6) AS mrr,
+               ROUND(COALESCE(p.dcg, 0) / idcg.i, 6) AS ndcg
+        FROM qs q LEFT JOIN per p ON p.query_id = q.query_id, idcg
     """
     o["token_counts"] = f"""
         SELECT doc_id,

@@ -723,3 +723,53 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ranking_eval(truth: DataFrame, approx: DataFrame, k: int = 5) -> DataFrame:
+    """IR-metric evaluation of an approximate ranking against the exact
+    one — the quality gate for the ANN scale paths (public metrics:
+    recall@k; MRR; binary-relevance NDCG@k, Järvelin & Kekäläinen 2002).
+    Both inputs use the ann_topk contract ``(query_id, neighbor_id,
+    rank)`` with ≤ k rows per query; ``truth`` is assumed to carry
+    exactly k rows per query (the brute-force top-k does), which fixes
+    the recall denominator and the ideal DCG.
+
+    Per query: relevant = truth's top-k set;
+      recall_at_k = |approx ∩ relevant| / k
+      mrr         = 1 / (smallest approx rank that is relevant), 0 if none
+      ndcg        = Σ_{relevant hits} 1/log2(rank+1) / Σ_{r=1..k} 1/log2(r+1)
+
+    Scale shape: one (query, neighbor) equi-join + one query-keyed agg +
+    one left join back onto the query set — rankings are k rows/query, so
+    this is k·|queries| rows end to end; no windows, nothing collected.
+    Returns ``(query_id, recall_at_k, mrr, ndcg)`` rounded 6 dp.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, k + 1))
+    hits = approx.join(
+        truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("__dcg"),
+        F.min("rank").alias("__fh"),
+    )
+    qs = truth.select("query_id").distinct()
+    return qs.join(per, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(
+            F.when(F.col("__fh").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("__fh")
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.lit(idcg), 6
+        ).alias("ndcg"),
+    )

@@ -1801,3 +1801,38 @@ def test_perceptron_train_hand_replay_and_inference(spark):
 
     with _p.raises(ValueError):
         perceptron_train(docs, labels, rounds=0)
+
+
+def test_ranking_eval_hand_metrics(spark):
+    """Hand-built rankings: q1 perfect (all metrics 1), q2 approx finds
+    truth items at ranks 2,3 only (recall 2/3, mrr 1/2, ndcg from the
+    binary-DCG formula), q3 finds nothing (all zeros via the left join)."""
+    import math
+
+    from pregel_rs_spark.operators.similarity import ranking_eval
+
+    truth = spark.createDataFrame(
+        [(q, n, r) for q in (1, 2, 3) for r, n in enumerate((10, 11, 12), 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 99, 1), (2, 10, 2), (2, 11, 3),
+            (3, 97, 1), (3, 98, 2), (3, 99, 3),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {r.query_id: r for r in ranking_eval(truth, approx, k=3).collect()}
+    idcg = sum(1.0 / math.log2(r + 1) for r in (1, 2, 3))
+    assert (got[1].recall_at_k, got[1].mrr, got[1].ndcg) == (1.0, 1.0, 1.0)
+    assert got[2].recall_at_k == round(2 / 3, 6)
+    assert got[2].mrr == 0.5
+    assert got[2].ndcg == round(
+        (1 / math.log2(3) + 1 / math.log2(4)) / idcg, 6
+    )
+    assert (got[3].recall_at_k, got[3].mrr, got[3].ndcg) == (0.0, 0.0, 0.0)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        ranking_eval(truth, approx, k=0)
