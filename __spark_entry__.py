@@ -784,6 +784,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_cells=16, nprobe=4, rerank="arrow",
         )
 
+    def bitext_mine_q(spark, sf):
+        """Margin-based bitext mining (LASER/CCMatrix scoring): top-20
+        en↔de document pairs by cosine margin over the embeddings table,
+        k=4 cross-lingual neighbor averages — hub vectors suppressed by
+        construction; exact-baseline path (ANN candidates at scale)."""
+        from pregel_rs_spark.operators.similarity import bitext_margin_pairs
+
+        docs = load_table(spark, sf, "documents")
+        emb = load_table(spark, sf, "embeddings")
+        side = lambda lg: (
+            docs.filter(F.col("lang") == lg)
+            .select(F.col("doc_id").alias("vec_id"))
+            .join(emb, "vec_id")
+        )
+        return bitext_margin_pairs(side("en"), side("de"), k=4, top_n=20)
+
     def ann_eval_ivf_q(spark, sf):
         """ANN quality gate: recall@5 / MRR / binary NDCG@5 per query of
         a deliberately starved IVF run (nprobe=2 of 16 cells) against
@@ -2044,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk_lsh=ann_topk_lsh_q,
         ann_topk_ivf=ann_topk_ivf_q,
         ann_eval_ivf=ann_eval_ivf_q,
+        bitext_mine=bitext_mine_q,
         ann_topk_pq=ann_topk_pq_q,
         token_counts=token_counts_q,
         quality_scores=quality_q,
@@ -2911,6 +2928,39 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["ann_topk_ivf"] = o["ann_topk_ivf_arrow"] = _ivf_sql(4)
+    # bitext_mine: a×b cross cosines (rounded 6 before everything — the
+    # ANN convention), per-side k=4 nearest-neighbor averages over the
+    # OTHER side, margin = cos / (mean of the two averages), global
+    # top-20 with (margin DESC, doc_a, doc_b) tie-break.
+    o["bitext_mine"] = f"""
+        WITH a AS (SELECT d.doc_id AS doc_a, e.embedding AS av
+                   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                   WHERE d.lang = 'en'),
+        b AS (SELECT d.doc_id AS doc_b, e.embedding AS bv
+              FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+              WHERE d.lang = 'de'),
+        cx AS (SELECT doc_a, doc_b,
+                      ROUND({_cos('av', 'bv')}, 6) AS cos
+               FROM a, b),
+        ra AS (SELECT doc_a, cos,
+                      ROW_NUMBER() OVER (PARTITION BY doc_a
+                          ORDER BY cos DESC, doc_b ASC) AS rn FROM cx),
+        da AS (SELECT doc_a, SUM(cos) / 4.0 AS da FROM ra
+               WHERE rn <= 4 GROUP BY doc_a),
+        rb AS (SELECT doc_b, cos,
+                      ROW_NUMBER() OVER (PARTITION BY doc_b
+                          ORDER BY cos DESC, doc_a ASC) AS rn FROM cx),
+        db AS (SELECT doc_b, SUM(cos) / 4.0 AS db FROM rb
+               WHERE rn <= 4 GROUP BY doc_b),
+        scored AS (SELECT cx.doc_a, cx.doc_b,
+                          ROUND(cx.cos / ((da.da + db.db) / 2.0), 6)
+                            AS margin
+                   FROM cx JOIN da USING (doc_a) JOIN db USING (doc_b)),
+        ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY margin DESC,
+                       doc_a ASC, doc_b ASC) AS INT) AS rank
+                   FROM scored)
+        SELECT doc_a, doc_b, margin, rank FROM ranked WHERE rank <= 20
+    """
     # ann_eval_ivf: recall@5 / MRR / binary NDCG@5 of the nprobe=2
     # (deliberately starved) IVF run against the exact brute-force top-5
     # — the ANN quality gate, both rankings replayed from their own CTEs.

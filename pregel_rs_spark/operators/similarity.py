@@ -773,3 +773,72 @@ def ranking_eval(truth: DataFrame, approx: DataFrame, k: int = 5) -> DataFrame:
             F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.lit(idcg), 6
         ).alias("ndcg"),
     )
+
+
+def bitext_margin_pairs(
+    a: DataFrame, b: DataFrame, k: int = 4, top_n: int = 20
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    LASER/CCMatrix parallel-corpus scoring — public literature): candidate
+    cross-lingual pairs (x∈a, y∈b) scored by the MARGIN between their
+    cosine and the average cosine of each side's k nearest neighbors in
+    the OTHER side,
+
+        margin(x,y) = cos(x,y) / ((avgₖNN(x→b) + avgₖNN(y→a)) / 2)
+
+    which suppresses hub vectors that are "near everything" — raw cosine's
+    failure mode for mining.  Cosines round 6 dp before the k-NN averages
+    (the repo's ANN portability convention), so the whole score chain is
+    engine-replayable.
+
+    This is the EXACT baseline (one a×b cross score, two windowed k-NN
+    averages) — the re-rank stage at 100 TB, where candidate generation
+    runs through the bucketed/celled ANN paths (``ivf_topk`` /
+    ``lsh_topk``) and this operator scores only the surviving pairs.
+    Assumes each side has ≥ k vectors (the averages divide by the literal
+    k on both engines either way).
+
+    Returns the global ``top_n`` pairs ``(doc_a, doc_b, margin, rank)``
+    by (margin DESC, doc_a ASC, doc_b ASC) — TakeOrdered, no global sort.
+    """
+    if k < 1 or top_n < 1:
+        raise ValueError(f"need k >= 1 and top_n >= 1, got k={k}, top_n={top_n}")
+    av = a.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("av"))
+    bv = b.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("bv"))
+    cx = av.crossJoin(bv).select(
+        "doc_a",
+        "doc_b",
+        F.round(cosine_expr(F.col("av"), F.col("bv")), 6).alias("cos"),
+    )
+    wa = Window.partitionBy("doc_a").orderBy(F.desc("cos"), F.asc("doc_b"))
+    da = (
+        cx.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .groupBy("doc_a")
+        .agg((F.sum("cos") / F.lit(float(k))).alias("da"))
+    )
+    wb = Window.partitionBy("doc_b").orderBy(F.desc("cos"), F.asc("doc_a"))
+    db = (
+        cx.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("doc_b")
+        .agg((F.sum("cos") / F.lit(float(k))).alias("db"))
+    )
+    scored = (
+        cx.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("cos") / ((F.col("da") + F.col("db")) / F.lit(2.0)), 6
+            ).alias("margin"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("margin"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("margin"), F.asc("doc_a"), F.asc("doc_b"))
+    return top.select(
+        "doc_a", "doc_b", "margin", F.row_number().over(w).alias("rank")
+    )

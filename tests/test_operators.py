@@ -1836,3 +1836,34 @@ def test_ranking_eval_hand_metrics(spark):
 
     with _p.raises(ValueError):
         ranking_eval(truth, approx, k=0)
+
+
+def test_bitext_margin_orthonormal_fixture(spark):
+    """Orthonormal 2-vector sides: cosines are exactly the identity
+    matrix, k=1 neighbor averages are all 1, so matched pairs score
+    margin 1.0 and mismatched pairs 0.0; ranking tie-breaks by
+    (doc_a, doc_b)."""
+    from pregel_rs_spark.operators.similarity import bitext_margin_pairs
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(11, [1.0, 0.0]), (12, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r.doc_a, r.doc_b, r.margin, r.rank)
+        for r in bitext_margin_pairs(a, b, k=1, top_n=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (1, 11, 1.0, 1),
+        (2, 12, 1.0, 2),
+        (1, 12, 0.0, 3),
+        (2, 11, 0.0, 4),
+    ]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        bitext_margin_pairs(a, b, k=0)
