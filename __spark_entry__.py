@@ -784,6 +784,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_cells=16, nprobe=4, rerank="arrow",
         )
 
+    def zorder_orders_q(spark, sf):
+        """Z-order (Morton) layout key over (o_orderkey, o_custkey),
+        8 bits per dimension — the lakehouse OPTIMIZE clustering key;
+        exact integer range-normalization (DIV) + bit interleave,
+        replayed bit-for-bit by the oracle."""
+        from pregel_rs_spark.sources.bucketed import zorder_key
+
+        o = load_table(spark, sf, "orders")
+        return zorder_key(o, "o_orderkey", "o_custkey", bits=8).select(
+            "o_orderkey", "zkey"
+        )
+
     def bitext_mine_q(spark, sf):
         """Margin-based bitext mining (LASER/CCMatrix scoring): top-20
         en↔de document pairs by cosine margin over the embeddings table,
@@ -2061,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk_ivf=ann_topk_ivf_q,
         ann_eval_ivf=ann_eval_ivf_q,
         bitext_mine=bitext_mine_q,
+        zorder_orders=zorder_orders_q,
         ann_topk_pq=ann_topk_pq_q,
         token_counts=token_counts_q,
         quality_scores=quality_q,
@@ -2928,6 +2941,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["ann_topk_ivf"] = o["ann_topk_ivf_arrow"] = _ivf_sql(4)
+    # zorder_orders: exact integer range-normalized buckets (// = DIV)
+    # then the Morton interleave as an explicit bit-arithmetic sum —
+    # identical to sources.bucketed.zorder_key at bits=8.
+    _z_interleave = " + ".join(
+        f"((bx >> {i}) & 1) * {1 << (2 * i)} + "
+        f"((by >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+    o["zorder_orders"] = f"""
+        WITH s AS (SELECT MIN(o_orderkey) AS minx, MAX(o_orderkey) AS maxx,
+                          MIN(o_custkey) AS miny, MAX(o_custkey) AS maxy
+                   FROM orders),
+        b AS (SELECT o_orderkey,
+                     ((o_orderkey - minx) * 256) // (maxx - minx + 1) AS bx,
+                     ((o_custkey - miny) * 256) // (maxy - miny + 1) AS by
+              FROM orders, s)
+        SELECT o_orderkey, CAST({_z_interleave} AS BIGINT) AS zkey FROM b
+    """
     # bitext_mine: a×b cross cosines (rounded 6 before everything — the
     # ANN convention), per-side k=4 nearest-neighbor averages over the
     # OTHER side, margin = cos / (mean of the two averages), global

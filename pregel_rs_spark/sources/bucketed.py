@@ -105,3 +105,64 @@ def write_bucketed_edges_by_object(
             f"got {edges.columns}"
         )
     write_bucketed(edges, name, buckets, key=OBJECT, path=path)
+
+
+def zorder_key(
+    df: DataFrame, col_x: str, col_y: str, bits: int = 8
+) -> DataFrame:
+    """Z-order (Morton) layout key over two integer columns — the
+    multi-dimensional clustering key Delta/Iceberg-style OPTIMIZE uses so
+    range predicates on EITHER column prune files (public technique:
+    Morton 1966 interleaved codes; z-ordering in lakehouse table
+    formats).  Sorting a 100 TB table by ``zkey`` before write gives
+    file-level min/max zone maps locality in both dimensions at once.
+
+    Each column is range-normalized to ``bits`` bits with exact integer
+    arithmetic — bucket = (v − min) · 2^bits div (max − min + 1) — from
+    one O(1) min/max aggregate (broadcast onto the scan; no sort, no
+    sampling), then the two bucket values are bit-interleaved
+    (x even positions, y odd) into a ``2·bits``-wide long.  Everything is
+    int64-exact and engine-portable: the oracle replays bucket and
+    interleave bit for bit.
+
+    Scale shape: one tiny stats agg + one map-only projection — zero
+    data-sized shuffles; the (optional) sort by zkey afterwards is the
+    write job's existing ordering pass.  Returns the input columns plus
+    ``zkey``.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    stats = df.agg(
+        F.min(col_x).cast("long").alias("__minx"),
+        F.max(col_x).cast("long").alias("__maxx"),
+        F.min(col_y).cast("long").alias("__miny"),
+        F.max(col_y).cast("long").alias("__maxy"),
+    )
+    m = 1 << bits
+    # true integral division (DIV) keeps the bucket exact for any int64
+    # range with (max-min+1) < 2^(63-bits) — double '/' would round past
+    # 2^53 (documented contract; hash-id columns need bits <= 8)
+    bx = F.expr(
+        f"CAST(((CAST({col_x} AS BIGINT) - __minx) * {m})"
+        f" DIV (__maxx - __minx + 1) AS BIGINT)"
+    )
+    by = F.expr(
+        f"CAST(((CAST({col_y} AS BIGINT) - __miny) * {m})"
+        f" DIV (__maxy - __miny + 1) AS BIGINT)"
+    )
+    tagged = df.crossJoin(F.broadcast(stats)).withColumns(
+        {"__bx": bx, "__by": by}
+    )
+    zk = None
+    for i in range(bits):
+        x_bit = F.shiftright(F.col("__bx"), i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i)
+        )
+        y_bit = F.shiftright(F.col("__by"), i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+        term = x_bit + y_bit
+        zk = term if zk is None else zk + term
+    return tagged.select(*df.columns, zk.cast("long").alias("zkey"))

@@ -159,3 +159,28 @@ def test_object_bucketed_indegrees_no_exchange(spark, edges_df, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    """4x4 grid with bits=2: buckets equal the coordinates themselves, so
+    zkey is the textbook Morton code — hand-checked corners and the
+    interleave identity zkey(x,y) = morton(x) + 2*morton(y); range
+    validation raises."""
+    from pregel_rs_spark.sources.bucketed import zorder_key
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.zkey for r in zorder_key(df, "x", "y", bits=2).collect()}
+
+    def morton1(v):
+        return sum(((v >> i) & 1) << (2 * i) for i in range(2))
+
+    assert got == {(x, y): morton1(x) + 2 * morton1(y) for x, y in rows}
+    assert got[(0, 0)] == 0 and got[(3, 3)] == 15
+    # z-order locality: both dimension-neighbors of (1,1) stay within the
+    # same 4-key quadrant block
+    assert max(abs(got[(1, 1)] - got[(2, 1)]), abs(got[(1, 1)] - got[(1, 2)])) <= 8
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        zorder_key(df, "x", "y", bits=0)
