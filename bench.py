@@ -424,6 +424,52 @@ def main() -> None:
         ),
     )
 
+    def _louvain():
+        from pregel_rs_spark.algorithms import louvain
+
+        sg = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_suppkey").alias("subject"),
+                (F.col("l_partkey") % 97).alias("object"),
+            )
+            .filter(F.col("subject") != F.col("object"))
+            .distinct()
+        )
+        _consume(louvain(GraphFrame.from_edges(sg), rounds=2))
+
+    bench("louvain_r2", _louvain)
+
+    def _cms():
+        from pregel_rs_spark.operators.sketches import cms_heavy_hitters
+
+        _consume(cms_heavy_hitters(docs, depth=4, width=256, top_k=20))
+
+    bench("cms_topk", _cms)
+
+    def _perceptron():
+        from pregel_rs_spark.operators.text import perceptron_train
+
+        labels = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        )
+        _consume(perceptron_train(docs, labels, n_buckets=1024, rounds=2))
+
+    bench("perceptron_train", _perceptron)
+
+    def _bitext():
+        from pregel_rs_spark.operators.similarity import bitext_margin_pairs
+
+        side = lambda lg: (
+            docs.filter(F.col("lang") == lg)
+            .select(F.col("doc_id").alias("vec_id"))
+            .join(emb, "vec_id")
+        )
+        _consume(bitext_margin_pairs(side("en"), side("de"), k=4, top_n=100))
+
+    bench("bitext_mine", _bitext)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",
