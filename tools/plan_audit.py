@@ -244,6 +244,45 @@ EXPECT: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # Louvain local moving: neighbor-label/Σ_tot/degree equi-joins + the
+    # 1-row m broadcast (sanctioned BNLJ) — never all-pairs, no windows
+    "louvain_r2": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "Window"],
+    },
+    # count-min heavy hitters: token + (row, bucket) hash aggs, the
+    # depth·width sketch broadcast back onto the probe side; the only
+    # window ranks the k survivors of TakeOrdered
+    "cms_topk": {
+        "read_cols_max": 2,
+        "require": ["Broadcast", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # batch perceptron: per-round margin/delta hash aggs; the weight
+    # join broadcasts in code (F.broadcast) but the audited plan is the
+    # post-truncate_plan tail (densest_r2 convention) — forbid-only gate
+    "perceptron_r2": {
+        "forbid": ["CartesianProduct"],
+    },
+    # ANN eval: the hits equi-join of two k-rows/query rankings must
+    # broadcast; the upstream IVF cell join may sort-merge and the
+    # brute-force truth side carries the sanctioned cross join
+    "ann_eval_ivf": {
+        "require": ["BroadcastHashJoin"],
+    },
+    # bitext margin: the a×b cross score is the sanctioned exact-baseline
+    # cross join (re-rank stage at scale); both k-NN windows partition by
+    # doc keys
+    "bitext_mine": {
+        "read_cols_max": 2,
+    },
+    # z-order key: ONE O(1) stats agg broadcast onto a map-only
+    # projection — no data-sized shuffle, no sort
+    "zorder_orders": {
+        "read_cols_max": 2,
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
     # crawl planning composition: robots side broadcasts, frontier window
     # is the one politeness shuffle — never pairwise
     "crawl_plan": {
