@@ -1248,6 +1248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return modularity(g, label_propagation(g, max_iterations=1))
 
+    def opic_k3_q(spark, sf):
+        """OPIC adaptive on-line page importance (crawl-frontier
+        prioritization), 3 rounds on the lineitem link graph — exact
+        integer cash splitting (DIV/MOD), dangling cash + remainders
+        through the carried virtual pot; conservation n·scale every
+        round.  The oracle unrolls all three rounds."""
+        from pregel_rs_spark.algorithms import opic
+
+        return opic(GraphFrame.from_edges(_edges_li(spark, sf)), k=3)
+
     def louvain_r2_q(spark, sf):
         """One-level Louvain local moving, 2 synchronous rounds with the
         vertex-id-parity oscillation guard, on the supplier graph —
@@ -2047,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transitivity=transitivity_q,
         modularity_lpa=modularity_lpa_q,
         louvain_r2=louvain_r2_q,
+        opic_k3=opic_k3_q,
         katz_k3=katz_k3_q,
     )
     q.update(
@@ -4151,6 +4162,60 @@ def oracle_sql() -> dict[str, str]:
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
     """
+    # opic_k3: 3 unrolled OPIC rounds — share = cash DIV d, remainders +
+    # dangling cash + carried pot redistributed as pot DIV n with pot MOD
+    # n carried — the exact replica of algorithms.opic at scale=10^6.
+    _opic_round = """
+        , sh{t} AS (SELECT s.vertex_id, s.history, s.cash,
+                           COALESCE(d.d, 0) AS d,
+                           CASE WHEN COALESCE(d.d, 0) > 0
+                                THEN CAST(s.cash // d.d AS BIGINT)
+                                ELSE 0 END AS share,
+                           CASE WHEN COALESCE(d.d, 0) > 0
+                                THEN s.cash - d.d * CAST(s.cash // d.d
+                                                         AS BIGINT)
+                                ELSE s.cash END AS to_pot
+                    FROM st{t} s LEFT JOIN outd d ON d.v = s.vertex_id)
+        , inc{t} AS (SELECT e.object AS vertex_id,
+                            CAST(SUM(sh.share) AS BIGINT) AS inc
+                     FROM e JOIN sh{t} sh ON sh.vertex_id = e.subject
+                     GROUP BY e.object)
+        , pot{t} AS (SELECT CAST((SELECT SUM(to_pot) FROM sh{t})
+                          + (SELECT carry FROM potc{t}) AS BIGINT) AS p)
+        , potc{n} AS (SELECT CAST(p // (SELECT n FROM nn) AS BIGINT)
+                             AS base,
+                             CAST(p % (SELECT n FROM nn) AS BIGINT)
+                             AS carry
+                      FROM pot{t})
+        , st{n} AS (SELECT sh.vertex_id,
+                           sh.history + sh.cash AS history,
+                           CAST(COALESCE(i.inc, 0)
+                                + (SELECT base FROM potc{n}) AS BIGINT)
+                             AS cash
+                    FROM sh{t} sh LEFT JOIN inc{t} i
+                      ON i.vertex_id = sh.vertex_id)
+    """
+    o["opic_k3"] = (
+        f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+        v AS (SELECT DISTINCT vertex_id FROM
+              (SELECT subject AS vertex_id FROM e
+               UNION ALL SELECT object FROM e)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        outd AS (SELECT subject AS v, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM e GROUP BY subject),
+        st0 AS (SELECT vertex_id, CAST(0 AS BIGINT) AS history,
+                       CAST(1000000 AS BIGINT) AS cash FROM v),
+        potc0 AS (SELECT CAST(0 AS BIGINT) AS base,
+                         CAST(0 AS BIGINT) AS carry)
+        """
+        + _opic_round.format(t=0, n=1)
+        + _opic_round.format(t=1, n=2)
+        + _opic_round.format(t=2, n=3)
+        + """
+        SELECT vertex_id, history, cash FROM st3
+        """
+    )
     # louvain_r2: 2 unrolled synchronous local-moving rounds from
     # singleton labels — gain2 = 2·m·k_vc − k_v·Σ_tot(c∖v) as exact
     # BIGINTs, move iff gain2 > 0 (two-stage arg-max: max gain, then min

@@ -4255,3 +4255,106 @@ def louvain(graph: GraphFrame, rounds: int = 2) -> DataFrame:
             )
         )
     return labels
+
+def opic(graph: GraphFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena WWW'03, public literature; no reference counterpart —
+    the crawl-frontier prioritization classic): every page starts with
+    equal CASH; each round a page credits its cash to HISTORY, splits it
+    evenly over its out-links, and dangling pages + division remainders
+    feed a virtual pot redistributed evenly next round.  Importance after
+    k rounds ∝ accumulated history — unlike PageRank it needs no
+    convergence and updates incrementally as the crawl proceeds, which is
+    why frontier schedulers use it.
+
+    This implementation is INTEGER-EXACT (the repo's portability
+    convention): cash starts at ``scale`` per vertex; shares are
+    ``cash DIV d``; remainders ``cash MOD d``, all dangling cash, and the
+    pot's own ``MOD n`` leftover carry forward through a 1-row pot frame.
+    Total cash + pot is conserved at exactly ``n·scale`` every round —
+    a closed-book invariant the tests assert and any engine replays
+    bit-for-bit.
+
+    int64 bound: per-vertex cash ≤ n·scale; with the default
+    scale = 10⁶ safe to ~9×10¹¹ vertices.
+
+    Scale shape per round: one out-degree join + one destination-keyed
+    integer-sum agg (the message shuffle), two O(1) scalar aggregates
+    riding the same plan via 1-row broadcasts (pot, n) — no collects;
+    lineage truncated per round.  Returns ``(vertex_id, history, cash)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = graph.edges.select(SUBJECT, OBJECT)
+    outd = e.groupBy(F.col(SUBJECT).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    n = graph.vertices.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    state = graph.vertices.select(
+        VERTEX_ID,
+        F.lit(0).cast("long").alias("history"),
+        F.lit(int(scale)).cast("long").alias("cash"),
+    )
+    pot = state.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("__pot")
+    )
+    for _ in range(k):
+        st = state.join(outd, state[VERTEX_ID] == outd["__v"], "left").select(
+            VERTEX_ID,
+            "history",
+            "cash",
+            F.coalesce("__d", F.lit(0)).alias("__d"),
+        )
+        # per-vertex share to each out-neighbor, and what feeds the pot
+        st = st.select(
+            VERTEX_ID,
+            "history",
+            "cash",
+            "__d",
+            F.when(
+                F.col("__d") > 0,
+                F.expr("CAST(cash DIV __d AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__share"),
+        ).withColumn(
+            "__to_pot",
+            F.when(
+                F.col("__d") > 0,
+                F.col("cash") - F.col("__d") * F.col("__share"),
+            ).otherwise(F.col("cash")),
+        )
+        incoming = (
+            e.join(
+                st.select(
+                    F.col(VERTEX_ID).alias("__u"),
+                    F.col("__share").alias("__s"),
+                ),
+                e[SUBJECT] == F.col("__u"),
+            )
+            .groupBy(F.col(OBJECT).alias(VERTEX_ID))
+            .agg(F.sum("__s").alias("__in"))
+        )
+        pot_total = (
+            st.agg(F.sum("__to_pot").alias("__p"))
+            .crossJoin(F.broadcast(pot))
+            .select((F.col("__p") + F.col("__pot")).alias("__p"))
+        )
+        # even pot redistribution: base DIV n now, MOD n carries forward
+        pot_split = pot_total.crossJoin(F.broadcast(n)).select(
+            F.expr("CAST(__p DIV __n AS BIGINT)").alias("__base"),
+            F.expr("CAST(__p % __n AS BIGINT)").alias("__carry"),
+        )
+        state = truncate_plan(
+            st.join(incoming, VERTEX_ID, "left")
+            .crossJoin(F.broadcast(pot_split.select("__base")))
+            .select(
+                VERTEX_ID,
+                (F.col("history") + F.col("cash")).alias("history"),
+                (
+                    F.coalesce("__in", F.lit(0)) + F.col("__base")
+                ).alias("cash"),
+            )
+        )
+        pot = pot_split.select(F.col("__carry").alias("__pot"))
+    return state

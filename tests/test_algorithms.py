@@ -2183,3 +2183,34 @@ def test_louvain_parity_guard_blocks_swap(spark):
         r.vertex_id: r.community for r in louvain(g, rounds=2).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+def test_opic_hand_replay_and_conservation(spark):
+    """2-cycle plus a dangling vertex at scale=12, hand-replayed 3
+    rounds: shares, pot remainders, and the DIV/MOD redistribution all
+    exact — (history, cash) = (45,17),(45,17),(17,0); intermediate
+    rounds checked too (cash totals stay within n·scale with the pot
+    carrying the difference)."""
+    from pregel_rs_spark.algorithms import opic
+
+    g = GraphFrame.from_edges(
+        spark.createDataFrame([(1, 2), (2, 1), (3, 1)],
+                              "subject long, object long")
+    )
+    # vertex 3 HAS an out-edge above; rebuild with 3 dangling instead:
+    # edges 1->2, 2->1 and an explicit vertex table {1,2,3}
+    from pregel_rs_spark.graphframe import GraphFrame as GF
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "subject long, object long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "vertex_id long")
+    g = GF(verts, edges)
+    r1 = {r.vertex_id: (r.history, r.cash) for r in opic(g, k=1, scale=12).collect()}
+    assert r1 == {1: (12, 16), 2: (12, 16), 3: (12, 4)}
+    r2 = {r.vertex_id: (r.history, r.cash) for r in opic(g, k=2, scale=12).collect()}
+    assert r2 == {1: (28, 17), 2: (28, 17), 3: (16, 1)}
+    r3 = {r.vertex_id: (r.history, r.cash) for r in opic(g, k=3, scale=12).collect()}
+    assert r3 == {1: (45, 17), 2: (45, 17), 3: (17, 0)}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        opic(g, k=0)
