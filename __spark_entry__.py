@@ -1248,6 +1248,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return modularity(g, label_propagation(g, max_iterations=1))
 
+    def bpe_merges_k3_q(spark, sf):
+        """TRUE iterative BPE training over the documents corpus: 3
+        merges learned with per-round symbol-pair recounting (not just
+        the first-step statistic), deterministic tie-break — returns the
+        learned merge table; the oracle replays all three rounds."""
+        from pregel_rs_spark.operators.text import bpe_train
+
+        return bpe_train(load_table(spark, sf, "documents"), merges=3)
+
     def opic_k3_q(spark, sf):
         """OPIC adaptive on-line page importance (crawl-frontier
         prioritization), 3 rounds on the lineitem link graph — exact
@@ -2058,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         modularity_lpa=modularity_lpa_q,
         louvain_r2=louvain_r2_q,
         opic_k3=opic_k3_q,
+        bpe_merges_k3=bpe_merges_k3_q,
         katz_k3=katz_k3_q,
     )
     q.update(
@@ -4162,6 +4172,48 @@ def oracle_sql() -> dict[str, str]:
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
     """
+    # bpe_merges_k3: 3 unrolled true-BPE merges — vocabulary re-segmented
+    # per round (chr(31)-delimited), symbol-pair stats corpus-weighted,
+    # winner by (count DESC, left, right), literal replace application —
+    # step-for-step replica of operators.text.bpe_train.
+    _bpe_round = """
+        , p{r} AS (SELECT t.a[u.i] AS l, t.a[u.i + 1] AS r,
+                          CAST(SUM(t.wc) AS BIGINT) AS c
+                   FROM (SELECT string_split(s, chr(31)) AS a, wc
+                         FROM v{pr}) t,
+                        UNNEST(generate_series(1, greatest(len(t.a) - 1,
+                                                           0))) AS u(i)
+                   GROUP BY 1, 2)
+        , m{r} AS (SELECT l, r, c FROM p{r}
+                   ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+        , v{r} AS (SELECT replace(v.s, m.l || chr(31) || m.r,
+                                  m.l || m.r) AS s, v.wc
+                   FROM v{pr} v, m{r} m)
+    """
+    o["bpe_merges_k3"] = (
+        r"""
+        WITH words AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+          WHERE w <> '' AND w NOT LIKE '%' || chr(31) || '%'
+          GROUP BY w),
+        v0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'),
+                            chr(31)) AS s, wc
+               FROM words)
+        """
+        + _bpe_round.format(r=1, pr=0)
+        + _bpe_round.format(r=2, pr=1)
+        + _bpe_round.format(r=3, pr=2)
+        + """
+        SELECT 1 AS step, l AS "left", r AS "right", c AS pair_count FROM m1
+        UNION ALL
+        SELECT 2, l, r, c FROM m2
+        UNION ALL
+        SELECT 3, l, r, c FROM m3
+        """
+    )
     # opic_k3: 3 unrolled OPIC rounds — share = cash DIV d, remainders +
     # dangling cash + carried pot redistributed as pot DIV n with pot MOD
     # n carried — the exact replica of algorithms.opic at scale=10^6.

@@ -854,3 +854,84 @@ def perceptron_train(
             .filter(F.col("w") != 0)
         )
     return w
+
+
+def bpe_train(
+    docs: DataFrame, merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """TRUE iterative BPE tokenizer training (Sennrich et al. ACL'16) at
+    corpus scale — not just the first-step pair statistic
+    (:func:`bpe_pair_stats`) but the real loop: segment the vocabulary
+    into symbols, count corpus-weighted adjacent SYMBOL pairs, merge the
+    most frequent pair everywhere (non-overlapping, left-to-right — the
+    BPE contract, exactly what string ``replace`` does on the
+    separator-delimited form), recount, repeat ``merges`` times.
+    Tie-break (count DESC, left ASC, right ASC) makes the learned
+    vocabulary reproducible — and the whole loop is engine-exact: every
+    count is an int64, every merge a literal string replace, so a SQL
+    oracle replays training step for step.
+
+    Scale shape per merge: pair stats run over the DISTINCT-WORD
+    vocabulary weighted by word counts (Zipf-bounded, the
+    ``bpe_pair_stats`` trick — the corpus is touched once for the word
+    counts), one (pair) hash agg, a 1-row TakeOrdered winner broadcast
+    into a map-only replace.  Words are delimited with chr(31) (unit
+    separator); words containing it are dropped on both engines.
+
+    Returns the learned merge table ``(step, left, right, pair_count)``,
+    one row per merge, step 1..``merges``.
+    """
+    if merges < 1:
+        raise ValueError(f"merges must be >= 1, got {merges}")
+    SEP = "\x1f"
+    t = F.col(text_col)
+    vocab = (
+        docs.filter(t.isNotNull())
+        .filter(F.length(F.trim(t)) > 0)
+        .select(F.explode(F.split(F.trim(F.lower(t)), r"\s+")).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains(SEP)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            F.regexp_replace(F.col("w"), "(.)", "$1" + SEP).alias("s"),
+            "wc",
+        )
+        .select(F.expr(f"rtrim('{SEP}', s)").alias("s"), "wc")
+    )
+    spark = docs.sparkSession
+    learned = spark.createDataFrame(
+        [], "step int, left string, right string, pair_count long"
+    )
+    for step in range(1, merges + 1):
+        syms = vocab.select("wc", F.split("s", SEP).alias("a")).filter(
+            F.size("a") >= 2
+        )
+        pairs = syms.select(
+            "wc",
+            F.explode(F.sequence(F.lit(0), F.size("a") - 2)).alias("i"),
+            "a",
+        ).select(
+            F.col("a")[F.col("i")].alias("left"),
+            F.col("a")[F.col("i") + 1].alias("right"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy("left", "right")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+        )
+        learned = learned.unionByName(
+            best.select(
+                F.lit(step).alias("step"), "left", "right", "pair_count"
+            )
+        )
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.col("left"), F.lit(SEP), F.col("right")),
+                F.concat(F.col("left"), F.col("right")),
+            ).alias("s"),
+            "wc",
+        )
+    return learned

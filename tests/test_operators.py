@@ -1867,3 +1867,23 @@ def test_bitext_margin_orthonormal_fixture(spark):
 
     with _p.raises(ValueError):
         bitext_margin_pairs(a, b, k=0)
+
+
+def test_bpe_train_textbook_low_lower(spark):
+    """The Sennrich 'low/lower' example: merges learned in order
+    (l,o)->( lo,w)->(e,r) with corpus-weighted counts 4,4,1 — ties
+    resolved left-ASC (l,o beats o,w at count 4; e,r beats low,e at 1)."""
+    from pregel_rs_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower")], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, merges=3).orderBy("step").collect()
+    ]
+    assert got == [(1, "l", "o", 4), (2, "lo", "w", 4), (3, "e", "r", 1)]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        bpe_train(docs, merges=0)
