@@ -5,6 +5,7 @@ from pregel_rs_spark.streaming.ingest import (
     run_edges_stream,
     stream_pages,
     stream_pages_to_edges,
+    windowed_counts_stream,
 )
 from pregel_rs_spark.streaming.sessions import sessionize_stream
 
@@ -16,4 +17,5 @@ __all__ = [
     "degree_stream",
     "run_edges_stream",
     "sessionize_stream",
+    "windowed_counts_stream",
 ]

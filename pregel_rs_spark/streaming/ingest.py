@@ -338,3 +338,45 @@ def lsh_dedup_stream(
         store.write(index_table, grown)
 
     return docs.writeStream.foreachBatch(_screen)
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — the canonical Structured
+    Streaming windowed aggregation (readStream → withWatermark →
+    groupBy(window) → agg): event counts per (window, key), with the
+    watermark bounding BOTH state (closed windows are evicted, so state
+    is O(active windows), not O(stream)) and late data (events older
+    than the watermark are dropped, never retro-mutating a finalized
+    window in append mode).
+
+    The identical expression runs on a BATCH DataFrame (``F.window`` is
+    an ordinary grouping function), which is the parity contract the
+    tests pin: stream(availableNow) ≡ batch on on-time data, and late
+    rows beyond the watermark are exactly the diff.
+
+    At 100 TB/day the shuffle is (window, key)-hash-partitioned with
+    map-side partial counts — the same one-shuffle shape as the batch
+    ``hourly_type_counts`` rollup.  Returns ``(window_start, window_end,
+    <key_col>, n)``.
+    """
+    from pyspark.sql import functions as F
+
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )

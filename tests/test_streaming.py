@@ -407,3 +407,81 @@ def test_stream_lsh_dedup_grows_standing_index(spark, tmp_path_factory):
     # index contains only admitted docs' bands
     idx_docs = {r.doc_id for r in store.read("lsh_index").collect()}
     assert idx_docs == {d for d, v in got.items() if v[2]}
+
+
+def test_stream_windowed_counts_parity_and_late_drop(spark, tmp_path_factory):
+    """Watermarked tumbling-window counts, availableNow over three
+    micro-batch files: (a) append-mode output equals the batch windowed
+    rollup of the ON-TIME events whose windows the watermark closed;
+    (b) a late event for a window the watermark ALREADY EVICTED is
+    dropped (numRowsDroppedByWatermark = 1) and never mutates the
+    emitted window — the append-mode contract.  (Late rows whose window
+    is still open are aggregated normally; eviction, not arrival order,
+    finalizes a window.)"""
+    import datetime as dt
+    import time as _time
+
+    from pregel_rs_spark.streaming import windowed_counts_stream
+
+    root = tmp_path_factory.mktemp("winstream")
+    src = os.path.join(str(root), "events")
+    out = os.path.join(str(root), "out")
+    ckpt = os.path.join(str(root), "ckpt")
+
+    def ev(h, m, et):
+        return (dt.datetime(2026, 1, 1, h, m), et)
+
+    schema = "ts timestamp, event_type string"
+    batches = [
+        # hour-0/1 events + a 10:00 sentinel -> watermark 08:00 after t0
+        [ev(0, 10, "a"), ev(0, 40, "b"), ev(1, 10, "a"), ev(10, 0, "c")],
+        # 12:00 sentinel: trigger runs AT 08:00, evicting/EMITTING the
+        # hour-0 and hour-1 windows; watermark 10:00 after it
+        [ev(12, 0, "c")],
+        # 00:50 targets the already-emitted hour-0 window -> DROPPED;
+        # 13:00 advances the watermark to 11:00, evicting hour 10
+        [ev(0, 50, "a"), ev(13, 0, "c")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> stable file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        windowed_counts_stream(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 00:50 late row
+    got = {
+        (r.window_start.hour, r.event_type): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 count for "a" is 1 — the dropped late row never re-opened
+    # the emitted window; hours 12/13 still open (no eviction yet)
+    assert got == {(0, "a"): 1, (0, "b"): 1, (1, "a"): 1, (10, "c"): 1}
+    # parity: the same expression over the on-time closed-window subset
+    batch = spark.createDataFrame(batches[0], schema).filter(
+        F.col("ts") < "2026-01-01 11:00:00"
+    )
+    got_batch = {
+        (r.window_start.hour, r.event_type): r.n
+        for r in windowed_counts_stream(batch).collect()
+    }
+    assert got_batch == got
