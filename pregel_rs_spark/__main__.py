@@ -35,6 +35,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "negsample", "neighsample", "salsa", "mis", "redirects",
         "coreness", "matching", "topolayers", "landmarks", "bowtie",
         "densest", "node2vec", "skipgram", "pmi", "powerlaw",
+        "eigen", "louvain", "opic",
     ])
     ap.add_argument("--edges", required=True,
                     help="parquet path (or Iceberg table) with (subject, object)")
@@ -221,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.algo == "powerlaw":
         res = A.powerlaw_alpha(g, dmin=args.dmin)
+    elif args.algo == "eigen":
+        res = A.eigenvector_centrality(g, k=args.k)
+    elif args.algo == "louvain":
+        res = A.louvain(g, rounds=args.max_iter)
+    elif args.algo == "opic":
+        res = A.opic(g, k=args.k)
     elif args.algo in ("cocitation", "coupling"):
         res = A.cocitation_pairs(
             g, min_shared=args.min_shared,

