@@ -1248,6 +1248,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return modularity(g, label_propagation(g, max_iterations=1))
 
+    def winnow_fp_q(spark, sf):
+        """Winnowing (MOSS) fingerprints over the documents corpus —
+        k=5 grams, window 4, rightmost-min tie rule via the single
+        integer combined = h·2²¹ + (2²¹−1−pos); the oracle replays
+        normalize → gram hash → window-min → decode exactly."""
+        from pregel_rs_spark.operators.text import winnow_fingerprints
+
+        return winnow_fingerprints(
+            load_table(spark, sf, "documents"), k=5, window=4
+        )
+
     def bpe_merges_k3_q(spark, sf):
         """TRUE iterative BPE training over the documents corpus: 3
         merges learned with per-round symbol-pair recounting (not just
@@ -2068,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         louvain_r2=louvain_r2_q,
         opic_k3=opic_k3_q,
         bpe_merges_k3=bpe_merges_k3_q,
+        winnow_fp=winnow_fp_q,
         katz_k3=katz_k3_q,
     )
     q.update(
@@ -4171,6 +4183,42 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(w2_c / (2.0 * m.m)
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
+    """
+    # winnow_fp: Schleimer winnowing replayed exactly — 8-nibble md5
+    # gram hash, combined = h·2^21 + (2^21−1−pos), window MIN over 4
+    # grams (rightmost-min by construction), strict-window filter,
+    # DISTINCT, then DIV/MOD decode.
+    _wn_h8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1) "
+        f"* {1 << (4 * (8 - i))}"
+        for i in range(1, 9)
+    )
+    o["winnow_fp"] = f"""
+        WITH norm AS (SELECT doc_id,
+                             regexp_replace(lower(text), '[^a-z0-9]', '',
+                                            'g') AS s
+                      FROM documents WHERE text IS NOT NULL),
+        eligible AS (SELECT * FROM norm WHERE length(s) >= 5),
+        grams AS (SELECT doc_id, u.i AS pos, md5(substr(s, u.i, 5)) AS h8
+                  FROM eligible,
+                       UNNEST(generate_series(1, least(length(s) - 4,
+                                                       2097151))) AS u(i)),
+        hashed AS (SELECT doc_id, pos,
+                          ({_wn_h8}) * 2097152 + (2097151 - pos)
+                            AS combined
+                   FROM grams),
+        win AS (SELECT doc_id, pos,
+                       MIN(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                         AS wmin,
+                       MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+                FROM hashed),
+        sel AS (SELECT DISTINCT doc_id, wmin FROM win
+                WHERE pos <= maxpos - 3)
+        SELECT doc_id,
+               CAST(2097151 - (wmin % 2097152) AS BIGINT) AS pos,
+               CAST(wmin // 2097152 AS BIGINT) AS gram_hash
+        FROM sel
     """
     # bpe_merges_k3: 3 unrolled true-BPE merges — vocabulary re-segmented
     # per round (chr(31)-delimited), symbol-pair stats corpus-weighted,

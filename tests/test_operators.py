@@ -1887,3 +1887,38 @@ def test_bpe_train_textbook_low_lower(spark):
 
     with _p.raises(ValueError):
         bpe_train(docs, merges=0)
+
+
+def test_winnow_fingerprints_tie_break_and_guarantee(spark):
+    """'aaaa' (3 identical k=2 grams, w=2) pins the rightmost-min tie
+    rule: selections at positions 2 and 3 only; and the winnowing
+    guarantee holds — two docs sharing a substring of length >= k+w-1
+    share at least one fingerprint hash."""
+    import hashlib
+
+    from pregel_rs_spark.operators.text import winnow_fingerprints
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "the quick brown fox jumps"),
+            (3, "a lazy dog saw the quick brown fox leap"),
+            (4, "zz"),  # only 1 gram at k=2 < w -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=2, window=2)
+    got1 = {(r.pos, r.gram_hash) for r in out.filter("doc_id = 1").collect()}
+    assert got1 == {(2, h("aa")), (3, h("aa"))}
+    f2 = {r.gram_hash for r in out.filter("doc_id = 2").collect()}
+    f3 = {r.gram_hash for r in out.filter("doc_id = 3").collect()}
+    # shared normalized substring "thequickbrownfox" (len 16 >= 2+2-1)
+    assert f2 & f3
+    assert out.filter("doc_id = 4").count() == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
