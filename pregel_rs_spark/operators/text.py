@@ -796,6 +796,14 @@ def perceptron_train(
         mistakes  = {d : y(d)·margin(d) ≤ 0}
         w(b)     += Σ_{d ∈ mistakes} y(d)·cnt(d,b)
 
+    Convergence contract (Novikoff): on LINEARLY SEPARABLE labels the
+    mistake set empties and weights become stationary (pinned in the
+    idempotence test; demonstrated in examples/quality_classifier.py).
+    On non-separable labels the full-batch lr=1 update can oscillate
+    between all-positive and all-negative predictions — measured on this
+    repo's synthetic lang labels — so gate deployment on a mistake-count
+    trend, or use the heuristic/LSH quality stack for fuzzy targets.
+
     Scale shape per round: one broadcast-able weight join (≤ n_buckets+1
     rows, enforced ≤ 65536), one doc-keyed margin agg, one bucket-keyed
     delta agg, one tiny full-outer weight merge — the only data-sized
