@@ -1248,6 +1248,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return modularity(g, label_propagation(g, max_iterations=1))
 
+    def length_quantiles_q(spark, sf):
+        """Exact nearest-rank p50/p90/p99 document length per source —
+        integer-exact ceil-rank arithmetic over a distinct-value
+        cumulative window (no approx_percentile sketch); the oracle
+        replays the identical rank rule."""
+        from pregel_rs_spark.operators.pipeline import group_quantiles
+
+        return group_quantiles(
+            load_table(spark, sf, "documents"),
+            value_col="n_chars", group_col="source", percents=(50, 90, 99),
+        )
+
     def winnow_fp_q(spark, sf):
         """Winnowing (MOSS) fingerprints over the documents corpus —
         k=5 grams, window 4, rightmost-min tie rule via the single
@@ -2080,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         opic_k3=opic_k3_q,
         bpe_merges_k3=bpe_merges_k3_q,
         winnow_fp=winnow_fp_q,
+        length_quantiles=length_quantiles_q,
         katz_k3=katz_k3_q,
     )
     q.update(
@@ -4183,6 +4196,23 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(w2_c / (2.0 * m.m)
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
+    """
+    # length_quantiles: exact nearest-rank quantiles — cumulative count
+    # over distinct values per source, rank = (n*p + 99) // 100.
+    o["length_quantiles"] = """
+        WITH counts AS (SELECT source, n_chars AS v,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents WHERE n_chars IS NOT NULL
+                        GROUP BY source, n_chars),
+        cum AS (SELECT source, v, c,
+                       SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                       SUM(c) OVER (PARTITION BY source) AS n
+                FROM counts)
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+               MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+               MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+        FROM cum GROUP BY source
     """
     # winnow_fp: Schleimer winnowing replayed exactly — 8-nibble md5
     # gram hash, combined = h·2^21 + (2^21−1−pos), window MIN over 4

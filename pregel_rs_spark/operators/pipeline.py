@@ -706,3 +706,47 @@ def corpus_sample_weighted(
             "rank",
         )
     )
+
+
+def group_quantiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT nearest-rank quantiles per group — the corpus length/size
+    profile (p50/p90/p99 document length per source) with none of
+    ``approx_percentile``'s version-pinned sketch opacity: quantile p =
+    the smallest value whose cumulative count reaches ceil(p·n/100),
+    computed with pure integer arithmetic (ceil(a/b) = (a+b−1) DIV b), so
+    any engine replays it bit-for-bit.
+
+    Scale shape: one (group, value) hash agg first — the cumulative
+    window then runs over DISTINCT values per group (bounded by value
+    cardinality, not corpus rows; for document lengths that is ≤ max
+    length), so the per-group sort never sees raw rows.  One final
+    group agg of conditional mins.  NULL values are excluded (SQL
+    aggregate convention).  Returns ``(<group>, n, p<p> ...)``.
+    """
+    if not percents or any(not 1 <= p <= 100 for p in percents):
+        raise ValueError(f"percents must be in [1,100], got {percents}")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = W.partitionBy(group_col).orderBy(value_col)
+    cum = counts.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(W.partitionBy(group_col))
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in percents:
+        rank = F.expr(f"CAST((__n * {int(p)} + 99) DIV 100 AS BIGINT)")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= rank, F.col(value_col))
+            ).alias(f"p{int(p)}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

@@ -1922,3 +1922,27 @@ def test_winnow_fingerprints_tie_break_and_guarantee(spark):
 
     with _p.raises(ValueError):
         winnow_fingerprints(docs, k=0)
+
+
+def test_group_quantiles_nearest_rank_exact(spark):
+    """Hand-checked nearest-rank quantiles: values 1..10 in one group —
+    p50 = 5 (ceil(0.5*10)=5th), p90 = 9, p99 = 10 (ceil(9.9)=10th);
+    a second group with ties and a NULL (excluded) pins the cumulative
+    arithmetic; validation raises."""
+    from pregel_rs_spark.operators.pipeline import group_quantiles
+
+    rows = [("a", v) for v in range(1, 11)] + [
+        ("b", 2), ("b", 2), ("b", 7), ("b", None),
+    ]
+    docs = spark.createDataFrame(rows, "source string, n_chars int")
+    got = {
+        r.source: (r.n, r.p50, r.p90, r.p99)
+        for r in group_quantiles(docs).collect()
+    }
+    # b: n=3 (NULL excluded); p50 -> ceil(1.5)=2nd value -> 2;
+    # p90 -> ceil(2.7)=3rd -> 7; p99 -> 3rd -> 7
+    assert got == {"a": (10, 5, 9, 10), "b": (3, 2, 7, 7)}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        group_quantiles(docs, percents=(0,))
