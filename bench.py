@@ -458,6 +458,27 @@ def main() -> None:
 
     bench("perceptron_train", _perceptron)
 
+    def _opic():
+        from pregel_rs_spark.algorithms import opic
+
+        _consume(opic(GraphFrame.from_edges(li_edges), k=3))
+
+    bench("opic_k3", _opic)
+
+    def _bpe():
+        from pregel_rs_spark.operators.text import bpe_train
+
+        _consume(bpe_train(docs, merges=3))
+
+    bench("bpe_merges", _bpe)
+
+    def _winnow():
+        from pregel_rs_spark.operators.text import winnow_fingerprints
+
+        _consume(winnow_fingerprints(docs, k=5, window=4))
+
+    bench("winnow_fp", _winnow)
+
     def _bitext():
         from pregel_rs_spark.operators.similarity import bitext_margin_pairs
 

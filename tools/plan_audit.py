@@ -283,6 +283,33 @@ EXPECT: dict[str, dict] = {
         "require": ["Broadcast"],
         "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
     },
+    # OPIC: per-round out-degree join + destination integer-sum agg; the
+    # 1-row pot/n frames broadcast (sanctioned BNLJ); post-truncate tail
+    "opic_k3": {
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # BPE training: vocabulary-bounded pair aggs + a 1-row winner
+    # broadcast into a map-only replace — never pairwise
+    "bpe_merges_k3": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # winnowing: normalize + per-doc position explode + ONE doc-keyed
+    # window + distinct — no joins at all
+    "winnow_fp": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+    },
+    # exact quantiles: (group, value) hash agg, then windows over
+    # DISTINCT values only — no joins
+    "length_quantiles": {
+        "read_cols_max": 2,
+        "codegen": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+    },
     # crawl planning composition: robots side broadcasts, frontier window
     # is the one politeness shuffle — never pairwise
     "crawl_plan": {
