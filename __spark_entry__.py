@@ -1290,6 +1290,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return opic(GraphFrame.from_edges(_edges_li(spark, sf)), k=3)
 
+    def triads_sg_q(spark, sf):
+        """Closed-triad census (7 M-A-N types) on the supplier graph —
+        the directed-motif structure signature; flags ride the same
+        degree-bounded triangle joins as triangle_count."""
+        from pregel_rs_spark.algorithms import triad_census
+
+        return triad_census(GraphFrame.from_edges(_edges_sg(spark, sf)))
+
     def louvain_r2_q(spark, sf):
         """One-level Louvain local moving, 2 synchronous rounds with the
         vertex-id-parity oscillation guard, on the supplier graph —
@@ -2091,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         louvain_r2=louvain_r2_q,
         opic_k3=opic_k3_q,
         bpe_merges_k3=bpe_merges_k3_q,
+        triads_sg=triads_sg_q,
         winnow_fp=winnow_fp_q,
         length_quantiles=length_quantiles_q,
         katz_k3=katz_k3_q,
@@ -4196,6 +4205,47 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(w2_c / (2.0 * m.m)
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
+    """
+    # triads_sg: per-canonical-pair direction flags carried through the
+    # triangle joins; CASE classification identical to triad_census
+    # (mutual count r, to-third arc count for r=1, cycle test for r=0).
+    o["triads_sg"] = f"""
+        WITH p AS (SELECT LEAST(subject, object) AS a,
+                          GREATEST(subject, object) AS b,
+                          MAX(CASE WHEN subject < object THEN 1 ELSE 0 END)
+                            AS ab,
+                          MAX(CASE WHEN subject > object THEN 1 ELSE 0 END)
+                            AS ba
+                   FROM {_SG_SQL} WHERE subject != object GROUP BY 1, 2),
+        tri AS (SELECT c1.ab AS uv_ab, c1.ba AS uv_ba,
+                       c2.ab AS vw_ab, c2.ba AS vw_ba,
+                       c3.ab AS uw_ab, c3.ba AS uw_ba
+                FROM p c1 JOIN p c2 ON c2.a = c1.b
+                JOIN p c3 ON c3.a = c1.a AND c3.b = c2.b),
+        cls AS (SELECT CASE
+                  WHEN uv_ab*uv_ba + uw_ab*uw_ba + vw_ab*vw_ba = 3
+                    THEN '300'
+                  WHEN uv_ab*uv_ba + uw_ab*uw_ba + vw_ab*vw_ba = 2
+                    THEN '210'
+                  WHEN uv_ab*uv_ba + uw_ab*uw_ba + vw_ab*vw_ba = 1 THEN
+                    CASE
+                      WHEN (CASE WHEN uv_ab*uv_ba = 1
+                                 THEN uw_ab + vw_ab
+                                 WHEN uw_ab*uw_ba = 1
+                                 THEN uv_ab + vw_ba
+                                 ELSE uv_ba + uw_ba END) = 2 THEN '120U'
+                      WHEN (CASE WHEN uv_ab*uv_ba = 1
+                                 THEN uw_ab + vw_ab
+                                 WHEN uw_ab*uw_ba = 1
+                                 THEN uv_ab + vw_ba
+                                 ELSE uv_ba + uw_ba END) = 0 THEN '120D'
+                      ELSE '120C' END
+                  WHEN uv_ab*vw_ab*uw_ba + uv_ba*vw_ba*uw_ab > 0
+                    THEN '030C'
+                  ELSE '030T' END AS triad_type
+                FROM tri)
+        SELECT triad_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cls GROUP BY triad_type
     """
     # length_quantiles: exact nearest-rank quantiles — cumulative count
     # over distinct values per source, rank = (n*p + 99) // 100.

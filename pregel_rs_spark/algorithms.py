@@ -4358,3 +4358,82 @@ def opic(graph: GraphFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
         )
         pot = pot_split.select(F.col("__carry").alias("__pot"))
     return state
+
+def triad_census(graph: GraphFrame) -> DataFrame:
+    """Closed-triad census (Holland & Leinhardt 1970's M-A-N taxonomy,
+    via Milo et al. 2002 network motifs — public literature; extension
+    beyond pregel-rs src/graph_frame.rs): every connected triple
+    (triangle in the undirected skeleton) classified into the 7 closed
+    triad types by its arc pattern —
+
+      030T transitive  030C cyclic          (no mutual dyad)
+      120D down  120U up  120C cyclic       (one mutual dyad)
+      210                                   (two mutual dyads)
+      300                                   (all three mutual)
+
+    — the web/social-graph structure signature (feed-forward loops vs
+    cycles is the classic motif contrast).  Counts are exact integers.
+
+    Scale shape: the SAME degree-bounded triangle pipeline as
+    :func:`triangle_count` (canonical-pair table + two equi-joins — the
+    O(m^1.5) wedge bound), with per-pair direction flags carried through
+    the joins and a CASE classification — one extra small agg, no new
+    shuffle family.  Returns ``(triad_type, n)`` for the types present.
+    """
+    e = graph.edges.select(SUBJECT, OBJECT).filter(
+        F.col(SUBJECT) != F.col(OBJECT)
+    ).distinct()
+    p = (
+        e.select(
+            F.least(SUBJECT, OBJECT).alias("a"),
+            F.greatest(SUBJECT, OBJECT).alias("b"),
+            (F.col(SUBJECT) < F.col(OBJECT)).cast("int").alias("fwd"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.max("fwd").alias("ab"),
+            F.max(1 - F.col("fwd")).alias("ba"),
+        )
+    )
+    c1 = p.select(
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        F.col("ab").alias("uv_ab"), F.col("ba").alias("uv_ba"),
+    )
+    c2 = p.select(
+        F.col("a").alias("v"), F.col("b").alias("w"),
+        F.col("ab").alias("vw_ab"), F.col("ba").alias("vw_ba"),
+    )
+    c3 = p.select(
+        F.col("a").alias("u"), F.col("b").alias("w"),
+        F.col("ab").alias("uw_ab"), F.col("ba").alias("uw_ba"),
+    )
+    tri = c1.join(c2, "v").join(c3, ["u", "w"])
+    m_uv = F.col("uv_ab") * F.col("uv_ba")
+    m_uw = F.col("uw_ab") * F.col("uw_ba")
+    m_vw = F.col("vw_ab") * F.col("vw_ba")
+    r = m_uv + m_uw + m_vw
+    cyc = (
+        (F.col("uv_ab") * F.col("vw_ab") * F.col("uw_ba"))
+        + (F.col("uv_ba") * F.col("vw_ba") * F.col("uw_ab"))
+    )
+    to_third = (
+        F.when(m_uv == 1, F.col("uw_ab") + F.col("vw_ab"))
+        .when(m_uw == 1, F.col("uv_ab") + F.col("vw_ba"))
+        .otherwise(F.col("uv_ba") + F.col("uw_ba"))
+    )
+    ttype = (
+        F.when(r == 3, F.lit("300"))
+        .when(r == 2, F.lit("210"))
+        .when(
+            r == 1,
+            F.when(to_third == 2, F.lit("120U"))
+            .when(to_third == 0, F.lit("120D"))
+            .otherwise(F.lit("120C")),
+        )
+        .otherwise(F.when(cyc > 0, F.lit("030C")).otherwise(F.lit("030T")))
+    )
+    return (
+        tri.select(ttype.alias("triad_type"))
+        .groupBy("triad_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

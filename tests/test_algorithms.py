@@ -2214,3 +2214,27 @@ def test_opic_hand_replay_and_conservation(spark):
 
     with _p.raises(ValueError):
         opic(g, k=0)
+
+
+def test_triad_census_one_of_each_type(spark):
+    """Seven disjoint triangles, one per closed M-A-N type — the census
+    returns exactly one of each (030T/030C/120D/120U/120C/210/300)."""
+    from pregel_rs_spark.algorithms import triad_census
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),                      # 030T transitive
+        (11, 12), (12, 13), (13, 11),                # 030C cycle
+        (21, 22), (22, 21), (23, 21), (23, 22),      # 120D
+        (31, 32), (32, 31), (31, 33), (32, 33),      # 120U
+        (41, 42), (42, 41), (41, 43), (43, 42),      # 120C
+        (51, 52), (52, 51), (51, 53), (53, 51), (52, 53),        # 210
+        (61, 62), (62, 61), (62, 63), (63, 62), (61, 63), (63, 61),  # 300
+    ]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(edges, "subject long, object long")
+    )
+    got = {r.triad_type: r.n for r in triad_census(g).collect()}
+    assert got == {
+        "030T": 1, "030C": 1, "120D": 1, "120U": 1,
+        "120C": 1, "210": 1, "300": 1,
+    }
