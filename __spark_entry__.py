@@ -923,6 +923,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = synth_pages(spark, 2000, seed=42, partitions=8)
         return pages_to_edges(pages).select("subject", "object").distinct()
 
+    def url_templates_q(spark, sf):
+        """URL path-template mining over the synth crawl (digit runs →
+        {n}, per-domain distinct-URL counts, min_count=2) — the
+        crawler-trap detector; oracle = the identical regex chain over
+        the pre-materialized pages parquet."""
+        from pregel_rs_spark.functions.extract import url_templates
+        from pregel_rs_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, 2000, seed=42, partitions=8)
+        return url_templates(pages, min_count=2)
+
     def anchor_edges_q(spark, sf):
         """Link graph annotated with anchor text (pandas-UDF extraction,
         first anchor per (src, dst)); oracle = pre-materialized pure-Python
@@ -2169,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multi_send_degrees=multi_send_degrees_q,
         salted_msg_count=salted_msg_count_q,
         webtext_edges=webtext_edges_q,
+        url_templates=url_templates_q,
         domain_edges=domain_edges_q,
         domain_stats=domain_stats_q,
         host_rank_k3=host_rank_k3_q,
@@ -3136,6 +3148,18 @@ def oracle_sql() -> dict[str, str]:
     )
     # same pattern as functions/extract.py::_DOMAIN_PATTERN, verbatim
     _dom = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)'"
+    # url_templates: identical regex chain (domain extract, host strip,
+    # digit-run collapse) over the pre-materialized pages parquet
+    o["url_templates"] = f"""
+        SELECT regexp_extract(url, {_dom}, 1) AS domain,
+               regexp_replace(regexp_replace(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                   '[0-9]+', '{{n}}', 'g') AS template,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+        FROM read_parquet(
+          '/root/repo/tests/data/webtext_pages_n2000_seed42.parquet')
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT url) >= 2
+    """
     o["domain_edges"] = f"""
         WITH l AS (SELECT regexp_extract(src_url, {_dom}, 1) AS src_domain,
                           regexp_extract(dst_url, {_dom}, 1) AS dst_domain

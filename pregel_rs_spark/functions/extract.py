@@ -672,3 +672,40 @@ def related_hosts(
             ).alias("jaccard"),
         )
     )
+
+
+def url_templates(
+    pages: DataFrame, url_col: str = "url", min_count: int = 2
+) -> DataFrame:
+    """URL path-template mining — the crawler-trap / infinite-space
+    detector (public crawl-engineering practice: calendar pages, session
+    ids, and paginated archives differ only in numeric path segments, so
+    collapsing digit runs exposes the template behind millions of
+    near-identical URLs; cf. the IRLbot "spam/trap" frontier literature,
+    Lee et al. 2009).  Per (domain, template):
+
+      template = path+query with every digit run replaced by ``{n}``
+      n_urls   = how many distinct URLs instantiate it
+
+    High-n templates are the trap candidates a frontier scheduler caps;
+    ``min_count`` drops the long singleton tail at the source (at crawl
+    scale most templates are instantiated once — the filter is the
+    skew/size guard).
+
+    Pure Catalyst regex (domain = the extractor's ``_DOMAIN_PATTERN``,
+    verbatim) — one map pass + one (domain, template) hash agg with
+    map-side combine; no explode, no joins.  Returns
+    ``(domain, template, n_urls)``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    u = F.col(url_col)
+    domain = F.regexp_extract(u, _DOMAIN_PATTERN, 1)
+    path = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return (
+        pages.select(domain.alias("domain"), template.alias("template"), u)
+        .groupBy("domain", "template")
+        .agg(F.count_distinct(u).cast("long").alias("n_urls"))
+        .filter(F.col("n_urls") >= min_count)
+    )

@@ -567,3 +567,33 @@ def test_related_hosts_coupling(spark):
     r = out[("a.com", "b.com")]
     assert r.shared == 2 and r.size_a == 2 and r.size_b == 2
     assert r.jaccard == 1.0
+
+
+def test_url_templates_trap_detection(spark):
+    """Digit runs collapse into {n}: a calendar trap (3 urls, one
+    template) surfaces while singleton paths drop below min_count;
+    query strings are templated too; duplicate URLs count once."""
+    from pregel_rs_spark.functions.extract import url_templates
+
+    urls = [
+        "https://a.example.com/cal/2024/01/05",
+        "https://a.example.com/cal/2024/02/11",
+        "https://a.example.com/cal/2025/03/09",
+        "https://a.example.com/about",
+        "https://b.example.com/item?id=7",
+        "https://b.example.com/item?id=9",
+        "https://b.example.com/item?id=9",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r.domain, r.template): r.n_urls
+        for r in url_templates(df, min_count=2).collect()
+    }
+    assert got == {
+        ("a.example.com", "/cal/{n}/{n}/{n}"): 3,
+        ("b.example.com", "/item?id={n}"): 2,
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        url_templates(df, min_count=0)
