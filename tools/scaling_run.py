@@ -166,12 +166,14 @@ def main() -> None:
                     help="directory for the Spark event log (diagnostic "
                          "legs only: per-stage task/GC/shuffle accounting "
                          "via tools/analyze_eventlog.py)")
-    ap.add_argument("--algo", choices=["pagerank", "cc_star"],
+    ap.add_argument("--algo", choices=["pagerank", "cc_star", "louvain"],
                     default="pagerank",
                     help="cc_star = second-algorithm scaling evidence: "
                          "large-star/small-star connected components to "
                          "fixpoint, metric = whole-run wall (deterministic "
-                         "same-work at every level)")
+                         "same-work at every level); louvain = third "
+                         "datapoint, fixed local-moving rounds "
+                         "(--supersteps), same whole-run-wall metric")
     ap.add_argument("--extra-conf", action="append", default=[],
                     help="extra spark conf KEY=VALUE (repeatable; applied "
                          "identically at every level — protocol experiments)")
@@ -283,6 +285,11 @@ def main() -> None:
         res = connected_components(
             g, method="star", max_iterations=args.supersteps
         )
+    elif args.algo == "louvain":
+        # fixed deterministic rounds → identical work at every level
+        from pregel_rs_spark.algorithms import louvain
+
+        res = louvain(g, rounds=args.supersteps)
     else:
         # tol<=0 → fixed-superstep throughput mode: no convergence
         # tolerance, so the engine skips the per-superstep stats action.
