@@ -310,6 +310,19 @@ EXPECT: dict[str, dict] = {
         "forbid": ["CartesianProduct", "SortMergeJoin",
                    "BroadcastNestedLoopJoin"],
     },
+    # triad census: the same canonical-pair triangle equi-joins as
+    # triangle_count with flag columns — never all-pairs
+    "triads_sg": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # URL templates: map-only regex chain + ONE (domain, template)
+    # distinct-count agg — no joins (pages come from the synth UDF
+    # stage, so no parquet scan to width-check)
+    "url_templates": {
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+    },
     # crawl planning composition: robots side broadcasts, frontier window
     # is the one politeness shuffle — never pairwise
     "crawl_plan": {
