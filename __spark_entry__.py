@@ -1282,6 +1282,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "documents"), k=5, window=4
         )
 
+    def winnow_pairs_q(spark, sf):
+        """Passage-level near-dup pairs via shared winnowing fingerprints
+        (df-capped hash equi-join, never all-pairs) — containment both
+        directions; oracle composes the winnow_fp CTE."""
+        from pregel_rs_spark.operators.text import winnow_overlap_pairs
+
+        return winnow_overlap_pairs(
+            load_table(spark, sf, "documents"),
+            k=5, window=4, max_df=20, min_shared=2,
+        )
+
     def bpe_merges_k3_q(spark, sf):
         """TRUE iterative BPE training over the documents corpus: 3
         merges learned with per-round symbol-pair recounting (not just
@@ -2112,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges_k3=bpe_merges_k3_q,
         triads_sg=triads_sg_q,
         winnow_fp=winnow_fp_q,
+        winnow_pairs=winnow_pairs_q,
         length_quantiles=length_quantiles_q,
         katz_k3=katz_k3_q,
     )
@@ -4323,6 +4335,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(2097151 - (wmin % 2097152) AS BIGINT) AS pos,
                CAST(wmin // 2097152 AS BIGINT) AS gram_hash
         FROM sel
+    """
+    # winnow_pairs: df-capped fingerprint equi-join over the winnow_fp
+    # CTE — shared counts + both-direction containment, doc_a < doc_b.
+    o["winnow_pairs"] = f"""
+        WITH fp AS (SELECT DISTINCT doc_id, gram_hash
+                    FROM ({o["winnow_fp"]})),
+        ok AS (SELECT gram_hash FROM fp GROUP BY gram_hash
+               HAVING COUNT(*) <= 20),
+        kept AS (SELECT fp.doc_id, fp.gram_hash FROM fp
+                 JOIN ok USING (gram_hash)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+                  FROM fp GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(COUNT(*) AS BIGINT) AS shared
+                  FROM kept a JOIN kept b
+                    ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT p.doc_a, p.doc_b, p.shared,
+               ROUND(CAST(p.shared AS DOUBLE) / sa.n_fp, 6) AS overlap_a,
+               ROUND(CAST(p.shared AS DOUBLE) / sb.n_fp, 6) AS overlap_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
     """
     # bpe_merges_k3: 3 unrolled true-BPE merges — vocabulary re-segmented
     # per round (chr(31)-delimited), symbol-pair stats corpus-weighted,

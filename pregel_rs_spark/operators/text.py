@@ -1036,3 +1036,68 @@ def winnow_fingerprints(
             "gram_hash"
         ),
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    max_df: int = 50,
+    min_shared: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise document overlap via shared winnowing fingerprints — the
+    plagiarism / near-dup path LOCAL fingerprints enable that whole-doc
+    MinHash misses: two documents sharing any run of ≥ k + window − 1
+    normalized chars share a fingerprint (the winnowing guarantee), so
+    overlap localizes to copied PASSAGES, not global similarity.
+
+    Candidates come from a fingerprint-hash equi-join — the same
+    bucket-join discipline as ``lsh_candidate_pairs``, with the analogous
+    web-scale guard: fingerprints present in more than ``max_df``
+    documents (boilerplate passages) are dropped before the join, so a
+    shared footer never drives O(d²) pair fan-out.  Pairs must share
+    ≥ ``min_shared`` distinct fingerprints.
+
+    Scale shape: :func:`winnow_fingerprints` (map + one doc-keyed window)
+    → per-(doc, hash) distinct → df-filter hash agg → one hash-keyed
+    self equi-join → one pair agg.  Returns ``(doc_a, doc_b, shared,
+    overlap_a, overlap_b)`` with doc_a < doc_b — overlap_x = shared /
+    |fingerprints(x)|, rounded 6 dp (containment, both directions, so a
+    snippet inside a large doc still scores high on its own side).
+    """
+    fps = (
+        winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+        .select("doc_id", "gram_hash")
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("gram_hash")
+    )
+    kept = fps.join(df_ok, "gram_hash")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+    pairs = (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("__nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared") / F.col("__na"), 6).alias("overlap_a"),
+            F.round(F.col("shared") / F.col("__nb"), 6).alias("overlap_b"),
+        )
+    )

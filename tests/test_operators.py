@@ -1946,3 +1946,32 @@ def test_group_quantiles_nearest_rank_exact(spark):
 
     with _p.raises(ValueError):
         group_quantiles(docs, percents=(0,))
+
+
+def test_winnow_overlap_pairs_passage_and_df_guard(spark):
+    """Docs 1 and 2 share a long copied passage -> they pair with
+    shared >= 2; the footer present in ALL THREE docs exceeds max_df=2,
+    so doc 3 (footer-only overlap) pairs with nobody — the boilerplate
+    guard, analogous to lsh max_bucket."""
+    from pregel_rs_spark.operators.text import winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    footer = "copyright acme corporation all rights reserved forever"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " alpha beta gamma " + footer),
+            (2, passage + " delta epsilon zeta " + footer),
+            (3, "completely different text about spark engines " + footer),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in winnow_overlap_pairs(
+            docs, k=5, window=4, max_df=2, min_shared=2
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.shared >= 2
+    assert 0 < r.overlap_a <= 1 and 0 < r.overlap_b <= 1
