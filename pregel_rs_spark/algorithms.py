@@ -1869,6 +1869,30 @@ def katz_centrality(
 
     Returns ``(vertex_id, katz)`` for all vertices, rounded 6 dp.
     """
+    state, pot = _opic_rounds(graph, k, scale, init)
+    return state
+
+
+def opic_state(
+    graph: GraphFrame,
+    k: int = 3,
+    scale: int = 1_000_000,
+    init: "tuple[DataFrame, int] | None" = None,
+) -> "tuple[DataFrame, int]":
+    """Like :func:`opic` but also returns the carried pot remainder, so a
+    later call can CONTINUE exactly where this one stopped — OPIC's
+    defining property is that importance updates incrementally as the
+    crawl proceeds, and the integer-exact formulation makes continuation
+    BIT-EXACT: ``opic(g, a+b) == opic(g, b, init=opic_state(g, a))``
+    row for row (pinned in tests).  The pot read is the one O(1) scalar
+    action of the checkpoint boundary.
+    """
+    state, pot = _opic_rounds(graph, k, scale, init)
+    pot_val = int(pot.collect()[0]["__pot"])
+    return state, pot_val
+
+
+def _opic_rounds(graph, k, scale, init):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = graph.edges.select(SUBJECT, OBJECT).distinct()
@@ -4115,6 +4139,30 @@ def eigenvector_centrality(graph: GraphFrame, k: int = 3) -> DataFrame:
     lineage truncated per step; one O(1) scalar action at the end.
     Returns ``(vertex_id, paths_k, score)``.
     """
+    state, pot = _opic_rounds(graph, k, scale, init)
+    return state
+
+
+def opic_state(
+    graph: GraphFrame,
+    k: int = 3,
+    scale: int = 1_000_000,
+    init: "tuple[DataFrame, int] | None" = None,
+) -> "tuple[DataFrame, int]":
+    """Like :func:`opic` but also returns the carried pot remainder, so a
+    later call can CONTINUE exactly where this one stopped — OPIC's
+    defining property is that importance updates incrementally as the
+    crawl proceeds, and the integer-exact formulation makes continuation
+    BIT-EXACT: ``opic(g, a+b) == opic(g, b, init=opic_state(g, a))``
+    row for row (pinned in tests).  The pot read is the one O(1) scalar
+    action of the checkpoint boundary.
+    """
+    state, pot = _opic_rounds(graph, k, scale, init)
+    pot_val = int(pot.collect()[0]["__pot"])
+    return state, pot_val
+
+
+def _opic_rounds(graph, k, scale, init):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = graph.edges.select(SUBJECT, OBJECT)
@@ -4256,7 +4304,12 @@ def louvain(graph: GraphFrame, rounds: int = 2) -> DataFrame:
         )
     return labels
 
-def opic(graph: GraphFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
+def opic(
+    graph: GraphFrame,
+    k: int = 3,
+    scale: int = 1_000_000,
+    init: "tuple[DataFrame, int] | None" = None,
+) -> DataFrame:
     """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
     Preda & Cobena WWW'03, public literature; no reference counterpart —
     the crawl-frontier prioritization classic): every page starts with
@@ -4283,6 +4336,30 @@ def opic(graph: GraphFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
     riding the same plan via 1-row broadcasts (pot, n) — no collects;
     lineage truncated per round.  Returns ``(vertex_id, history, cash)``.
     """
+    state, pot = _opic_rounds(graph, k, scale, init)
+    return state
+
+
+def opic_state(
+    graph: GraphFrame,
+    k: int = 3,
+    scale: int = 1_000_000,
+    init: "tuple[DataFrame, int] | None" = None,
+) -> "tuple[DataFrame, int]":
+    """Like :func:`opic` but also returns the carried pot remainder, so a
+    later call can CONTINUE exactly where this one stopped — OPIC's
+    defining property is that importance updates incrementally as the
+    crawl proceeds, and the integer-exact formulation makes continuation
+    BIT-EXACT: ``opic(g, a+b) == opic(g, b, init=opic_state(g, a))``
+    row for row (pinned in tests).  The pot read is the one O(1) scalar
+    action of the checkpoint boundary.
+    """
+    state, pot = _opic_rounds(graph, k, scale, init)
+    pot_val = int(pot.collect()[0]["__pot"])
+    return state, pot_val
+
+
+def _opic_rounds(graph, k, scale, init):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = graph.edges.select(SUBJECT, OBJECT)
@@ -4290,13 +4367,22 @@ def opic(graph: GraphFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
         F.count(F.lit(1)).alias("__d")
     )
     n = graph.vertices.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    state = graph.vertices.select(
-        VERTEX_ID,
-        F.lit(0).cast("long").alias("history"),
-        F.lit(int(scale)).cast("long").alias("cash"),
-    )
+    if init is None:
+        state = graph.vertices.select(
+            VERTEX_ID,
+            F.lit(0).cast("long").alias("history"),
+            F.lit(int(scale)).cast("long").alias("cash"),
+        )
+        pot0 = 0
+    else:
+        init_state, pot0 = init
+        state = init_state.select(
+            VERTEX_ID,
+            F.col("history").cast("long"),
+            F.col("cash").cast("long"),
+        )
     pot = state.sparkSession.range(1).select(
-        F.lit(0).cast("long").alias("__pot")
+        F.lit(int(pot0)).cast("long").alias("__pot")
     )
     for _ in range(k):
         st = state.join(outd, state[VERTEX_ID] == outd["__v"], "left").select(
@@ -4357,7 +4443,7 @@ def opic(graph: GraphFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
             )
         )
         pot = pot_split.select(F.col("__carry").alias("__pot"))
-    return state
+    return state, pot
 
 def triad_census(graph: GraphFrame) -> DataFrame:
     """Closed-triad census (Holland & Leinhardt 1970's M-A-N taxonomy,

@@ -2238,3 +2238,27 @@ def test_triad_census_one_of_each_type(spark):
         "030T": 1, "030C": 1, "120D": 1, "120U": 1,
         "120C": 1, "210": 1, "300": 1,
     }
+
+
+def test_opic_incremental_continuation_exact(spark):
+    """OPIC's incremental property, bit-exact: opic(g, 3) equals
+    opic(g, 1, init=opic_state(g, 2)) row for row — the carried pot makes
+    the continuation identical to the uninterrupted run (the crawl-
+    frontier checkpoint/update cycle)."""
+    from pregel_rs_spark.algorithms import opic, opic_state
+    from pregel_rs_spark.graphframe import GraphFrame as GF
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "subject long, object long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "vertex_id long")
+    g = GF(verts, edges)
+    full = {
+        r.vertex_id: (r.history, r.cash)
+        for r in opic(g, k=3, scale=12).collect()
+    }
+    st, pot = opic_state(g, k=2, scale=12)
+    resumed = {
+        r.vertex_id: (r.history, r.cash)
+        for r in opic(g, k=1, scale=12, init=(st, pot)).collect()
+    }
+    assert resumed == full
+    assert pot == 1  # the round-2 carry from the hand-replay fixture
