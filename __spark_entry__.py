@@ -1312,6 +1312,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return opic(GraphFrame.from_edges(_edges_li(spark, sf)), k=3)
 
+    def rich_club_sg_q(spark, sf):
+        """Rich-club coefficients φ(k) on the supplier graph at
+        thresholds 1..32 — exact integer node/edge counts, one threshold
+        explode (no per-k passes)."""
+        from pregel_rs_spark.algorithms import rich_club
+
+        return rich_club(
+            GraphFrame.from_edges(_edges_sg(spark, sf)),
+            ks=(1, 2, 4, 8, 16, 32),
+        )
+
     def triads_sg_q(spark, sf):
         """Closed-triad census (7 M-A-N types) on the supplier graph —
         the directed-motif structure signature; flags ride the same
@@ -2122,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         opic_k3=opic_k3_q,
         bpe_merges_k3=bpe_merges_k3_q,
         triads_sg=triads_sg_q,
+        rich_club_sg=rich_club_sg_q,
         winnow_fp=winnow_fp_q,
         winnow_pairs=winnow_pairs_q,
         length_quantiles=length_quantiles_q,
@@ -4241,6 +4253,33 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(w2_c / (2.0 * m.m)
                          - (d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
         FROM pc, m
+    """
+    # rich_club_sg: φ(k) over the fixed threshold grid — undirected
+    # degrees, min-endpoint-degree per edge, one unnest per side.
+    o["rich_club_sg"] = f"""
+        WITH und AS (SELECT DISTINCT LEAST(subject, object) AS a,
+                            GREATEST(subject, object) AS b
+                     FROM {_SG_SQL} WHERE subject != object),
+        adj AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+        deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS kv FROM adj
+                GROUP BY v),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+        nodes_k AS (SELECT k, CAST(SUM(CASE WHEN kv > k THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_nodes
+                    FROM deg, ks GROUP BY k),
+        ed AS (SELECT LEAST(da.kv, db.kv) AS mindeg
+               FROM und JOIN deg da ON da.v = und.a
+                        JOIN deg db ON db.v = und.b),
+        edges_k AS (SELECT k, CAST(SUM(CASE WHEN mindeg > k
+                                            THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_edges
+                    FROM ed, ks GROUP BY k)
+        SELECT n.k, n.n_nodes, e.n_edges,
+               ROUND(CASE WHEN n.n_nodes >= 2
+                          THEN 2.0 * e.n_edges
+                               / (n.n_nodes * (n.n_nodes - 1)) END, 6)
+                 AS phi
+        FROM nodes_k n JOIN edges_k e ON e.k = n.k
     """
     # triads_sg: per-canonical-pair direction flags carried through the
     # triangle joins; CASE classification identical to triad_census

@@ -4523,3 +4523,62 @@ def triad_census(graph: GraphFrame) -> DataFrame:
         .groupBy("triad_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+def rich_club(
+    graph: GraphFrame, ks: "tuple[int, ...]" = (1, 2, 4, 8, 16, 32)
+) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006
+    — public literature; extension beyond pregel-rs src/graph_frame.rs):
+    for each degree threshold k, the density of the subgraph induced by
+    vertices of undirected degree > k,
+
+        φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+
+    — "do the hubs link to each other?", the web/citation-graph
+    core-structure signal.  Counts are exact integers; φ rounds 6 dp
+    (NULL when fewer than 2 qualifying vertices).
+
+    Scale shape: one undirected-degree hash agg, two degree joins onto
+    the edge table (vertex-keyed), then ONE threshold explode (×|ks|, a
+    handful of literals) and a k-keyed aggregate on each side — no per-k
+    passes, no windows.  Returns ``(k, n_nodes, n_edges, phi)``.
+    """
+    if not ks or any(k < 0 for k in ks):
+        raise ValueError(f"ks must be non-negative thresholds, got {ks}")
+    und = _und_simple(graph.edges)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("k_v"))
+    karr = F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
+    nodes_k = (
+        deg.select(F.explode(karr).alias("k"), "k_v")
+        .groupBy("k")
+        .agg(F.sum((F.col("k_v") > F.col("k")).cast("long")).alias("n_nodes"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("k_v").alias("ka"))
+    db = deg.select(F.col("v").alias("b"), F.col("k_v").alias("kb"))
+    ed = und.join(da, "a").join(db, "b").select(
+        F.least("ka", "kb").alias("mindeg")
+    )
+    edges_k = (
+        ed.select(F.explode(karr).alias("k"), "mindeg")
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("mindeg") > F.col("k")).cast("long")).alias("n_edges")
+        )
+    )
+    return nodes_k.join(edges_k, "k").select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.lit(2.0)
+                * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+            ),
+            6,
+        ).alias("phi"),
+    )

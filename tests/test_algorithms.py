@@ -2262,3 +2262,30 @@ def test_opic_incremental_continuation_exact(spark):
     }
     assert resumed == full
     assert pot == 1  # the round-2 carry from the hand-replay fixture
+
+
+def test_rich_club_clique_plus_pendants(spark):
+    """K4 rich core with a pendant leaf on each corner: degrees are 4
+    (core) and 1 (leaves).  k=1,2: only the 4 core vertices qualify and
+    all 6 core edges survive -> phi = 1.0; k=4: nobody qualifies -> NULL;
+    validation raises."""
+    from pregel_rs_spark.algorithms import rich_club
+
+    core = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendants = [(1, 11), (2, 12), (3, 13), (4, 14)]
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(core + pendants, "subject long, object long")
+    )
+    got = {
+        r.k: (r.n_nodes, r.n_edges, r.phi)
+        for r in rich_club(g, ks=(1, 2, 4)).collect()
+    }
+    assert got == {
+        1: (4, 6, 1.0),
+        2: (4, 6, 1.0),
+        4: (0, 0, None),
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rich_club(g, ks=())
