@@ -6,6 +6,7 @@ from pregel_rs_spark.streaming.ingest import (
     stream_pages,
     stream_pages_to_edges,
     windowed_counts_stream,
+    attribution_join_stream,
 )
 from pregel_rs_spark.streaming.sessions import sessionize_stream
 
@@ -18,4 +19,5 @@ __all__ = [
     "run_edges_stream",
     "sessionize_stream",
     "windowed_counts_stream",
+    "attribution_join_stream",
 ]

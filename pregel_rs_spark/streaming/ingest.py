@@ -380,3 +380,48 @@ def windowed_counts_stream(
             "n",
         )
     )
+
+
+def attribution_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — view→click attribution,
+    the canonical two-stream correlation (Spark's event-time interval
+    join): a click attributes to a view by the same user when it lands
+    within ``attribution_window`` AFTER the view.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH ends, so the state store holds only rows inside
+    watermark + window — O(in-flight events), not O(stream); without the
+    time bound Spark would (rightly) refuse to plan the join with
+    unbounded state.  The identical expression runs on batch frames —
+    the parity contract the tests pin.
+
+    ``views``/``clicks``: ``(user_id, ts, …)``; view columns keep their
+    names, click timestamp comes back as ``click_ts``.  At 100 TB/day
+    the shuffle is user-hash-partitioned on both sides — the same
+    key-co-location discipline as every stateful operator here.
+    Returns ``(user_id, ts, click_ts)`` (one row per attributed pair).
+    """
+    from pyspark.sql import functions as F
+
+    v = views.select("user_id", "ts")
+    c = clicks.select(
+        F.col("user_id").alias("__cu"), F.col("ts").alias("click_ts")
+    )
+    if views.isStreaming:
+        v = v.withWatermark("ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("__cu"))
+        & (F.col("click_ts") >= F.col("ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select("user_id", "ts", "click_ts")

@@ -485,3 +485,61 @@ def test_stream_windowed_counts_parity_and_late_drop(spark, tmp_path_factory):
         for r in windowed_counts_stream(batch).collect()
     }
     assert got_batch == got
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join: clicks attribute to the
+    same user's view within 30 minutes AFTER it; availableNow output
+    equals the identical batch join (inner joins emit on match; the
+    watermark only bounds state)."""
+    import datetime as dt
+
+    from pregel_rs_spark.streaming import attribution_join_stream
+
+    root = tmp_path_factory.mktemp("attr")
+    vsrc = os.path.join(str(root), "views")
+    csrc = os.path.join(str(root), "clicks")
+
+    def ev(uid, h, m):
+        return (uid, dt.datetime(2026, 1, 1, h, m))
+
+    schema = "user_id long, ts timestamp"
+    views = [ev(1, 0, 0), ev(1, 2, 0), ev(2, 0, 30)]
+    clicks = [ev(1, 0, 10), ev(1, 0, 40), ev(2, 0, 45), ev(1, 2, 20)]
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(
+        os.path.join(vsrc, "b0")
+    )
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(
+        os.path.join(csrc, "b0")
+    )
+
+    vs = spark.readStream.schema(schema).parquet(vsrc + "/*")
+    cs = spark.readStream.schema(schema).parquet(csrc + "/*")
+    out = os.path.join(str(root), "out")
+    q = (
+        attribution_join_stream(vs, cs, attribution_window="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(str(root), "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.ts.hour * 60 + r.ts.minute,
+         r.click_ts.hour * 60 + r.click_ts.minute)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 0, 10), (2, 30, 45), (1, 120, 140)}
+    # batch parity: identical expression over batch frames
+    want = {
+        (r.user_id, r.ts.hour * 60 + r.ts.minute,
+         r.click_ts.hour * 60 + r.click_ts.minute)
+        for r in attribution_join_stream(
+            spark.createDataFrame(views, schema),
+            spark.createDataFrame(clicks, schema),
+            attribution_window="30 minutes",
+        ).collect()
+    }
+    assert got == want
