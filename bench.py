@@ -479,6 +479,29 @@ def main() -> None:
 
     bench("winnow_fp", _winnow)
 
+    def _winnow_pairs():
+        from pregel_rs_spark.operators.text import winnow_overlap_pairs
+
+        _consume(winnow_overlap_pairs(docs, k=5, window=4, max_df=20))
+
+    bench("winnow_pairs", _winnow_pairs)
+
+    def _triads():
+        from pregel_rs_spark.algorithms import triad_census
+
+        sg = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_suppkey").alias("subject"),
+                (F.col("l_partkey") % 97).alias("object"),
+            )
+            .filter(F.col("subject") != F.col("object"))
+            .distinct()
+        )
+        _consume(triad_census(GraphFrame.from_edges(sg)))
+
+    bench("triad_census", _triads)
+
     def _bitext():
         from pregel_rs_spark.operators.similarity import bitext_margin_pairs
 

@@ -323,6 +323,18 @@ EXPECT: dict[str, dict] = {
         "forbid": ["CartesianProduct", "SortMergeJoin",
                    "BroadcastNestedLoopJoin"],
     },
+    # winnowing pairs: df-capped fingerprint equi-join — never all-pairs
+    "winnow_pairs": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # rich club: degree joins + one threshold explode per side; the
+    # 6-row ks literal may nested-loop (sanctioned); never a real
+    # cartesian over data
+    "rich_club_sg": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct"],
+    },
     # crawl planning composition: robots side broadcasts, frontier window
     # is the one politeness shuffle — never pairwise
     "crawl_plan": {
