@@ -2022,6 +2022,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return perceptron_train(docs, labels, n_buckets=256, rounds=2)
 
+    def approx_distinct_rollup_q(spark, sf):
+        """Hierarchical HLL rollup from one register build: per-subject
+        distinct-target estimates PLUS the '__all__' global estimate via
+        register-wise MAX merge (the HLL union law) — no second scan;
+        the oracle replays both levels from the same register CTE."""
+        from pregel_rs_spark.operators.sketches import approx_distinct_rollup
+
+        return approx_distinct_rollup(
+            _edges_li(spark, sf), "subject", "object", log2m=5, portable=True
+        )
+
     def cms_topk_q(spark, sf):
         """Count-min-sketch heavy hitters over the documents corpus:
         4×256 sketch (md5 first-16-bits bucket hash), top-20 terms by
@@ -2098,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         approx_distinct_ev=approx_distinct_q,
         cms_topk=cms_topk_q,
         perceptron_r2=perceptron_r2_q,
+        approx_distinct_rollup=approx_distinct_rollup_q,
         group_sample=group_sample_q,
         coarsen_r2=coarsen_r2_q,
         latest_crawl=latest_crawl_q,
@@ -5821,6 +5833,44 @@ def oracle_sql() -> dict[str, str]:
                                term ASC) AS INT) AS rank
                    FROM est)
         SELECT term, est, exact, rank FROM ranked WHERE rank <= 20
+    """
+    # approx_distinct_rollup: the same Lehmer-chain register build as
+    # approx_distinct_ev, estimated at BOTH levels — per-subject and the
+    # '__all__' register-wise-MAX merge — from one regs CTE.
+    o["approx_distinct_rollup"] = f"""
+        WITH e AS (SELECT subject, object FROM {_EV_SQL}),
+        hx AS (SELECT subject,
+                      ((((object % 2147483647 + object % 2147483629)
+                         % 2147483647) * 48271 + 13) % 2147483647) AS x1
+               FROM e),
+        hy AS (SELECT subject, (x1 * 69621) % 2147483647 AS x2 FROM hx),
+        h AS (SELECT subject,
+                     x2 * 268435456
+                     + ((x2 * 40692) % 2147483647) % 268435456 AS h
+              FROM hy),
+        s0 AS (SELECT subject, h % 32 AS reg,
+                      CASE WHEN h // 32 = 0 THEN 55
+                           ELSE 55 - length(bin(h // 32)) END AS val
+               FROM h),
+        regs AS (SELECT CAST(subject AS VARCHAR) AS scope, reg,
+                        MAX(val) AS val
+                 FROM s0 GROUP BY 1, 2),
+        allregs AS (SELECT '__all__' AS scope, reg, MAX(val) AS val
+                    FROM regs GROUP BY reg),
+        lvl AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+        per AS (SELECT scope, COUNT(*) AS n,
+                       SUM(CAST(1 AS BIGINT) << CAST(55 - val AS INT)) AS ss
+                FROM lvl GROUP BY scope),
+        ee AS (SELECT scope,
+                      CAST(ss AS DOUBLE) / 36028797018963968.0
+                          + (32.0 - n) AS s,
+                      32.0 - n AS zeros
+               FROM per)
+        SELECT scope,
+               ROUND(CASE WHEN (713.728 / s) <= 80.0 AND zeros > 0
+                          THEN 32.0 * ln(32.0 / zeros)
+                          ELSE 713.728 / s END, 4) AS distinct_est
+        FROM ee
     """
     o["approx_distinct_ev"] = f"""
         WITH e AS (SELECT subject, object FROM {_EV_SQL}),

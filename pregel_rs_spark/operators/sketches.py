@@ -81,6 +81,16 @@ def approx_distinct(
         .groupBy(*group_cols, "reg")
         .agg(F.max("val").alias("val"))
     )
+    return _estimate_from_regs(regs, group_cols, log2m)
+
+
+def _estimate_from_regs(regs, group_cols, log2m):
+    """Registers ``(group_cols..., reg, val)`` → per-group ``distinct_est``
+    — the scaled-int estimator shared by :func:`approx_distinct` and
+    :func:`approx_distinct_rollup` (identical arithmetic to
+    ``_hll_estimates``)."""
+    m = 1 << log2m
+    w_bits = _HLL_BITS - log2m
     scale = w_bits + 1
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
         log2m, 0.7213 / (1 + 1.079 / m)
@@ -105,6 +115,59 @@ def approx_distinct(
     return per_g.select(
         *group_cols, F.round(est, 4).alias("distinct_est")
     )
+
+
+def approx_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    log2m: int = 5,
+    portable: bool = False,
+) -> DataFrame:
+    """Hierarchical distinct-count rollup from ONE register build — the
+    MERGEABILITY that makes HLL the sketch for layered rollups (page →
+    host → domain → global) at 100 TB: per-group registers are built
+    once, per-group estimates read them directly, and the GLOBAL
+    estimate merges them with a register-wise MAX — no second scan of
+    the data, and the merged estimate is exactly what a single global
+    sketch would have produced (max is associative/idempotent — the HLL
+    union law).
+
+    Scale shape: the one (group, reg) hash agg :func:`approx_distinct`
+    does, plus an O(groups·m)→O(m) register MAX and two tiny estimator
+    aggs.  Returns ``(scope, distinct_est)`` — one row per group (scope
+    = the group value as a string) plus the ``'__all__'`` merged row.
+    """
+    if not 4 <= log2m <= 8:
+        raise ValueError(
+            f"log2m must be in [4,8] (scaled-int estimator bound), got {log2m}"
+        )
+    m = 1 << log2m
+    w_bits = _HLL_BITS - log2m
+    is_str = isinstance(df.schema[col].dataType, StringType)
+    long_in = _string_fold(F.col(col)) if is_str else F.col(col).cast("long")
+    h = _hyperball_hash(long_in, portable)
+    w = F.shiftrightunsigned(h, log2m)
+    regs = (
+        df.select(
+            F.col(group_col).cast("string").alias("scope"),
+            h.bitwiseAND(F.lit(m - 1)).cast("long").alias("reg"),
+            F.when(w == 0, F.lit(w_bits + 1))
+            .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+            .cast("long")
+            .alias("val"),
+        )
+        .groupBy("scope", "reg")
+        .agg(F.max("val").alias("val"))
+    )
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("val").alias("val"))
+        .select(F.lit("__all__").alias("scope"), "reg", "val")
+    )
+    per = _estimate_from_regs(regs, ["scope"], log2m)
+    allr = _estimate_from_regs(merged, ["scope"], log2m)
+    return per.unionByName(allr)
 
 
 def _hex16(h):

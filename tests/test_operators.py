@@ -1975,3 +1975,36 @@ def test_winnow_overlap_pairs_passage_and_df_guard(spark):
     r = got[(1, 2)]
     assert r.shared >= 2
     assert 0 < r.overlap_a <= 1 and 0 < r.overlap_b <= 1
+
+
+def test_approx_distinct_rollup_merge_law(spark):
+    """Mergeability: the '__all__' row (register-wise MAX of the group
+    registers) equals approx_distinct run over the UNGROUPED data — the
+    HLL union law, exactly; per-group rows equal the grouped estimates;
+    refactor parity for approx_distinct itself."""
+    from pregel_rs_spark.operators.sketches import (
+        approx_distinct,
+        approx_distinct_rollup,
+    )
+
+    rows = [("g1", v) for v in range(1, 400)] + [
+        ("g2", v) for v in range(200, 700)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    roll = {
+        r.scope: r.distinct_est
+        for r in approx_distinct_rollup(df, "grp", "v", 5, portable=True).collect()
+    }
+    per = {
+        r.grp: r.distinct_est
+        for r in approx_distinct(df, ["grp"], "v", 5, portable=True).collect()
+    }
+    assert roll["g1"] == per["g1"] and roll["g2"] == per["g2"]
+    flat = df.withColumn("one", F.lit(1))
+    global_est = approx_distinct(flat, ["one"], "v", 5, portable=True).collect()[
+        0
+    ].distinct_est
+    assert roll["__all__"] == global_est
+    # sanity: estimates within HLL error of the true counts (399/500/699)
+    assert abs(roll["g1"] - 399) / 399 < 0.35
+    assert abs(roll["__all__"] - 699) / 699 < 0.35
