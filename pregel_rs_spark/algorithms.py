@@ -1869,30 +1869,6 @@ def katz_centrality(
 
     Returns ``(vertex_id, katz)`` for all vertices, rounded 6 dp.
     """
-    state, pot = _opic_rounds(graph, k, scale, init)
-    return state
-
-
-def opic_state(
-    graph: GraphFrame,
-    k: int = 3,
-    scale: int = 1_000_000,
-    init: "tuple[DataFrame, int] | None" = None,
-) -> "tuple[DataFrame, int]":
-    """Like :func:`opic` but also returns the carried pot remainder, so a
-    later call can CONTINUE exactly where this one stopped — OPIC's
-    defining property is that importance updates incrementally as the
-    crawl proceeds, and the integer-exact formulation makes continuation
-    BIT-EXACT: ``opic(g, a+b) == opic(g, b, init=opic_state(g, a))``
-    row for row (pinned in tests).  The pot read is the one O(1) scalar
-    action of the checkpoint boundary.
-    """
-    state, pot = _opic_rounds(graph, k, scale, init)
-    pot_val = int(pot.collect()[0]["__pot"])
-    return state, pot_val
-
-
-def _opic_rounds(graph, k, scale, init):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = graph.edges.select(SUBJECT, OBJECT).distinct()
@@ -4139,30 +4115,6 @@ def eigenvector_centrality(graph: GraphFrame, k: int = 3) -> DataFrame:
     lineage truncated per step; one O(1) scalar action at the end.
     Returns ``(vertex_id, paths_k, score)``.
     """
-    state, pot = _opic_rounds(graph, k, scale, init)
-    return state
-
-
-def opic_state(
-    graph: GraphFrame,
-    k: int = 3,
-    scale: int = 1_000_000,
-    init: "tuple[DataFrame, int] | None" = None,
-) -> "tuple[DataFrame, int]":
-    """Like :func:`opic` but also returns the carried pot remainder, so a
-    later call can CONTINUE exactly where this one stopped — OPIC's
-    defining property is that importance updates incrementally as the
-    crawl proceeds, and the integer-exact formulation makes continuation
-    BIT-EXACT: ``opic(g, a+b) == opic(g, b, init=opic_state(g, a))``
-    row for row (pinned in tests).  The pot read is the one O(1) scalar
-    action of the checkpoint boundary.
-    """
-    state, pot = _opic_rounds(graph, k, scale, init)
-    pot_val = int(pot.collect()[0]["__pot"])
-    return state, pot_val
-
-
-def _opic_rounds(graph, k, scale, init):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = graph.edges.select(SUBJECT, OBJECT)
