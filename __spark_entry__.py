@@ -1737,6 +1737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = GraphFrame.from_edges(_edges_sg(spark, sf))
         return betweenness(g, [1, 2, 3], max_hops=2)
 
+    def edge_betweenness_k2_q(spark, sf):
+        """Hop-bounded Brandes EDGE betweenness (the Girvan-Newman
+        primitive; sources 1,2,3, paths ≤ 2 hops) on the supplier graph
+        — same scaled-int terms as betweenness_k2, aggregated per
+        (tail, head) with source-incident edges credited."""
+        from pregel_rs_spark.algorithms import edge_betweenness
+
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        return edge_betweenness(g, [1, 2, 3], max_hops=2)
+
     def gnn_pool_q(spark, sf):
         """GraphSAGE-style neighbor mean/max pooling over the embedding
         table, on a deterministic 2-out-regular graph derived from vec_id
@@ -2091,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dsir_weights=dsir_weights_q,
         msf_r2=msf_r2_q,
         betweenness_k2=betweenness_k2_q,
+        edge_betweenness_k2=edge_betweenness_k2_q,
         pack_seqs=pack_seqs_q,
         ppl_buckets=ppl_buckets_q,
         landmark_dists=landmark_dists_q,
@@ -5301,6 +5312,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT vertex_id, CAST(SUM(delta) AS BIGINT) AS bc_scaled,
                ROUND(CAST(SUM(delta) AS DOUBLE) / 1000000, 6) AS bc
         FROM u GROUP BY vertex_id
+    """
+    # edge_betweenness_k2: the betweenness_k2 CTEs with the SAME scaled
+    # terms aggregated per (tail, head) edge — level 1→2 terms (δ_w = 0)
+    # plus level 0→1 terms carrying d1's deltas (source edges credited).
+    o["edge_betweenness_k2"] = f"""
+        WITH e AS (SELECT subject, object FROM {_SG_SQL}),
+        l0 AS (SELECT CAST(s AS BIGINT) AS vertex_id, CAST(s AS BIGINT) AS src,
+                      CAST(1 AS BIGINT) AS sigma
+               FROM (VALUES (1), (2), (3)) t(s)),
+        l1 AS (SELECT e.object AS vertex_id, l0.src AS src,
+                      CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+               FROM l0 JOIN e ON l0.vertex_id = e.subject
+               WHERE e.object <> l0.src
+               GROUP BY e.object, l0.src),
+        l2 AS (SELECT e.object AS vertex_id, l1.src AS src,
+                      CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+               FROM l1 JOIN e ON l1.vertex_id = e.subject
+               WHERE e.object <> l1.src
+                 AND NOT EXISTS (SELECT 1 FROM l1 p
+                                 WHERE p.vertex_id = e.object AND p.src = l1.src)
+               GROUP BY e.object, l1.src),
+        d1 AS (SELECT l1.vertex_id, l1.src,
+                      CAST(SUM((l1.sigma * (1000000 + 0)) // l2.sigma) AS BIGINT)
+                        AS delta
+               FROM l1 JOIN e ON l1.vertex_id = e.subject
+                    JOIN l2 ON l2.vertex_id = e.object AND l2.src = l1.src
+               GROUP BY l1.vertex_id, l1.src),
+        et1 AS (SELECT l1.vertex_id AS subject, l2.vertex_id AS object,
+                       CAST(SUM((l1.sigma * (1000000 + 0)) // l2.sigma)
+                            AS BIGINT) AS t
+                FROM l1 JOIN e ON l1.vertex_id = e.subject
+                     JOIN l2 ON l2.vertex_id = e.object AND l2.src = l1.src
+                GROUP BY 1, 2),
+        et0 AS (SELECT l0.vertex_id AS subject, l1.vertex_id AS object,
+                       CAST(SUM((l0.sigma * (1000000
+                                 + COALESCE(d1.delta, 0))) // l1.sigma)
+                            AS BIGINT) AS t
+                FROM l0 JOIN e ON l0.vertex_id = e.subject
+                     JOIN l1 ON l1.vertex_id = e.object AND l1.src = l0.src
+                     LEFT JOIN d1 ON d1.vertex_id = l1.vertex_id
+                                 AND d1.src = l1.src
+                GROUP BY 1, 2),
+        u AS (SELECT * FROM et1 UNION ALL SELECT * FROM et0)
+        SELECT subject, object, CAST(SUM(t) AS BIGINT) AS ebc_scaled,
+               ROUND(CAST(SUM(t) AS DOUBLE) / 1000000, 6) AS ebc
+        FROM u GROUP BY subject, object
     """
     # landmark_dists: recursive closure capped at 2 hops, MIN per
     # (vertex, landmark) — BFS first-visit distance.

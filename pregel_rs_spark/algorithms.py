@@ -4534,3 +4534,138 @@ def rich_club(
             6,
         ).alias("phi"),
     )
+
+def edge_betweenness(
+    graph: GraphFrame,
+    sources: list[int],
+    max_hops: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hop-bounded EDGE betweenness from a source sample — the
+    Girvan-Newman primitive (Girvan & Newman PNAS'02: communities fall
+    out of repeatedly cutting the highest-betweenness edge; public
+    literature, extension beyond pregel-rs src/graph_frame.rs): for each
+    directed edge (v, w) on a shortest path, the Brandes edge term
+
+        δ(e) = Σ_{s} σ_sv / σ_sw · (1 + δ_s(w))
+
+    with the same scaled-integer discipline as :func:`betweenness`
+    (each term ``(σ_v·(scale+δ_w)) div σ_w`` in int64 — exact,
+    order-independent, SQL-replayable; floor bias < 1/scale per term).
+    Unlike the vertex version, SOURCE-incident edges get credit (an edge
+    is interior to a path even when its tail is the endpoint), so the
+    backward sweep extends to level 0.
+
+    Scale shape: identical forward BFS-with-path-counting to
+    :func:`betweenness`; the backward sweep aggregates the SAME join's
+    terms by (tail, head) instead of by tail only — no new shuffle
+    family.  Returns ``(subject, object, ebc_scaled, ebc)`` for every
+    edge on a counted shortest path.
+    """
+    if not sources:
+        raise ValueError("sources must name >= 1 vertex id")
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    spark = graph.edges.sparkSession
+    edges = truncate_plan(graph.edges.select(SUBJECT, OBJECT).distinct())
+    lvl0 = truncate_plan(
+        spark.createDataFrame(
+            [(int(s), int(s), 1) for s in sorted(set(sources))],
+            schema=f"{VERTEX_ID} long, src long, sigma long",
+        )
+    )
+    levels = [lvl0]
+    settled = lvl0.select(VERTEX_ID, "src")
+    for _hop in range(1, max_hops + 1):
+        prev = levels[-1]
+        msgs = prev.join(edges, prev[VERTEX_ID] == edges[SUBJECT]).select(
+            F.col(OBJECT).alias(VERTEX_ID),
+            prev["src"].alias("src"),
+            prev["sigma"].alias("sigma"),
+        )
+        nxt = (
+            msgs.groupBy(VERTEX_ID, "src")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, [VERTEX_ID, "src"], "left_anti")
+        )
+        nxt = truncate_plan(nxt)
+        if nxt.isEmpty():
+            _free_checkpoint(nxt)
+            break
+        levels.append(nxt)
+        new_settled = truncate_plan(
+            settled.unionByName(nxt.select(VERTEX_ID, "src"))
+        )
+        _free_checkpoint(settled)
+        settled = new_settled
+    deepest = len(levels) - 1
+    if deepest == 0:
+        return spark.createDataFrame(
+            [], schema="subject long, object long, ebc_scaled long, ebc double"
+        )
+    zero = F.lit(0).cast("long").alias("delta")
+    delta_below = levels[deepest].select(VERTEX_ID, "src", zero)
+    edge_terms = []
+    for d in range(deepest - 1, -1, -1):
+        below = (
+            levels[d + 1]
+            .join(delta_below, [VERTEX_ID, "src"])
+            .select(
+                F.col(VERTEX_ID).alias("w_id"),
+                F.col("src").alias("w_src"),
+                F.col("sigma").alias("w_sigma"),
+                F.col("delta").alias("w_delta"),
+            )
+        )
+        guard = levels[d].agg(F.max("sigma")).first()[0] or 0
+        dmax = below.agg(F.max("w_delta")).first()[0] or 0
+        if guard * (scale + dmax) >= 2**63:
+            raise OverflowError(
+                f"edge_betweenness scaled-int overflow risk at level {d}: "
+                f"max sigma {guard} * (scale + max delta {dmax}) >= 2^63; "
+                "lower scale, hops, or the source sample"
+            )
+        cur = levels[d]
+        joined = (
+            cur.join(edges, cur[VERTEX_ID] == edges[SUBJECT])
+            .join(
+                below,
+                (F.col(OBJECT) == F.col("w_id"))
+                & (cur["src"] == F.col("w_src")),
+            )
+            .select(
+                cur[VERTEX_ID].alias(VERTEX_ID),
+                F.col("w_id"),
+                cur["src"].alias("src"),
+                F.expr(f"(sigma * ({scale} + w_delta)) div w_sigma").alias(
+                    "term"
+                ),
+            )
+        )
+        edge_terms.append(
+            truncate_plan(
+                joined.groupBy(
+                    F.col(VERTEX_ID).alias(SUBJECT),
+                    F.col("w_id").alias(OBJECT),
+                ).agg(F.sum("term").alias("t"))
+            )
+        )
+        if d >= 1:
+            contrib = joined.groupBy(VERTEX_ID, "src").agg(
+                F.sum("term").alias("delta")
+            )
+            delta_below = truncate_plan(
+                levels[d]
+                .select(VERTEX_ID, "src")
+                .join(contrib, [VERTEX_ID, "src"], "left")
+                .fillna({"delta": 0})
+            )
+    acc = edge_terms[0]
+    for t in edge_terms[1:]:
+        acc = acc.unionByName(t)
+    return acc.groupBy(SUBJECT, OBJECT).agg(
+        F.sum("t").alias("ebc_scaled"),
+        F.round(F.sum("t") / F.lit(float(scale)), 6).alias("ebc"),
+    )

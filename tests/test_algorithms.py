@@ -2289,3 +2289,34 @@ def test_rich_club_clique_plus_pendants(spark):
 
     with _p.raises(ValueError):
         rich_club(g, ks=())
+
+
+def test_edge_betweenness_path_and_diamond(spark):
+    """Path 1->2->3 from source 1: edge (1,2) carries 2 paths, (2,3)
+    one.  Diamond 1->{2,3}->4: the two tail edges carry 1 + 1/2 each,
+    the two head edges 1/2 each — the textbook Brandes edge split,
+    scaled-int exact."""
+    from pregel_rs_spark.algorithms import edge_betweenness
+
+    path = GraphFrame.from_edges(
+        spark.createDataFrame([(1, 2), (2, 3)], "subject long, object long")
+    )
+    got = {
+        (r.subject, r.object): r.ebc
+        for r in edge_betweenness(path, sources=[1], max_hops=2).collect()
+    }
+    assert got == {(1, 2): 2.0, (2, 3): 1.0}
+    diamond = GraphFrame.from_edges(
+        spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4), (3, 4)], "subject long, object long"
+        )
+    )
+    got2 = {
+        (r.subject, r.object): r.ebc
+        for r in edge_betweenness(diamond, sources=[1], max_hops=2).collect()
+    }
+    assert got2 == {(1, 2): 1.5, (1, 3): 1.5, (2, 4): 0.5, (3, 4): 0.5}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        edge_betweenness(path, sources=[], max_hops=2)
