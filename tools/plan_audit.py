@@ -335,6 +335,18 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "forbid": ["CartesianProduct"],
     },
+    # edge betweenness: level-synchronous (vertex, src) equi-joins, the
+    # returned frame is a post-truncate union of per-level edge aggs
+    "edge_betweenness_k2": {
+        "forbid": ["CartesianProduct"],
+    },
+    # HLL rollup: one (scope, reg) hash agg + the O(m) register MAX —
+    # no joins at all
+    "approx_distinct_rollup": {
+        "read_cols_max": 2,
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+    },
     # crawl planning composition: robots side broadcasts, frontier window
     # is the one politeness shuffle — never pairwise
     "crawl_plan": {
