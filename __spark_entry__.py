@@ -3100,7 +3100,8 @@ def oracle_sql() -> dict[str, str]:
         scored AS (SELECT cx.doc_a, cx.doc_b,
                           ROUND(cx.cos / ((da.da + db.db) / 2.0), 6)
                             AS margin
-                   FROM cx JOIN da USING (doc_a) JOIN db USING (doc_b)),
+                   FROM cx JOIN da USING (doc_a) JOIN db USING (doc_b)
+                   WHERE (da.da + db.db) > 0),
         ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY margin DESC,
                        doc_a ASC, doc_b ASC) AS INT) AS rank
                    FROM scored)
@@ -4423,8 +4424,13 @@ def oracle_sql() -> dict[str, str]:
     """
     # bpe_merges_k3: 3 unrolled true-BPE merges — vocabulary re-segmented
     # per round (chr(31)-delimited), symbol-pair stats corpus-weighted,
-    # winner by (count DESC, left, right), literal replace application —
-    # step-for-step replica of operators.text.bpe_train.
+    # winner by (count DESC, left, right).  Merge application is the same
+    # left-to-right WHOLE-SYMBOL scan as operators.text.bpe_train (a
+    # list_reduce fold seeded by the first symbol): an unanchored
+    # substring replace of l||SEP||r could match across symbol boundaries
+    # (after (l,o), applying (o,w) to 'lo·w' would falsely fuse 'low'),
+    # so both engines fold instead — merge only when the accumulator's
+    # last whole symbol equals l and the next symbol equals r.
     _bpe_round = """
         , p{r} AS (SELECT t.a[u.i] AS l, t.a[u.i + 1] AS r,
                           CAST(SUM(t.wc) AS BIGINT) AS c
@@ -4435,8 +4441,21 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY 1, 2)
         , m{r} AS (SELECT l, r, c FROM p{r}
                    ORDER BY c DESC, l ASC, r ASC LIMIT 1)
-        , v{r} AS (SELECT replace(v.s, m.l || chr(31) || m.r,
-                                  m.l || m.r) AS s, v.wc
+        , v{r} AS (SELECT list_reduce(
+                     string_split(v.s, chr(31)),
+                     (acc, x) -> CASE
+                       WHEN x = m.r
+                            AND (CASE WHEN strpos(reverse(acc), chr(31)) = 0
+                                      THEN acc
+                                      ELSE substr(acc, length(acc)
+                                           - strpos(reverse(acc), chr(31))
+                                           + 2) END) = m.l
+                       THEN (CASE WHEN strpos(reverse(acc), chr(31)) = 0
+                                  THEN ''
+                                  ELSE substr(acc, 1, length(acc)
+                                       - strpos(reverse(acc), chr(31))
+                                       + 1) END) || m.l || m.r
+                       ELSE acc || chr(31) || x END) AS s, v.wc
                    FROM v{pr} v, m{r} m)
     """
     o["bpe_merges_k3"] = (
@@ -4544,7 +4563,7 @@ def oracle_sql() -> dict[str, str]:
                       JOIN mx{t} x ON x.v = g.v AND g.gain2 = x.mg
                       GROUP BY g.v)
         , l{n} AS (SELECT l.vertex_id,
-                          CASE WHEN l.vertex_id % 2 = {p}
+                          CASE WHEN ((l.vertex_id % 2) + 2) % 2 = {p}
                                 AND b.newc IS NOT NULL
                                THEN b.newc ELSE l.label END AS label
                    FROM l{t} l LEFT JOIN best{t} b ON b.v = l.vertex_id)

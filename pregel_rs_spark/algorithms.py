@@ -4247,7 +4247,12 @@ def louvain(graph: GraphFrame, rounds: int = 2) -> DataFrame:
             ).select(
                 labels[VERTEX_ID],
                 F.when(
-                    (F.col(VERTEX_ID) % 2 == r % 2) & F.col("new_c").isNotNull(),
+                    # pmod, not %: Spark's % is sign-preserving, so a
+                    # negative odd vertex id would yield -1 and never be
+                    # eligible to move in any round (xxhash64 ids from the
+                    # extraction pipeline ARE negative half the time)
+                    (F.pmod(F.col(VERTEX_ID), F.lit(2)) == r % 2)
+                    & F.col("new_c").isNotNull(),
                     F.col("new_c"),
                 )
                 .otherwise(F.col("community"))

@@ -824,9 +824,16 @@ def bitext_margin_pairs(
         .groupBy("doc_b")
         .agg((F.sum("cos") / F.lit(float(k))).alias("db"))
     )
+    # denominator guard: with orthogonal/anti-correlated embeddings the
+    # two k-NN averages can sum to <= 0, where the ratio margin is
+    # undefined (NULL / unbounded / sign-flipped scores that would sort
+    # to the top of the global ranking) — such pairs are dropped, not
+    # scored (LASER margin scoring presumes positive neighborhood
+    # similarity; mirrored in the DuckDB oracle)
     scored = (
         cx.join(da, "doc_a")
         .join(db, "doc_b")
+        .filter((F.col("da") + F.col("db")) > 0)
         .select(
             "doc_a",
             "doc_b",

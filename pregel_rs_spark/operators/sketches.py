@@ -137,6 +137,9 @@ def approx_distinct_rollup(
     does, plus an O(groups·m)→O(m) register MAX and two tiny estimator
     aggs.  Returns ``(scope, distinct_est)`` — one row per group (scope
     = the group value as a string) plus the ``'__all__'`` merged row.
+    A group value equal to the sentinel ``'__all__'`` raises at
+    execution time (plan-embedded guard) rather than silently producing
+    two indistinguishable rows.
     """
     if not 4 <= log2m <= 8:
         raise ValueError(
@@ -148,9 +151,20 @@ def approx_distinct_rollup(
     long_in = _string_fold(F.col(col)) if is_str else F.col(col).cast("long")
     h = _hyperball_hash(long_in, portable)
     w = F.shiftrightunsigned(h, log2m)
+    # the merged row is reported under the sentinel scope '__all__'; a
+    # group VALUE equal to the sentinel would be indistinguishable from
+    # it, so fail loudly instead (plan-embedded guard — no extra job,
+    # the branch rides the existing scan)
+    scope_checked = F.when(
+        F.col(group_col).cast("string") == "__all__",
+        F.raise_error(
+            "approx_distinct_rollup: group value '__all__' collides with "
+            "the merged-row sentinel scope"
+        ),
+    ).otherwise(F.col(group_col).cast("string"))
     regs = (
         df.select(
-            F.col(group_col).cast("string").alias("scope"),
+            scope_checked.alias("scope"),
             h.bitwiseAND(F.lit(m - 1)).cast("long").alias("reg"),
             F.when(w == 0, F.lit(w_bits + 1))
             .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
@@ -202,7 +216,10 @@ def count_min_sketch(
     stream) into a (row, bucket) agg of depth·width cells.  Sketches from
     corpus shards merge by cell-wise addition.
 
-    Returns ``(row, bucket, cnt)`` — depth·width rows, zero cells absent.
+    Returns ``(row, bucket, cnt)`` — only NON-EMPTY cells are
+    materialized (sparse form; at most depth·width rows); an absent
+    (row, bucket) cell means 0, and probes must COALESCE accordingly
+    (:func:`cms_heavy_hitters` does).
     """
     if depth < 1 or width < 2 or width > 65536:
         raise ValueError(f"need depth >= 1, 2 <= width <= 65536, got {depth}x{width}")
@@ -231,23 +248,38 @@ def cms_heavy_hitters(
     width: int = 256,
     top_k: int = 20,
     text_col: str = "text",
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Heavy hitters by count-min estimate: every candidate term is scored
     est(t) = min_i sketch[i][bucket_i(t)] and the ``top_k`` by
     (est DESC, term ASC) are returned WITH their exact counts, so the
     sketch's no-under-count contract (est ≥ exact, always) is auditable
-    row by row.  Candidates here are the corpus's own distinct terms; at
-    100 TB the same probe works for any external candidate list without
-    touching the corpus again — the sketch (depth·width longs) is the
-    only state, broadcast to the probe side.
+    row by row.  Candidates default to the corpus's own distinct terms;
+    pass ``candidates`` (a ``(term)`` DataFrame) to probe an EXTERNAL
+    list instead — at 100 TB the sketch (≤ depth·width longs, sparse) is
+    the only state, broadcast to the probe side, and a candidate hashing
+    to an absent cell correctly estimates 0 (left join + COALESCE, not an
+    inner join that would drop the row from the min and inflate it).
 
-    Returns ``(term, est, exact, rank)``, rank 1..top_k.
+    Returns ``(term, est, exact, rank)``, rank 1..top_k (``exact`` = 0
+    for external candidates absent from the corpus).
     """
     sketch = count_min_sketch(docs, depth=depth, width=width, text_col=text_col)
     toks = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    corpus_exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    if candidates is None:
+        exact = corpus_exact
+    else:
+        exact = (
+            candidates.select(F.col("term").cast("string").alias("term"))
+            .distinct()
+            .join(corpus_exact, "term", "left")
+            .select(
+                "term", F.coalesce(F.col("exact"), F.lit(0)).alias("exact")
+            )
+        )
     probes = exact.select(
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
         "term",
@@ -261,10 +293,19 @@ def cms_heavy_hitters(
         "term",
         "exact",
     )
+    # LEFT join + COALESCE 0: the sketch is sparse (only non-empty cells
+    # materialized), so an external candidate hashing to an absent
+    # (row, bucket) cell must contribute 0 to the min — an inner join
+    # would silently DROP that row from the min and inflate the
+    # estimate.  (Corpus-internal candidates always hit cells they
+    # themselves incremented, so for them the two joins agree.)
     est = (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("term")
-        .agg(F.min("cnt").alias("est"), F.first("exact").alias("exact"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"),
+            F.first("exact").alias("exact"),
+        )
     )
     from pyspark.sql import Window
 

@@ -872,12 +872,23 @@ def bpe_train(
     (:func:`bpe_pair_stats`) but the real loop: segment the vocabulary
     into symbols, count corpus-weighted adjacent SYMBOL pairs, merge the
     most frequent pair everywhere (non-overlapping, left-to-right — the
-    BPE contract, exactly what string ``replace`` does on the
-    separator-delimited form), recount, repeat ``merges`` times.
+    BPE contract), recount, repeat ``merges`` times.
     Tie-break (count DESC, left ASC, right ASC) makes the learned
     vocabulary reproducible — and the whole loop is engine-exact: every
-    count is an int64, every merge a literal string replace, so a SQL
-    oracle replays training step for step.
+    count is an int64, every merge a deterministic symbol-array scan, so
+    a SQL oracle replays training step for step.
+
+    Merge application is a left-to-right SCAN over WHOLE symbols (an
+    ``F.aggregate`` fold over the split array), NOT a substring replace
+    of ``left+SEP+right`` on the delimited string: an unanchored replace
+    can match across symbol boundaries — after learning (l,o), applying
+    a later winner (o,w) to the segmentation ``lo·w`` would falsely fuse
+    it into ``low`` (the left symbol's suffix ``o`` completes the
+    pattern), silently corrupting later rounds' pair statistics.  The
+    fold merges ``(left,right)`` only when ``left`` is exactly the
+    previous WHOLE symbol; greedy non-overlap falls out of the fold
+    because a just-merged accumulator tail ``left+right`` can never
+    equal ``left`` again (symbols are non-empty).
 
     Scale shape per merge: pair stats run over the DISTINCT-WORD
     vocabulary weighted by word counts (Zipf-bounded, the
@@ -934,11 +945,30 @@ def bpe_train(
                 F.lit(step).alias("step"), "left", "right", "pair_count"
             )
         )
+        # Left-to-right whole-symbol scan (see docstring): fold the symbol
+        # array with a string accumulator; merge only when the previous
+        # WHOLE symbol equals `left` and the current one equals `right`.
+        def _scan_step(acc, x):
+            # rp = distance of the last SEP from the end (0 = none)
+            rp = F.locate(SEP, F.reverse(acc))
+            last_sym = F.when(rp == 0, acc).otherwise(
+                acc.substr(F.length(acc) - rp + F.lit(2), F.length(acc))
+            )
+            prefix = F.when(rp == 0, F.lit("")).otherwise(
+                acc.substr(F.lit(1), F.length(acc) - rp + F.lit(1))
+            )
+            return F.when(
+                acc == "", x  # fold start: first symbol seeds the string
+            ).otherwise(
+                F.when(
+                    (x == F.col("right")) & (last_sym == F.col("left")),
+                    F.concat(prefix, F.col("left"), F.col("right")),
+                ).otherwise(F.concat(acc, F.lit(SEP), x))
+            )
+
         vocab = vocab.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("s"),
-                F.concat(F.col("left"), F.lit(SEP), F.col("right")),
-                F.concat(F.col("left"), F.col("right")),
+            F.aggregate(
+                F.split("s", SEP), F.lit(""), _scan_step
             ).alias("s"),
             "wc",
         )

@@ -2185,6 +2185,30 @@ def test_louvain_parity_guard_blocks_swap(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_louvain_negative_ids_are_eligible(spark):
+    """Regression (ADVICE r3): the eligibility guard must use pmod, not
+    Spark's sign-preserving % — a negative odd id yields -1 under % and
+    would never match round parity 0/1, freezing those vertices in their
+    own community forever.  xxhash64 vertex ids from the extraction
+    pipeline are negative half the time, so an all-negative-odd triangle
+    must still coalesce: round 0 (parity 0) moves nobody, round 1
+    (parity 1) must move at least one of {-1,-3,-5}."""
+    from pregel_rs_spark.algorithms import louvain
+
+    g = GraphFrame.from_edges(
+        spark.createDataFrame(
+            [(-1, -3), (-3, -5), (-1, -5)], "subject long, object long"
+        )
+    )
+    got = {
+        r.vertex_id: r.community for r in louvain(g, rounds=2).collect()
+    }
+    assert set(got) == {-1, -3, -5}
+    assert any(v != k for k, v in got.items()), (
+        "no negative-odd vertex ever moved — % sign bug is back"
+    )
+
+
 def test_opic_hand_replay_and_conservation(spark):
     """2-cycle plus a dangling vertex at scale=12, hand-replayed 3
     rounds: shares, pot remainders, and the DIV/MOD redistribution all

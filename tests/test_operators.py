@@ -1752,6 +1752,34 @@ def test_cms_no_undercount_and_exact_when_wide(spark):
         count_min_sketch(docs, 0, 2)
 
 
+def test_cms_external_candidates_absent_cell_is_zero(spark):
+    """Regression (ADVICE r3): the sketch is SPARSE (only non-empty
+    cells materialized), so an external candidate hashing to an absent
+    (row, bucket) cell must contribute 0 to the min — est 0, not an
+    inflated estimate from silently dropping that row.  With width 4096
+    and a 5-term corpus virtually every cell is empty, so an unseen term
+    must estimate 0; corpus terms estimate exactly."""
+    from pregel_rs_spark.operators.sketches import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a b c d e"), (3, "a c e e")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [("a",), ("zzz_unseen",)], "term string"
+    )
+    got = {
+        r.term: r
+        for r in cms_heavy_hitters(
+            docs, 4, 4096, 5, candidates=cands
+        ).collect()
+    }
+    assert set(got) == {"a", "zzz_unseen"}
+    assert (got["a"].est, got["a"].exact) == (6, 6)
+    assert (got["zzz_unseen"].est, got["zzz_unseen"].exact) == (0, 0)
+    assert got["a"].rank == 1 and got["zzz_unseen"].rank == 2
+
+
 def test_perceptron_train_hand_replay_and_inference(spark):
     """3-doc fixture hand-replayed: round 1 updates on all docs (zero
     margins), round 2 is mistake-free so weights are stable; the trained
@@ -1869,6 +1897,35 @@ def test_bitext_margin_orthonormal_fixture(spark):
         bitext_margin_pairs(a, b, k=0)
 
 
+def test_bitext_margin_nonpositive_denominator_dropped(spark):
+    """Regression (ADVICE r3): a pair whose two k-NN averages sum to <= 0
+    (anti-correlated neighborhoods) has an undefined ratio margin — it
+    must be DROPPED, not scored as NULL/±inf/sign-flipped (which would
+    sort to the top of the global ranking).  Here (a2,b2) has cos -1 and
+    both its averages are 0 → dropped; the other three pairs survive."""
+    from pregel_rs_spark.operators.similarity import bitext_margin_pairs
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(11, [1.0, 0.0]), (12, [0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r.doc_a, r.doc_b, r.margin, r.rank)
+        for r in bitext_margin_pairs(a, b, k=1, top_n=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (1, 11, 1.0, 1),
+        (1, 12, 0.0, 2),
+        (2, 11, 0.0, 3),
+    ]
+    assert all(m is not None for (_, _, m, _) in got)
+
+
 def test_bpe_train_textbook_low_lower(spark):
     """The Sennrich 'low/lower' example: merges learned in order
     (l,o)->( lo,w)->(e,r) with corpus-weighted counts 4,4,1 — ties
@@ -1887,6 +1944,33 @@ def test_bpe_train_textbook_low_lower(spark):
 
     with _p.raises(ValueError):
         bpe_train(docs, merges=0)
+
+
+def test_bpe_train_merge_anchored_to_whole_symbols(spark):
+    """Regression: applying a learned pair must NOT match across symbol
+    boundaries.  Corpus low*5 lot*6 xow*3 yow*3 learns (l,o)11 ->
+    (lo,t)6 -> (o,w)6; applying (o,w) to the segmentation lo·w must
+    leave it alone (the previous WHOLE symbol is 'lo', not 'o') so that
+    round 4 still sees pair (lo,w) with count 5 and learns it.  An
+    unanchored substring replace of 'o<SEP>w' instead fuses lo·w into
+    'low' (the left symbol's suffix completes the pattern) and round 4
+    would learn (x,ow) with count 3."""
+    from pregel_rs_spark.operators.text import bpe_train
+
+    words = ["low"] * 5 + ["lot"] * 6 + ["xow"] * 3 + ["yow"] * 3
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, merges=4).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "l", "o", 11),
+        (2, "lo", "t", 6),
+        (3, "o", "w", 6),
+        (4, "lo", "w", 5),
+    ]
 
 
 def test_winnow_fingerprints_tie_break_and_guarantee(spark):
@@ -2008,3 +2092,18 @@ def test_approx_distinct_rollup_merge_law(spark):
     # sanity: estimates within HLL error of the true counts (399/500/699)
     assert abs(roll["g1"] - 399) / 399 < 0.35
     assert abs(roll["__all__"] - 699) / 699 < 0.35
+
+
+def test_approx_distinct_rollup_sentinel_collision_raises(spark):
+    """Regression (ADVICE r3): a group VALUE equal to the '__all__'
+    sentinel would be indistinguishable from the merged row — the
+    plan-embedded guard must fail the job loudly instead."""
+    from pregel_rs_spark.operators.sketches import approx_distinct_rollup
+
+    df = spark.createDataFrame(
+        [("__all__", 1), ("g2", 2)], "grp string, v long"
+    )
+    import pytest as _p
+
+    with _p.raises(Exception, match="collides with"):
+        approx_distinct_rollup(df, "grp", "v", 5).collect()
