@@ -1017,11 +1017,100 @@ def k_truss(
     return res
 
 
+def _neighbor_index(edges: DataFrame, buckets: int) -> DataFrame:
+    """Neighbour index ``(nbr_subject, nbr_object, nbr_idx)`` with
+    ``nbr_idx`` = the neighbour's 0-based rank in OBJECT-ID ORDER within
+    its subject's adjacency — the deterministic, SQL-replayable order
+    the walk samplers pick from.
+
+    ``buckets = 1``: one ``row_number() over (partition by subject order
+    by object)`` window — a single task sorts a hub's WHOLE adjacency,
+    fine to ~10^7-degree hubs, a straggler/OOM at the 10^8-degree hubs a
+    10^12-edge web graph contains.
+
+    ``buckets = B > 1``: hub-safe two-level build that returns the
+    IDENTICAL index.  Each neighbour is range-bucketed by a MONOTONE
+    function of its object id (``floor((object - min) / width)`` in
+    doubles — long→double casts and floor are monotone, so bucket order
+    == object order; uniform for the xxhash64-distributed ids the
+    extraction pipeline emits, and never worse than the single window
+    for adversarially clustered ids).  The rank window then partitions
+    by ``(subject, bucket)`` — per-task sort is ~degree/B — and the
+    global rank is recovered as ``per-bucket offset + local rank``,
+    where the offsets are a running sum over the ≤B per-bucket COUNTS
+    per subject (a tiny window).  Monotonicity of the bucket function
+    makes (bucket, object) order equal object order, so the result is
+    bit-identical to the ``buckets = 1`` index for any B.
+    """
+    from pyspark.sql.window import Window
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if buckets == 1:
+        wspec = Window.partitionBy(SUBJECT).orderBy(OBJECT)
+        return edges.select(
+            F.col(SUBJECT).alias("nbr_subject"),
+            F.col(OBJECT).alias("nbr_object"),
+            (F.row_number().over(wspec) - 1).cast("long").alias("nbr_idx"),
+        )
+    stats = edges.agg(
+        F.min(OBJECT).cast("double").alias("__o_min"),
+        F.max(OBJECT).cast("double").alias("__o_max"),
+    )
+    # width in doubles: a full-int64 id span overflows long subtraction,
+    # and monotonicity (all we need for correctness) survives rounding
+    width = F.greatest(
+        (F.col("__o_max") - F.col("__o_min") + F.lit(1.0))
+        / F.lit(float(buckets)),
+        F.lit(1.0),
+    )
+    bucketed = edges.crossJoin(F.broadcast(stats)).select(
+        F.col(SUBJECT).alias("nbr_subject"),
+        F.col(OBJECT).alias("nbr_object"),
+        F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col(OBJECT).cast("double") - F.col("__o_min")) / width
+            ).cast("int"),
+        ).alias("__bucket"),
+    )
+    w_local = Window.partitionBy("nbr_subject", "__bucket").orderBy(
+        "nbr_object"
+    )
+    local = bucketed.select(
+        "nbr_subject",
+        "nbr_object",
+        "__bucket",
+        (F.row_number().over(w_local) - 1).cast("long").alias("__l_idx"),
+    )
+    sizes = bucketed.groupBy("nbr_subject", "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("nbr_subject")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "nbr_subject",
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+    )
+    return local.join(offsets, ["nbr_subject", "__bucket"]).select(
+        "nbr_subject",
+        "nbr_object",
+        (F.col("__off") + F.col("__l_idx")).alias("nbr_idx"),
+    )
+
+
 def random_walks(
     graph: GraphFrame,
     length: int,
     seed: int = 42,
     starts: DataFrame | None = None,
+    nbr_buckets: int = 32,
 ) -> DataFrame:
     """Deterministic pseudo-random walk sampling — one ``length``-step walk
     per vertex, the standard corpus generator for skip-gram graph
@@ -1053,27 +1142,20 @@ def random_walks(
     the walks from a sampled start set are EXACTLY the corresponding
     subset of the all-vertices walk set.
 
-    Note the neighbour index's ``row_number() over (partition by
-    subject)`` puts one vertex's full adjacency into a single task's
-    sort: fine up to realistic hub sizes (a 10^7-degree hub is ~100 MB of
-    ids), and built once; beyond that, bucket hubs by ``pmod(hash(object),
-    B)`` with per-bucket offsets before indexing.
+    The neighbour index is built hub-safe by default
+    (``nbr_buckets = 32``): :func:`_neighbor_index` range-buckets each
+    adjacency by a monotone function of the object id and ranks within
+    ``(subject, bucket)``, so no single task ever sorts a mega-hub's
+    whole adjacency — and the index (hence every walk) is bit-identical
+    to the single-window build at any bucket count.  ``nbr_buckets = 1``
+    selects the plain single-window build.
 
     Returns ``(walk_id, step, vertex_id)`` — step 0 is the start vertex.
     """
-    from pyspark.sql.window import Window
-
     if length < 0:
         raise ValueError(f"length must be >= 0, got {length}")
     edges = graph.edges.select(SUBJECT, OBJECT).distinct()
-    wspec = Window.partitionBy(SUBJECT).orderBy(OBJECT)
-    nbr = truncate_plan(
-        edges.select(
-            F.col(SUBJECT).alias("nbr_subject"),
-            F.col(OBJECT).alias("nbr_object"),
-            (F.row_number().over(wspec) - 1).cast("long").alias("nbr_idx"),
-        )
-    )
+    nbr = truncate_plan(_neighbor_index(edges, nbr_buckets))
     deg = truncate_plan(
         edges.groupBy(F.col(SUBJECT).alias("deg_subject")).agg(
             F.count(F.lit(1)).alias("out_degree")
@@ -3806,6 +3888,7 @@ def node2vec_walks(
     w_far: int = 2,
     seed: int = 42,
     starts: DataFrame | None = None,
+    nbr_buckets: int = 32,
 ) -> DataFrame:
     """Second-order biased walks (node2vec — Grover & Leskovec, KDD 2016;
     public literature; no reference counterpart — extension): the
@@ -3833,6 +3916,9 @@ def node2vec_walks(
     candidate rows).  State is O(walks); lineage truncated per step;
     walks stop early at dangling vertices.  Start from a vertex sample
     via ``starts`` at web scale, exactly as in :func:`random_walks`.
+    The neighbour index is the hub-safe bucketed build of
+    :func:`_neighbor_index` (``nbr_buckets``), bit-identical to the
+    single-window index at any bucket count.
 
     Returns ``(walk_id, step, vertex_id)`` — step 0 is the start vertex.
     """
@@ -3846,14 +3932,7 @@ def node2vec_walks(
             f"({w_return}, {w_near}, {w_far})"
         )
     edges = graph.edges.select(SUBJECT, OBJECT).distinct()
-    wspec = Window.partitionBy(SUBJECT).orderBy(OBJECT)
-    nbr = truncate_plan(
-        edges.select(
-            F.col(SUBJECT).alias("nbr_subject"),
-            F.col(OBJECT).alias("nbr_object"),
-            (F.row_number().over(wspec) - 1).cast("long").alias("nbr_idx"),
-        )
-    )
+    nbr = truncate_plan(_neighbor_index(edges, nbr_buckets))
     deg = truncate_plan(
         edges.groupBy(F.col(SUBJECT).alias("deg_subject")).agg(
             F.count(F.lit(1)).alias("out_degree")

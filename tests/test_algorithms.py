@@ -127,6 +127,67 @@ def test_random_walks_sampled_starts_subset(spark):
     assert sampled  # non-degenerate
 
 
+def test_neighbor_index_bucketed_equals_single_window(spark):
+    """The hub-safe bucketed neighbour index must be BIT-IDENTICAL to
+    the single-window build at any bucket count — the bucket function is
+    monotone in object id, so (bucket, object) order == object order and
+    the offset+local-rank recovery is exact.  Exercised over xxhash64-
+    style ids (negative half the time, full int64 span — the range-width
+    arithmetic must survive a span that overflows long subtraction)."""
+    from pregel_rs_spark.algorithms import _neighbor_index
+
+    e = spark.range(400).select(
+        F.pmod(F.xxhash64("id"), F.lit(13)).alias("subject"),
+        # full-span ids incl. negatives; distinct per (subject, row)
+        F.xxhash64(F.col("id") + 1000).alias("object"),
+    ).distinct()
+    base = {
+        (r.nbr_subject, r.nbr_object, r.nbr_idx)
+        for r in _neighbor_index(e, 1).collect()
+    }
+    for b in (2, 7, 32):
+        got = {
+            (r.nbr_subject, r.nbr_object, r.nbr_idx)
+            for r in _neighbor_index(e, b).collect()
+        }
+        assert got == base, f"bucketed index diverged at B={b}"
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        _neighbor_index(e, 0)
+
+
+def test_neighbor_index_million_degree_hub(spark):
+    """Synthetic 10^6-degree hub: the bucketed build ranks it without
+    any single task sorting the whole adjacency (window partitioned by
+    (subject, bucket)); spot-check exactness at the extremes and at a
+    probe id whose rank is computed independently."""
+    from pregel_rs_spark.algorithms import _neighbor_index
+
+    hub = spark.range(1_000_000).select(
+        F.lit(0).alias("subject"), F.xxhash64("id").alias("object")
+    ).distinct()
+    idx = _neighbor_index(hub, 64)
+    n = hub.count()
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("nbr_idx").alias("lo"),
+        F.max("nbr_idx").alias("hi"),
+        F.count_distinct("nbr_idx").alias("dn"),
+    ).collect()[0]
+    assert (stats.cnt, stats.lo, stats.hi, stats.dn) == (n, 0, n - 1, n)
+    # rank of the median-ish probe equals the count of smaller ids
+    probe = hub.approxQuantile("object", [0.5], 0.0)[0]
+    want_rank = hub.filter(F.col("object") < probe).count()
+    got_rank = (
+        idx.filter(F.col("nbr_object") == probe).collect()[0].nbr_idx
+    )
+    assert got_rank == want_rank
+    # the rank window really partitions by (subject, bucket), not subject
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+
+
 def numpy_pagerank_weighted(edges, n, d=0.85, tol=1e-12, iters=1000):
     """Weighted power-iteration oracle: send rank * w / out_weight."""
     out_w = np.zeros(n)

@@ -223,9 +223,30 @@ EXPECT: dict[str, dict] = {
     "densest_r2": {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
-    # node2vec: neighbour-index and edge-flag joins are all equi
+    # node2vec: neighbour-index and edge-flag joins are all equi (the
+    # index build itself is audited separately below — truncate_plan
+    # materializes it out of this consumer plan)
     "node2vec_k2": {
         "forbid": ["CartesianProduct"],
+    },
+    # walk corpus: per-step transitions are equi-joins only
+    "walks_k3": {
+        "forbid": ["CartesianProduct"],
+    },
+    # the walk samplers' hub-safe neighbour index (audited pre-truncation
+    # — SPECIAL builds the frame directly): the rank window MUST
+    # partition by (subject, __bucket), never subject alone, so no task
+    # sorts a mega-hub's whole adjacency; global ranks come from the
+    # per-subject running-sum offset window over ≤B count rows
+    "neighbor_index_bucketed": {
+        "require": ["__bucket", "row_number"],
+        "forbid": ["CartesianProduct"],
+        # a row_number spec that partitions by subject and orders
+        # straight by object (no __bucket between them) is the
+        # single-task-per-hub build — the exact shape this replaces
+        "forbid_re": [
+            r"windowspecdefinition\(nbr_subject#\d+L?,\s*nbr_object#"
+        ],
     },
     # skip-gram pairs: ONE walk_id self equi-join + one hash agg
     "skipgram_k2": {
@@ -463,6 +484,9 @@ def audit_one(name: str, plan: str) -> tuple[list[str], list[str]]:
     for s in exp.get("forbid", []):
         if s in plan:
             failures.append(f"forbidden plan node present: {s}")
+    for s in exp.get("forbid_re", []):
+        if re.search(s, plan):
+            failures.append(f"forbidden plan pattern present: {s}")
     return facts, failures
 
 
@@ -478,9 +502,25 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = entry_mod.queries()
 
+    # frames audited PRE-truncation (truncate_plan materializes them out
+    # of the registered queries' consumer plans)
+    def _nbr_index_frame(spark, sf):
+        from pregel_rs_spark.algorithms import _neighbor_index
+        from pregel_rs_spark.graphframe import SUBJECT, OBJECT
+
+        edges = (
+            entry_mod._edges_li(spark, sf)
+            .select(SUBJECT, OBJECT)
+            .distinct()
+        )
+        return _neighbor_index(edges, 32)
+
+    SPECIAL = {"neighbor_index_bucketed": _nbr_index_frame}
+
     sections, any_fail = [], False
     for name in EXPECT:
-        df = qs[name](spark, sf_dir)
+        df = SPECIAL[name](spark, sf_dir) if name in SPECIAL \
+            else qs[name](spark, sf_dir)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
