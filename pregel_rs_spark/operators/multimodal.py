@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The actual decode libraries (Pillow, ffmpeg, torchaudio…) are NOT in this
-container, so the decode step is STUBBED: `register_decoder` lets a real
-deployment plug one in; the default is a deterministic fake that parses our
-synthetic header.  Everything Spark-side — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested.
+Heavy decode libraries (Pillow, ffmpeg, torchaudio…) are NOT in this
+container; `register_decoder` lets a real deployment plug one in.  Two
+REAL zero-dependency decoders ship here and prove the plumbing against
+non-synthetic formats: :func:`png_ihdr_decoder` (genuine PNG header
+parse) and :func:`wav_decoder` (stdlib ``wave``), dispatched by
+:func:`standard_decoder`.  The default remains the deterministic
+synthetic-header fake.  Everything Spark-side — schema, partitioning,
+UDF signature, Arrow batch shape — is real and tested.
 
 Media blob layout for the synthetic path (so the fake decoder has real
 structure to parse):  ``b"MMv1" + media_type[0:1] + width(4B BE) +
@@ -54,10 +57,60 @@ def default_decoder(media: bytes) -> dict:
     return {"width": w, "height": h}
 
 
+def png_ihdr_decoder(media: bytes) -> dict:
+    """REAL image decoding without any external library: parse a genuine
+    PNG's IHDR chunk (pure Python — the 8-byte signature, then the first
+    chunk must be IHDR whose first 8 data bytes are width/height,
+    big-endian; PNG spec §11.2.2, public).  Proves the multimodal
+    plumbing end-to-end against a non-synthetic format."""
+    if media is None or len(media) < 24:
+        raise ValueError("not a PNG: too short")
+    if media[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    if media[12:16] != b"IHDR":
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    w, h = struct.unpack(">II", media[16:24])
+    return {"width": w, "height": h}
+
+
+def wav_decoder(media: bytes) -> dict:
+    """REAL audio decoding via the stdlib ``wave`` module: maps
+    (sample_rate, n_frames) into the (width, height) slots of
+    ``DECODED_SCHEMA`` (documented convention — the schema's two int
+    slots carry the modality's two primary dimensions)."""
+    import io
+    import wave
+
+    if media is None:
+        raise ValueError("not a WAV: empty blob")
+    with wave.open(io.BytesIO(bytes(media))) as wf:
+        return {"width": wf.getframerate(), "height": wf.getnframes()}
+
+
+def standard_decoder(media: bytes) -> dict:
+    """Magic-byte dispatch over the formats decodable with zero external
+    dependencies: real PNG (IHDR parse), real WAV (stdlib ``wave``), the
+    MMv1 synthetic header — anything else raises (a real deployment
+    registers a Pillow/ffmpeg decoder instead)."""
+    if media is not None and len(media) >= 8 \
+            and bytes(media[:8]) == b"\x89PNG\r\n\x1a\n":
+        return png_ihdr_decoder(media)
+    if media is not None and len(media) >= 12 \
+            and bytes(media[:4]) == b"RIFF" and bytes(media[8:12]) == b"WAVE":
+        return wav_decoder(media)
+    return default_decoder(media)
+
+
 _DECODER: Callable[[bytes], dict] = default_decoder
 
 
 def register_decoder(fn: Callable[[bytes], dict]) -> None:
+    """Install ``fn`` as the decoder used by :func:`decode_media` /
+    :func:`resize_media` plans built AFTER this call.  The plan builders
+    capture the current decoder into the UDF closure at plan-build time
+    — a module-global read inside the closure would silently fall back
+    to the default on executor Python workers, which re-import this
+    module rather than sharing the driver's globals."""
     global _DECODER
     _DECODER = fn
 
@@ -108,6 +161,9 @@ def resize_media(
     tested Spark surface (per BASELINE input_hint: Arrow batches, no
     per-row Python at the boundary).
     """
+    # capture NOW: executor workers re-import this module, so a global
+    # read inside the closure would always see the default decoder
+    dec = _DECODER
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,7 +172,7 @@ def resize_media(
                 pdf["doc_id"], pdf["media_type"], pdf["media"]
             ):
                 try:
-                    meta = _DECODER(bytes(blob) if blob is not None else None)
+                    meta = dec(bytes(blob) if blob is not None else None)
                     w, h = meta["width"], meta["height"]
                     out = (
                         _MAGIC
@@ -186,6 +242,9 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     """Decode/feature-extract media blobs via ``mapInPandas`` (Arrow batch
     iterator — the scale-correct shape: no per-row Python at the boundary,
     one pandas batch per Arrow chunk, decode errors captured per row)."""
+    # capture NOW: executor workers re-import this module, so a global
+    # read inside the closure would always see the default decoder
+    dec = _DECODER
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,7 +253,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["media"]
             ):
                 try:
-                    meta = _DECODER(bytes(blob) if blob is not None else None)
+                    meta = dec(bytes(blob) if blob is not None else None)
                     rows.append(
                         dict(
                             doc_id=doc_id,

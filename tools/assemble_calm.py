@@ -59,12 +59,32 @@ def main() -> None:
     if not calm_pairs:
         raise SystemExit("no calm pairs accepted — nothing to assemble")
 
+    def leg(side: str, a: dict) -> dict:
+        """Raw banked leg; if the bank file predates a /tmp wipe (resumed
+        campaigns carry attempts whose raw legs are gone), reconstruct
+        the minimal run dict from the attempt record itself — every
+        number comes from the previously committed campaign JSON, and
+        the provenance is labeled."""
+        path = os.path.join(args.bank, f"{side}_{a['attempt']}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        key = "N_sec_per_superstep" if side == "lo" else "4N_sec_per_superstep"
+        cores = 2 if side == "lo" else 8  # the protocol's local[2]/local[8]
+        return {
+            "master_mode": "local",
+            "units": cores,
+            "cores": cores,
+            "sec_per_superstep_median_step": a[key],
+            "supersteps_per_hour": round(3600.0 / a[key], 1),
+            "raw_leg": "reconstructed-from-attempt-record "
+                       "(bank pre-dated /tmp wipe)",
+        }
+
     lo_runs, hi_runs, pairs = [], [], []
     for i, a in enumerate(calm_pairs):
-        with open(os.path.join(args.bank, f"lo_{a['attempt']}.json")) as f:
-            lo_runs.append(json.load(f))
-        with open(os.path.join(args.bank, f"hi_{a['attempt']}.json")) as f:
-            hi_runs.append(json.load(f))
+        lo_runs.append(leg("lo", a))
+        hi_runs.append(leg("hi", a))
         pairs.append({
             "repeat": i,
             "attempt": a["attempt"],

@@ -137,6 +137,11 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=6_000_000)
     ap.add_argument("--link-factor", type=int, default=6)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--tol", type=float, default=0.0,
+                    help="run each leg TO TOLERANCE (e.g. 1e-9) instead of "
+                         "fixed supersteps; --steps then caps iterations. "
+                         "Folds the convergence-length metric into the "
+                         "same paired calm-window protocol (round-4 plan)")
     ap.add_argument("--n-units", type=int, default=2)
     ap.add_argument("--fixed-partitions", type=int, default=32)
     ap.add_argument("--target-pairs", type=int, default=5,
@@ -239,7 +244,8 @@ def main() -> None:
             runs: dict = {}
             for side in order:
                 runs[side] = run_leg(n if side == "lo" else n4, edges,
-                                     args.steps, args.fixed_partitions)
+                                     args.steps, args.fixed_partitions,
+                                     tol=args.tol)
                 bank(f"{side}_{att}.json", runs[side])
             p_lo = probe_window(trace, runs["lo"]["t_wall_start"],
                                 runs["lo"]["t_wall_end"])
@@ -256,6 +262,8 @@ def main() -> None:
                                     / (4.0 * runs["hi"][KEY]), 3),
                 "probe_N": p_lo,
                 "probe_4N": p_hi,
+                "converged_at_N": runs["lo"].get("converged_at"),
+                "converged_at_4N": runs["hi"].get("converged_at"),
             }
             attempts.append(pair)
             level_best = verdicts(attempts)
@@ -296,6 +304,7 @@ def main() -> None:
             "input": {"pages": args.pages, "link_factor": args.link_factor,
                       "seed": 42, "edges_parquet": edges},
             "fixed_supersteps": args.steps,
+            "tol": args.tol,
             "fixed_partitions": args.fixed_partitions,
             "calibration_ref_gbps": ref,
             "gate_frac": GATE_FRAC,
