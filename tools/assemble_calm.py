@@ -44,6 +44,11 @@ def main() -> None:
                     help="to-tolerance leg JSON at the N level")
     ap.add_argument("--conv-hi", default=None,
                     help="to-tolerance leg JSON at the 4N level")
+    ap.add_argument("--conv-calm", default=None,
+                    help="calm-campaign JSON run with --tol (paired "
+                         "to-tolerance legs under the SAME probe "
+                         "protocol); embedded as convergence_pairs with "
+                         "its own accepted-median efficiency")
     ap.add_argument("--resume-json", default=None)
     ap.add_argument("--probe-out", default="/root/repo/BENCH_SCALING_PROBE.jsonl",
                     help="commit the raw probe trace here ('' to skip)")
@@ -101,13 +106,30 @@ def main() -> None:
     thr_lo = 3600.0 / lo["steady_median"]
     thr_hi = 3600.0 / hi["steady_median"]
 
-    conv_lo = conv_hi = None
+    conv_lo = conv_hi = conv_campaign = None
     if args.conv_lo:
         with open(args.conv_lo) as f:
             conv_lo = json.load(f)
     if args.conv_hi:
         with open(args.conv_hi) as f:
             conv_hi = json.load(f)
+    if args.conv_calm:
+        with open(args.conv_calm) as f:
+            cc = json.load(f)
+        cc_calm = [a for a in cc["attempts"] if a.get("calm")]
+        conv_campaign = {
+            "tol": cc.get("tol"),
+            "attempts_total": len(cc["attempts"]),
+            "attempts": cc["attempts"],
+            "n_calm": len(cc_calm),
+            "efficiency_median_calm": (
+                round(statistics.median(
+                    a["efficiency"] for a in cc_calm), 3)
+                if cc_calm else None
+            ),
+            "efficiency_median_all": round(statistics.median(
+                a["efficiency"] for a in cc["attempts"]), 3),
+        }
     resume = None
     if args.resume_json:
         with open(args.resume_json) as f:
@@ -145,12 +167,18 @@ def main() -> None:
             "4N_steady_sec_per_superstep": hi["steady_all"],
         },
         "scaling_efficiency": round(eff, 3),
+        # the PROTOCOL-FREE number (round-4 robustness goal): median over
+        # EVERY attempted pair, no probe acceptance applied at all
+        "scaling_efficiency_all_attempts_median": round(
+            statistics.median(a["efficiency"] for a in attempts), 3
+        ),
         "scaling_efficiency_level_median":
             round((lo["steady_median"] / hi["steady_median"]) / 4.0, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
         "convergence_run_N": conv_lo,
         "convergence_run_4N": conv_hi,
+        "convergence_pairs_1e9": conv_campaign,
         "resume_check_4N": resume,
     }
     if args.context_md:
