@@ -260,6 +260,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.filter(~F.isnan("distance") & (F.col("distance") != float("inf"))) \
             .select("vertex_id", F.col("distance").cast("long").alias("hops"))
 
+    def sssp_frontier_q(spark, sf):
+        """VERDICT r4 item 7: the SAME single-source BFS as ``sssp_hops``
+        written as a raw user program with ``with_active_filter`` — a
+        ``changed`` state flag marks vertices whose distance improved
+        last superstep, and only those send offers.  Must be
+        value-identical to the unfiltered oracle (min-agg idempotence)
+        with the per-superstep message shuffle collapsed to the live
+        frontier (pytest pins the >2× message-count shrink)."""
+        INF = float("inf")
+        g = GraphFrame.from_edges(_edges_sg(spark, sf))
+        res = (
+            PregelBuilder(g)
+            .max_iterations(50)
+            .with_vertex_column("distance")
+            .initial_message(
+                F.when(F.col("vertex_id") == 1, F.lit(0.0)).otherwise(
+                    F.lit(INF)
+                )
+            )
+            .send_messages(
+                MessageReceiver.OBJECT,
+                F.when(
+                    subject("distance") != F.lit(INF),
+                    subject("distance") + F.lit(1.0),
+                ),
+            )
+            .aggregate_messages(F.min(msg()))
+            .v_prog(
+                F.least(F.col("distance"), F.coalesce(msg(), F.col("distance")))
+            )
+            .with_state_column(
+                "changed",
+                F.col("vertex_id") == 1,
+                F.coalesce(msg() < F.col("distance"), F.lit(False)),
+            )
+            .with_active_filter(subject("changed"))
+            .with_exact_convergence()
+            .build()
+            .run()
+        )
+        return res.filter(F.col("distance") != F.lit(INF)).select(
+            "vertex_id", F.col("distance").cast("long").alias("hops")
+        )
+
     def scc_q(spark, sf):
         """Strongly connected components (coloring + backward flag) on the
         directed supplier graph — component = MAX member id, checked
@@ -2206,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         triangle_count=triangle_count_q,
         max_value=max_value_q,
         sssp_hops=sssp_hops_q,
+        sssp_frontier=sssp_frontier_q,
         hits_k3=hits_k3_q,
         ppr_k3=ppr_k3_q,
         scc=scc_q,
@@ -2274,8 +2319,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         try:
             with open(_p) as _f:
                 _checked |= set(_json.load(_f))
-        except Exception:
-            pass
+        except Exception as _e:
+            # a corrupted artifact would silently degrade rotation back
+            # toward already-checked queries — name it so it gets noticed
+            import sys as _sys
+
+            print(
+                f"WARNING: unreadable correctness artifact {_p}: {_e}; "
+                "verification-window rotation is ignoring it",
+                file=_sys.stderr,
+            )
     return dict(sorted(q.items(), key=lambda kv: kv[0] in _checked))
 
 
@@ -2598,6 +2651,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vid AS vertex_id, MIN(d) AS hops FROM reach GROUP BY vid
     """
+    # active-filter variant must be VALUE-identical to the plain BFS —
+    # same oracle by construction (min-agg idempotence contract)
+    o["sssp_frontier"] = o["sssp_hops"]
     o["lpa_1round"] = f"""
         WITH sym AS (SELECT DISTINCT subject AS src, object AS dst FROM
                      (SELECT subject, object FROM {_SG_SQL}

@@ -526,6 +526,15 @@ def main() -> None:
         "k_core_3", "random_walks_k5",
     ]
     core16 = {k: timings[k] for k in CORE16 if k in timings}
+    core16_missing = sorted(k for k in CORE16 if k not in timings)
+    if core16_missing:
+        # an incomplete basket must not masquerade as a speedup: surface
+        # the gap loudly on stderr AND in the JSON record
+        print(
+            f"WARNING: core16 basket incomplete — missing {core16_missing}; "
+            "core16_value covers only the present queries",
+            file=sys.stderr,
+        )
     out = {
         "metric": "headline operator wall time (PageRank to 1e-6 + graph algs + webtext + dedup/text/ann)",
         "value": total,
@@ -533,6 +542,7 @@ def main() -> None:
         "queries": timings,
         "core16_value": round(sum(core16.values()), 3),
         "core16_queries": sorted(core16),
+        "core16_missing": core16_missing,
         "sf": sf,
         "cores": cores,
         "repeats_per_query": repeats,

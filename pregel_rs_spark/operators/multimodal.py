@@ -151,7 +151,10 @@ FRAMES_SCHEMA = (
 
 
 def resize_media(
-    media_df: DataFrame, target_w: int = 224, target_h: int = 224
+    media_df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    decoder: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
     """Resize plumbing via ``mapInPandas``: parses each blob's header,
     computes the letterboxed target geometry, and re-emits the blob with a
@@ -161,9 +164,11 @@ def resize_media(
     tested Spark surface (per BASELINE input_hint: Arrow batches, no
     per-row Python at the boundary).
     """
-    # capture NOW: executor workers re-import this module, so a global
+    # an explicit decoder= wins (no shared mutable state — two plans
+    # built concurrently can't race); otherwise capture the registered
+    # global NOW: executor workers re-import this module, so a global
     # read inside the closure would always see the default decoder
-    dec = _DECODER
+    dec = decoder if decoder is not None else _DECODER
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,13 +243,17 @@ def sample_frames(
     return media_df.mapInPandas(do_sample, FRAMES_SCHEMA)
 
 
-def decode_media(media_df: DataFrame) -> DataFrame:
+def decode_media(
+    media_df: DataFrame, decoder: Callable[[bytes], dict] | None = None
+) -> DataFrame:
     """Decode/feature-extract media blobs via ``mapInPandas`` (Arrow batch
     iterator — the scale-correct shape: no per-row Python at the boundary,
     one pandas batch per Arrow chunk, decode errors captured per row)."""
-    # capture NOW: executor workers re-import this module, so a global
+    # an explicit decoder= wins (no shared mutable state — two plans
+    # built concurrently can't race); otherwise capture the registered
+    # global NOW: executor workers re-import this module, so a global
     # read inside the closure would always see the default decoder
-    dec = _DECODER
+    dec = decoder if decoder is not None else _DECODER
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

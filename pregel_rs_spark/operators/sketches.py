@@ -272,8 +272,13 @@ def cms_heavy_hitters(
     if candidates is None:
         exact = corpus_exact
     else:
+        # mirror the corpus tokenizer's admission rule: NULL/empty
+        # candidates would survive distinct(), then concat_ws would drop
+        # the NULL from the probe hash and the bucket would degenerate to
+        # hash(row) alone — a meaningless estimate on a phantom term
         exact = (
             candidates.select(F.col("term").cast("string").alias("term"))
+            .filter(F.col("term").isNotNull() & (F.col("term") != ""))
             .distinct()
             .join(corpus_exact, "term", "left")
             .select(

@@ -395,6 +395,11 @@ class Pregel:
     # additional evolving state columns beyond ``vertex_column`` (Q4
     # extension); each updates synchronously from the pre-update state.
     extra_state: list[StateColumn] = field(default_factory=list)
+    # voting-to-halt sugar: predicate over the SUBJECT-side triplet
+    # columns; only vertices satisfying it send messages this superstep.
+    # All vertices still receive + run v_prog (NULL message if nothing
+    # arrives) — this shrinks the send/shuffle side, not the state.
+    active_filter: Optional[ExprLike] = None
     # AQE inside the superstep loop (default off): the loop's partitioning
     # is fixed and uniform per iteration, so adaptive re-planning only adds
     # per-stage scheduling latency AND defeats exchange reuse; hub skew is
@@ -632,6 +637,11 @@ class Pregel:
                         need_subj = need_obj = True
                     if static_sends:
                         pruning_cache = (need_subj, need_obj)
+                if self.active_filter is not None:
+                    # the subject join is load-bearing now (it drops
+                    # inactive senders' edges), so it can't be pruned even
+                    # on a closed-world graph with subject-free payloads
+                    need_subj = True
                 triplets = edges
                 if need_subj or not closed:
                     subj = base.select(
@@ -640,6 +650,13 @@ class Pregel:
                             for c in state_cols
                         ]
                     )
+                    if self.active_filter is not None:
+                        # filter BEFORE the join: cuts the sort-merge
+                        # probe side and every downstream message row
+                        # without disturbing the state's hash partitioning
+                        subj = subj.filter(
+                            _resolve(self.active_filter, ctx)
+                        )
                     triplets = subj.join(
                         triplets,
                         _q(alias(SUBJECT, VERTEX_ID)) == _q(alias("edge", SUBJECT)),
@@ -1003,6 +1020,33 @@ class PregelBuilder:
         All state columns update synchronously from the pre-update values;
         exact-convergence checks consider every evolving column."""
         self._p.extra_state.append(StateColumn(name, initial, v_prog))
+        return self
+
+    def with_active_filter(self, expr: ExprLike) -> "PregelBuilder":
+        """Voting-to-halt sugar (VERDICT r4 item 7): only vertices whose
+        SUBJECT-side triplet columns satisfy ``expr`` send messages this
+        superstep — e.g. ``subject("changed")`` with a ``with_state_column``
+        flag tracking "my value improved last superstep".  Every vertex
+        still receives and runs ``v_prog`` (NULL message when nothing
+        arrives, Q2 semantics unchanged); only the send/shuffle side
+        shrinks, which on high-diameter or rapidly-converging programs
+        collapses the per-superstep message shuffle to the live frontier
+        (``with_message_counts`` measures it).
+
+        Correctness contract (the user's, as in GraphX/Giraph vote-to-halt):
+        results are identical iff an inactive vertex's re-sent message
+        could never change any receiver's decision — true for idempotent
+        monotone aggregates (min/max label or distance propagation) when
+        the filter keeps exactly the vertices whose state changed last
+        superstep.  The built-in frontier algorithms (SSSP, MIS, k-core)
+        hand-roll the same shrink with semi-joins; this flag gives raw
+        user programs the same plan shape declaratively.
+
+        ``expr`` may be a Column or a per-superstep closure
+        ``ctx -> Column`` (``PregelContext``, like payloads); it is
+        applied to the subject frame BEFORE the triplet join, so the
+        subject join is never pruned while a filter is set."""
+        self._p.active_filter = expr
         return self
 
     def with_state_stat(self, name: str, expr: Column) -> "PregelBuilder":

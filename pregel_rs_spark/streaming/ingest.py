@@ -154,21 +154,32 @@ def run_edges_stream(
 
 
 
-def admit_pages_stream(pages: DataFrame, robots: DataFrame) -> DataFrame:
+def admit_pages_stream(
+    pages: DataFrame, robots: DataFrame, max_hosts: int = 1_000_000
+) -> DataFrame:
     """Robots admission on the page stream — RFC 9309 verdicts applied as
     pages arrive, so disallowed fetches never reach the corpus sink.
 
     Stream-legal shape: the batch :func:`~pregel_rs_spark.functions.
     robots.robots_verdicts` picks its winner with a groupBy, which a
     stream would reject as an unwatermarked aggregation — so here the
-    static robots side (crawl-metadata-sized, the same assumption the
-    batch path's broadcast makes) is parsed ONCE with the pure-Python
-    mirror parser and shipped as a task broadcast; per page the verdict
-    is a stateless Arrow-batched pandas UDF over (host, path), both
-    extracted by Catalyst.  Parser parity Catalyst↔Python is pinned in
+    static robots side is parsed ONCE with the pure-Python mirror parser
+    and shipped as a task broadcast; per page the verdict is a stateless
+    Arrow-batched pandas UDF over (host, path), both extracted by
+    Catalyst.  Parser parity Catalyst↔Python is pinned in
     tests/test_robots.py; stream↔batch verdict parity in
     tests/test_streaming.py.  Returns admitted page rows plus the
     winning (rule, rule_path) audit columns.
+
+    The robots side is collected + broadcast by contract — the same
+    assumption the batch path's broadcast makes, but the stream path
+    holds the dict for the run's lifetime, so the cap is enforced here:
+    ``max_hosts`` (default 10^6 hosts, roughly single-digit GB of parsed
+    rules) bounds the driver collect with an actionable error instead of
+    a driver OOM.  A 10^8-host web-scale robots set should be sharded
+    per host-partition (one ``admit_pages_stream`` query per shard with
+    the page stream filtered to matching hosts), or admitted in batch
+    via ``robots_filter``'s pure-Catalyst broadcast join.
     """
     from pyspark.sql.functions import pandas_udf as _pandas_udf
     from pyspark.sql.types import (
@@ -184,6 +195,15 @@ def admit_pages_stream(pages: DataFrame, robots: DataFrame) -> DataFrame:
         robots_allowed_py,
     )
 
+    n_hosts = robots.count()
+    if n_hosts > max_hosts:
+        raise ValueError(
+            f"admit_pages_stream collects the robots side to the driver "
+            f"({n_hosts} hosts > max_hosts={max_hosts}); shard the robots "
+            "set per host-partition (one stream per shard), raise "
+            "max_hosts if the driver can hold it, or use the batch "
+            "robots_filter path's broadcast join"
+        )
     rules_by_host = {
         r["host"]: parse_robots_py(r["content"])
         for r in robots.select("host", "content").collect()

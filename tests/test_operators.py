@@ -357,6 +357,58 @@ def test_register_decoder_real_png_and_wav(spark):
     assert got[3].ok is False and "MMv1" in got[3].error
 
 
+def test_decode_media_explicit_decoder_param(spark):
+    """ADVICE r4: an explicit ``decoder=`` argument bypasses the mutable
+    module global entirely — two plans built concurrently can't race on
+    ``register_decoder`` — and wins over whatever is registered."""
+    from pregel_rs_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        standard_decoder,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_make_png(64, 48)))],
+        "doc_id long, media_type string, media binary",
+    )
+    # global stays at default_decoder (which rejects a real PNG); the
+    # explicit standard_decoder must still decode it
+    got = decode_media(media, decoder=standard_decoder).collect()[0]
+    assert got.ok and (got.width, got.height) == (64, 48)
+    r = resize_media(media, 32, 32, decoder=standard_decoder).collect()[0]
+    assert r.ok and (r.width, r.height) == (64, 48)
+    assert (r.target_w, r.target_h) == (32, 32)
+    # and without decoder=, the default (registered) decoder runs and
+    # rejects the non-synthetic blob — proving no global was mutated
+    bad = decode_media(media).collect()[0]
+    assert bad.ok is False
+
+
+def test_decode_media_pil_pixel_decode(spark):
+    """VERDICT r4 item 6: full pixel decode through PIL, exercised
+    automatically in any environment that has an image library
+    (importorskip'd in this sandbox).  Wires ``PIL.Image.open`` through
+    the ``decoder=`` hook so the Spark-side plumbing carries genuine
+    pixel-level metadata."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from pregel_rs_spark.operators.multimodal import decode_media
+
+    def pil_decoder(blob: bytes) -> dict:
+        img = PIL_Image.open(io.BytesIO(blob))
+        img.load()  # force full pixel decode, not just the header
+        assert img.format == "PNG"
+        return {"width": img.width, "height": img.height}
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_make_png(17, 9)))],
+        "doc_id long, media_type string, media binary",
+    )
+    got = decode_media(media, decoder=pil_decoder).collect()[0]
+    assert got.ok and (got.width, got.height) == (17, 9)
+
+
 def test_real_documents_shape(spark):
     """Operators run over the real documents table (sf0.001)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1882,6 +1934,31 @@ def test_cms_external_candidates_absent_cell_is_zero(spark):
     assert (got["a"].est, got["a"].exact) == (6, 6)
     assert (got["zzz_unseen"].est, got["zzz_unseen"].exact) == (0, 0)
     assert got["a"].rank == 1 and got["zzz_unseen"].rank == 2
+
+
+def test_cms_null_empty_candidates_filtered(spark):
+    """Regression (ADVICE r4): NULL / empty-string candidates must be
+    dropped before probing, mirroring the corpus tokenizer's admission
+    rule — a NULL survives distinct() and concat_ws silently drops it
+    from the probe hash, degenerating the bucket to hash(row) alone and
+    emitting a phantom row with a meaningless estimate."""
+    from pregel_rs_spark.operators.sketches import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame(
+        [("a",), (None,), ("",), ("b",)], "term string"
+    )
+    got = {
+        r.term: r
+        for r in cms_heavy_hitters(
+            docs, 4, 4096, 5, candidates=cands
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert (got["a"].est, got["a"].exact) == (3, 3)
+    assert (got["b"].est, got["b"].exact) == (1, 1)
 
 
 def test_perceptron_train_hand_replay_and_inference(spark):

@@ -524,3 +524,83 @@ def test_concurrent_loop_same_session_fails_fast(spark, graph_b):
     finally:
         pregel_mod._ACTIVE_LOOP_SESSIONS.discard(key)
     _tiny_pregel(graph_b).run()  # released → runs normally
+
+
+def _sssp_builder(graph, frontier: bool) -> "PregelBuilder":
+    """SSSP as a raw user program; with frontier=True, only vertices whose
+    distance improved last superstep send offers (vote-to-halt shape)."""
+    INF = float("inf")
+    b = (
+        PregelBuilder(graph)
+        .max_iterations(30)
+        .with_vertex_column("dist")
+        .initial_message(
+            F.when(F.col("vertex_id") == 0, F.lit(0.0)).otherwise(F.lit(INF))
+        )
+        .send_messages(
+            MessageReceiver.OBJECT,
+            F.when(subject("dist") != F.lit(INF), subject("dist") + F.lit(1.0)),
+        )
+        .aggregate_messages(F.min(msg()))
+        .v_prog(F.least(F.col("dist"), F.coalesce(msg(), F.col("dist"))))
+        .with_state_column(
+            "changed",
+            F.col("vertex_id") == 0,
+            F.coalesce(msg() < F.col("dist"), F.lit(False)),
+        )
+        .with_exact_convergence()
+        .with_message_counts()
+    )
+    if frontier:
+        b = b.with_active_filter(subject("changed"))
+    return b
+
+
+def test_active_filter_identical_results_fewer_messages(spark):
+    """VERDICT r4 item 7: with_active_filter gives raw user programs the
+    frontier shrink the built-in algorithms hand-roll — identical final
+    state, strictly fewer shuffled message rows (measured by the engine's
+    own message-count metrics) on a high-diameter graph where the
+    unfiltered program re-sends from every reached vertex every step."""
+    # path 0→1→…→9 plus chords so multiple offers exist
+    chain = [(i, i + 1) for i in range(9)]
+    chords = [(0, 5), (2, 7), (4, 9)]
+    e = spark.createDataFrame(chain + chords, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+
+    plain = _sssp_builder(g, frontier=False).build()
+    filt = _sssp_builder(g, frontier=True).build()
+    want = {r.vertex_id: r.dist for r in plain.run().collect()}
+    got = {r.vertex_id: r.dist for r in filt.run().collect()}
+    assert got == want  # exact — unit-weight hop counts
+
+    msgs_plain = sum(m.messages or 0 for m in plain.metrics)
+    msgs_filt = sum(m.messages or 0 for m in filt.metrics)
+    # every reached vertex re-sends each step without the filter; with it
+    # only the live frontier sends — the gap must be large, not marginal
+    assert msgs_filt < msgs_plain / 2, (msgs_filt, msgs_plain)
+    assert msgs_filt > 0
+
+
+def test_active_filter_closure_and_closed_world_pruning(spark, graph_b):
+    """The filter accepts a per-superstep closure, and setting it forces
+    the subject join even when payloads reference no subject column on a
+    closed-world graph (the join is load-bearing for the filter)."""
+    e = graph_b.edges
+    g = GraphFrame.from_edges(e)  # closed-world: vertices derived
+    # payload F.lit(1) references NO subject column → normally the subject
+    # join is pruned; the active filter must still take effect (vertices
+    # with vertex_id >= 2 never send, so receivers only hear from 0 and 1)
+    p = (
+        PregelBuilder(g)
+        .max_iterations(1)
+        .initial_message(F.lit(0))
+        .send_messages(MessageReceiver.OBJECT, F.lit(1))
+        .aggregate_messages(F.sum(msg()))
+        .v_prog(F.coalesce(msg(), F.lit(0)))
+        .with_active_filter(lambda ctx: subject("vertex_id") < F.lit(ctx.superstep + 1))
+        .build()
+    )
+    got = {r.vertex_id: r.aux for r in p.run().collect()}
+    # superstep 1: active senders are vertex_id < 2 → edges 0→1, 1→0, 1→3
+    assert got == {0: 1, 1: 1, 2: 0, 3: 1}

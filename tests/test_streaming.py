@@ -280,6 +280,34 @@ def test_stream_robots_admission_matches_batch(spark, staged):
     assert v.filter(~F.col("allowed")).count() > 0
 
 
+def test_admit_pages_stream_max_hosts_cap(spark, staged):
+    """VERDICT r4 item 1: the robots side is collected + broadcast by
+    contract; an oversized robots set must fail with an actionable error
+    at plan-build time (before any stream starts), not OOM the driver.
+    And the cap must not disturb an in-contract run: the same plan with
+    an adequate cap still builds."""
+    import pytest
+
+    from pregel_rs_spark.streaming.ingest import admit_pages_stream
+
+    root, src, pages = staged
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /private"),
+            ("b.example", "User-agent: *\nAllow: /"),
+            ("c.example", "User-agent: *\nDisallow:"),
+        ],
+        "host string, content string",
+    )
+    stream = stream_pages(spark, src + "/*", max_files_per_trigger=1)
+    with pytest.raises(ValueError, match=r"max_hosts=2\b.*shard"):
+        admit_pages_stream(stream, robots, max_hosts=2)
+    # in-contract: plan builds fine (not started — build is where the
+    # collect happens, so this exercises the capped path)
+    admitted = admit_pages_stream(stream, robots, max_hosts=3)
+    assert "rule_path" in admitted.columns
+
+
 def test_stream_compaction_matches_batch_snapshot(spark, tmp_path_factory):
     """compact_pages_stream folds micro-batches into the latest-snapshot
     view; the final table equals latest_snapshot over ALL pages (stream ≡
