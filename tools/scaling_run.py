@@ -93,18 +93,33 @@ def _find_pids(needle: str, children_of: int | None = None) -> list[int]:
     return sorted(pids)
 
 
-def _pin_cluster(cores_per_exec: int, n_exec: int) -> int:
-    """Pin executor i → core block i, driver-side JVM + this python process
-    → the reserved DRIVER_CORES block.  Returns #executors pinned (0 on
-    failure — the run proceeds unpinned: noisier, not wrong)."""
+def _pin_cluster(cores_per_exec: int, n_exec: int, offset: int = 0) -> int:
+    """Pin executor i → core block i (starting at ``offset``), driver-side
+    JVM + this python process → the reserved DRIVER_CORES block.  Returns
+    #executors pinned (0 on failure — the run proceeds unpinned: noisier,
+    not wrong).
+
+    Only THIS leg's executors are pinned: the executor backends are
+    (grand)children of this process's own SparkSubmit JVM, so two
+    simultaneous local-cluster legs on disjoint blocks cannot re-pin each
+    other's executors (same ownership rule as the local-mode path)."""
     pinned = 0
     try:
-        for i, pid in enumerate(_find_pids("CoarseGrainedExecutorBackend")[:n_exec]):
-            block = list(range(i * cores_per_exec, (i + 1) * cores_per_exec))
+        own_submits = _find_pids("org.apache.spark.deploy.SparkSubmit",
+                                 children_of=os.getpid())
+        own_execs: list[int] = []
+        for sp in own_submits:
+            own_execs += _find_pids("CoarseGrainedExecutorBackend",
+                                    children_of=sp)
+        for i, pid in enumerate(sorted(own_execs)[:n_exec]):
+            block = list(range(offset + i * cores_per_exec,
+                               offset + (i + 1) * cores_per_exec))
             if _pin_all_threads(pid, block):
                 pinned += 1
-        # the py4j gateway JVM hosts driver + local-cluster master + worker
-        for pid in _find_pids("org.apache.spark.deploy.SparkSubmit"):
+        # the py4j gateway JVM hosts driver + local-cluster master + worker;
+        # the driver block is the same at every level (a real cluster does
+        # not resize the driver node) and may be shared by concurrent legs
+        for pid in own_submits:
             _pin_all_threads(pid, DRIVER_CORES)
         _pin_all_threads(os.getpid(), DRIVER_CORES)
     except Exception as ex:  # pragma: no cover
@@ -261,7 +276,8 @@ def main() -> None:
         ) and _pin_all_threads(os.getpid(), block)
         pinned = args.units if ok else 0
     else:
-        pinned = _pin_cluster(args.cores_per_executor, args.units)
+        pinned = _pin_cluster(args.cores_per_executor, args.units,
+                              args.pin_offset)
     if pinned != args.units:
         print(f"WARNING: pinned {pinned}/{args.units}", file=sys.stderr)
 

@@ -63,15 +63,21 @@ PROBE_CORE = 20
 
 
 def run_leg_async(units: int, edges: str, steps: int, parts: int,
-                  offset: int, out: dict, tag: str) -> None:
+                  offset: int, out: dict, tag: str,
+                  master_mode: str = "local",
+                  cores_per_exec: int = 2,
+                  exec_mem_mb: int = 8192) -> None:
     cmd = [
         sys.executable,
         os.path.join(os.path.dirname(__file__), "scaling_run.py"),
         str(units), edges, str(steps), "0.0",
-        "--master-mode", "local",
+        "--master-mode", master_mode,
         "--fixed-partitions", str(parts),
         "--pin-offset", str(offset),
     ]
+    if master_mode == "local-cluster":
+        cmd += ["--cores-per-executor", str(cores_per_exec),
+                "--executor-mem-mb", str(exec_mem_mb)]
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "24g")
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
@@ -111,7 +117,30 @@ def main() -> None:
     ap.add_argument("--bank-dir", default=os.path.join(SCRATCH,
                                                        "bank_simul_r4"))
     ap.add_argument("--out", default=os.path.join(SCRATCH, "simul_r4.json"))
+    ap.add_argument("--master-mode", choices=["local", "local-cluster"],
+                    default="local",
+                    help="'local-cluster' runs the SAME simultaneous "
+                         "protocol with REAL executor JVMs + netty "
+                         "shuffle: N = 1 executor vs 4N = 4 executors of "
+                         "identical shape (--cores-per-executor cores, "
+                         "--executor-mem-mb heap each), pinned to the "
+                         "same disjoint core blocks as the local pairs")
+    ap.add_argument("--lo-units", type=int, default=None,
+                    help="N-leg units (default: 2 cores local / "
+                         "1 executor local-cluster)")
+    ap.add_argument("--hi-units", type=int, default=None,
+                    help="4N-leg units (default: 8 cores local / "
+                         "4 executors local-cluster)")
+    ap.add_argument("--cores-per-executor", type=int, default=2)
+    ap.add_argument("--executor-mem-mb", type=int, default=8192)
     args = ap.parse_args()
+    cluster = args.master_mode == "local-cluster"
+    lo_units = args.lo_units or (1 if cluster else 2)
+    hi_units = args.hi_units or (4 if cluster else 8)
+    cpe = args.cores_per_executor if cluster else 1
+    # hi block starts where an 8-core lo block could never reach: keep the
+    # r4 geometry (lo cores [0, lo*cpe), hi cores [8, 8 + hi*cpe))
+    hi_offset = 8
 
     os.makedirs(args.bank_dir, exist_ok=True)
     trace = os.path.join(args.bank_dir, "probe.jsonl")
@@ -149,12 +178,16 @@ def main() -> None:
                 time.sleep(60)
                 waited += 60
             res: dict = {}
-            t1 = threading.Thread(target=run_leg_async,
-                                  args=(2, edges, args.lo_steps,
-                                        args.fixed_partitions, 0, res, "lo"))
-            t2 = threading.Thread(target=run_leg_async,
-                                  args=(8, edges, args.hi_steps,
-                                        args.fixed_partitions, 8, res, "hi"))
+            t1 = threading.Thread(
+                target=run_leg_async,
+                args=(lo_units, edges, args.lo_steps,
+                      args.fixed_partitions, 0, res, "lo",
+                      args.master_mode, cpe, args.executor_mem_mb))
+            t2 = threading.Thread(
+                target=run_leg_async,
+                args=(hi_units, edges, args.hi_steps,
+                      args.fixed_partitions, hi_offset, res, "hi",
+                      args.master_mode, cpe, args.executor_mem_mb))
             t1.start(); t2.start(); t1.join(); t2.join()
             if "error" in res.get("lo", {}) or "error" in res.get("hi", {}):
                 print(f"attempt {att} leg failed: "
@@ -173,7 +206,8 @@ def main() -> None:
                 "attempt": att,
                 "N_sec_per_superstep": lo[KEY],
                 "4N_sec_per_superstep": hi[KEY],
-                "efficiency": round(lo[KEY] / (4.0 * hi[KEY]), 3),
+                "efficiency": round(
+                    lo[KEY] / ((hi_units / lo_units) * hi[KEY]), 3),
                 "overlap_full": hi["t_wall_end"] >= lo["t_wall_end"],
                 "probe_pair": probe_window(trace, t0, t1e),
             }
@@ -194,10 +228,19 @@ def main() -> None:
         best = verdicts(attempts) if attempts else None
         calm_pairs = [a for a in attempts if a["calm"]]
         effs = [p["efficiency"] for p in calm_pairs]
+        if cluster:
+            lo_desc = (f"local-cluster[{lo_units},{cpe}] on cores "
+                       f"[0,{lo_units * cpe})")
+            hi_desc = (f"local-cluster[{hi_units},{cpe}] on cores "
+                       f"[{hi_offset},{hi_offset + hi_units * cpe})")
+        else:
+            lo_desc = f"local[{lo_units}] on cores [0,{lo_units})"
+            hi_desc = (f"local[{hi_units}] on cores "
+                       f"[{hi_offset},{hi_offset + hi_units})")
         result = {
             "protocol": (
-                "SIMULTANEOUS disjoint-block pairs: N=local[2] on cores "
-                "[0,2) and 4N=local[8] on cores [8,16) run AT THE SAME "
+                f"SIMULTANEOUS disjoint-block pairs: N={lo_desc} and "
+                f"4N={hi_desc} run AT THE SAME "
                 "TIME (whole-job taskset pinning, fixed partitions "
                 f"{args.fixed_partitions}), so both levels execute under "
                 "one identical host state — same ambient window and same "
@@ -212,7 +255,13 @@ def main() -> None:
                 "acceptance: pair calm iff its spanning probe median >= "
                 f"{LEVEL_FRAC}x the campaign's best pair-probe median."
             ),
-            "mode": "simultaneous",
+            "mode": ("simultaneous-local-cluster" if cluster
+                     else "simultaneous"),
+            "master_mode": args.master_mode,
+            "lo_units": lo_units,
+            "hi_units": hi_units,
+            "cores_per_executor": (cpe if cluster else None),
+            "executor_mem_mb": (args.executor_mem_mb if cluster else None),
             "input": {"pages": args.pages, "link_factor": args.link_factor,
                       "seed": 42, "edges_parquet": edges},
             "lo_supersteps": args.lo_steps,
