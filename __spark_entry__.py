@@ -304,6 +304,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vertex_id", F.col("distance").cast("long").alias("hops")
         )
 
+    def cc_frontier_q(spark, sf):
+        """Second ``with_active_filter`` oracle row: min-label connected
+        components as a raw frontier program — every vertex starts
+        active (its own id is news), then only vertices whose label
+        improved last superstep re-send.  Identical fixpoint to the
+        built-in ``connected_components`` (same recursive-CTE oracle);
+        monotone min-aggregation makes the skipped re-sends no-ops."""
+        e = _edges_ng(spark, sf)
+        sym = e.unionByName(
+            e.select(
+                F.col("object").alias("subject"),
+                F.col("subject").alias("object"),
+            )
+        ).distinct()
+        g = GraphFrame.from_edges(sym)
+        res = (
+            PregelBuilder(g)
+            .max_iterations(60)
+            .with_vertex_column("component")
+            .initial_message(F.col("vertex_id"))
+            .send_messages(MessageReceiver.OBJECT, subject("component"))
+            .aggregate_messages(F.min(msg()))
+            .v_prog(
+                F.least(
+                    F.col("component"),
+                    F.coalesce(msg(), F.col("component")),
+                )
+            )
+            .with_state_column(
+                "changed",
+                F.lit(True),
+                F.coalesce(msg() < F.col("component"), F.lit(False)),
+            )
+            .with_active_filter(subject("changed"))
+            .with_exact_convergence()
+            .build()
+            .run()
+        )
+        return res.select("vertex_id", "component")
+
     def scc_q(spark, sf):
         """Strongly connected components (coloring + backward flag) on the
         directed supplier graph — component = MAX member id, checked
@@ -2251,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_value=max_value_q,
         sssp_hops=sssp_hops_q,
         sssp_frontier=sssp_frontier_q,
+        cc_frontier=cc_frontier_q,
         hits_k3=hits_k3_q,
         ppr_k3=ppr_k3_q,
         scc=scc_q,
@@ -2497,6 +2538,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # identical component contract, O(log n)-round execution path in Spark
     o["connected_components_star"] = o["connected_components"]
+    # frontier variant must reach the identical fixpoint (min-label
+    # monotonicity) — same oracle by construction
+    o["cc_frontier"] = o["connected_components"]
     o["triangle_count"] = f"""
         WITH c AS (SELECT DISTINCT LEAST(subject, object) AS a,
                                    GREATEST(subject, object) AS b
