@@ -669,6 +669,7 @@ def sssp(
     source: int,
     weight_column: str | None = None,
     max_iterations: int = 100,
+    frontier: bool = False,
 ) -> DataFrame:
     """Single-source shortest paths — the canonical Pregel algorithm
     (Malewicz et al., SIGMOD'10 §5.2; not shipped by the reference, which
@@ -683,6 +684,18 @@ def sssp(
 
     ``weight_column``: optional edge column with non-negative weights;
     default = unit weights (hop count).
+
+    ``frontier=True`` (web-scale option): track a ``changed`` state flag
+    and send offers only from vertices whose distance improved last
+    superstep (``with_active_filter`` — identical result by min-agg
+    idempotence, pinned in tests).  The default path already keeps
+    early-superstep shuffles near-empty (NULL offers from unreached
+    vertices collapse map-side), but once most of the graph is reached
+    it re-sends O(reached) offers every remaining superstep; the
+    frontier path sends O(edges-out-of-frontier) instead — on a
+    high-diameter 10^12-edge web graph that is the difference between
+    O(reached · diameter) and O(E) total shuffled messages.  The extra
+    boolean state column costs one byte-ish per vertex row.
 
     Scale shape: identical to PageRank's superstep — one co-partitioned
     triplet join + one message shuffle per superstep.  Offers from
@@ -702,7 +715,7 @@ def sssp(
     offer = F.when(
         subject("distance") != F.lit(INF), subject("distance") + w
     )  # NULL (dropped by min-agg) when the sender is still unreached
-    return (
+    b = (
         PregelBuilder(graph)
         .max_iterations(max_iterations)
         .with_vertex_column("distance")
@@ -715,9 +728,15 @@ def sssp(
         .aggregate_messages(F.min(msg()))
         .v_prog(F.least(F.col("distance"), F.coalesce(msg(), F.col("distance"))))
         .with_exact_convergence()
-        .build()
-        .run()
     )
+    if frontier:
+        b = b.with_state_column(
+            "changed",
+            F.col(VERTEX_ID) == F.lit(source),
+            F.coalesce(msg() < F.col("distance"), F.lit(False)),
+        ).with_active_filter(subject("changed"))
+    res = b.build().run()
+    return res.drop("changed") if frontier else res
 
 
 def strongly_connected_components(

@@ -432,6 +432,38 @@ def test_sssp_weighted(spark):
     assert got[4] == 2.0
 
 
+def test_sssp_frontier_matches_default(spark):
+    """``frontier=True`` (active-filter send side) returns the identical
+    distance map — unit AND weighted — with the ``changed`` scratch
+    column dropped from the result.  Weighted re-relaxation is the sharp
+    case: a vertex that improves again in a later round must re-enter
+    the frontier and propagate (Bellman-Ford correctness)."""
+    from pregel_rs_spark.algorithms import sssp
+
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (9, 1)]
+    e = spark.createDataFrame(edges, "subject long, object long")
+    g = GraphFrame.from_edges(e)
+    want = {r.vertex_id: r.distance
+            for r in sssp(g, source=1, max_iterations=20).collect()}
+    res = sssp(g, source=1, max_iterations=20, frontier=True)
+    assert "changed" not in res.columns
+    assert {r.vertex_id: r.distance for r in res.collect()} == want
+
+    we = [(1, 2, 10.0), (1, 3, 1.0), (3, 4, 1.0), (4, 2, 1.0),
+          (2, 5, 1.0)]
+    ew = spark.createDataFrame(we, "subject long, object long, w double")
+    gw = GraphFrame.from_edges(ew)
+    want_w = {r.vertex_id: r.distance
+              for r in sssp(gw, source=1, weight_column="w",
+                            max_iterations=20).collect()}
+    got_w = {r.vertex_id: r.distance
+             for r in sssp(gw, source=1, weight_column="w",
+                           max_iterations=20, frontier=True).collect()}
+    # vertex 2 improves twice (10.0 then 3.0) and must re-propagate the
+    # improvement to 5 (4.0, not 11.0)
+    assert got_w == want_w and got_w[5] == 4.0
+
+
 def test_hits_vs_numpy(spark):
     """Jacobi HITS (synchronous BSP) must match the NumPy recurrence
     a' = Aᵀh, h' = Aa from all-ones, then L1 normalization."""
