@@ -88,6 +88,8 @@ def main() -> None:
     ap.add_argument("--prev", default="/root/repo/BENCH_SCALING.json",
                     help="committed round-4 artifact (evidence carried "
                          "forward + campaign history)")
+    ap.add_argument("--cluster-resume-json",
+                    default=os.path.join(S, "resume_cluster_r5.json"))
     ap.add_argument("--probe-out",
                     default="/root/repo/BENCH_SCALING_PROBE.jsonl")
     ap.add_argument("--out", default="/root/repo/BENCH_SCALING.json")
@@ -179,6 +181,7 @@ def main() -> None:
         "pass": eff >= 0.8,
         "pass_protocol_free": eff_all >= 0.8,
         "local_cluster_pairs": cluster_section,
+        "resume_check_local_cluster": load(args.cluster_resume_json),
         "percore_calibration": prev.get("percore_calibration"),
         "convergence_pairs_1e9": prev.get("convergence_pairs_1e9"),
         "resume_check_4N": prev.get("resume_check_4N"),
