@@ -195,18 +195,21 @@ def admit_pages_stream(
         robots_allowed_py,
     )
 
-    n_hosts = robots.count()
-    if n_hosts > max_hosts:
+    # ONE bounded action enforces the cap AND fetches the rows: a separate
+    # count() would run the robots plan twice, and a source growing between
+    # the count and an unguarded collect could still blow the driver —
+    # limit(max_hosts + 1) can never bring back more than the cap + 1.
+    rows = robots.select("host", "content").limit(max_hosts + 1).collect()
+    if len(rows) > max_hosts:
         raise ValueError(
             f"admit_pages_stream collects the robots side to the driver "
-            f"({n_hosts} hosts > max_hosts={max_hosts}); shard the robots "
+            f"(> max_hosts={max_hosts} hosts); shard the robots "
             "set per host-partition (one stream per shard), raise "
             "max_hosts if the driver can hold it, or use the batch "
             "robots_filter path's broadcast join"
         )
     rules_by_host = {
-        r["host"]: parse_robots_py(r["content"])
-        for r in robots.select("host", "content").collect()
+        r["host"]: parse_robots_py(r["content"]) for r in rows
     }
     bc = pages.sparkSession.sparkContext.broadcast(rules_by_host)
 

@@ -85,9 +85,17 @@ def main() -> None:
                     default=os.path.join(S, "simul_cluster_r5.json"))
     ap.add_argument("--cluster-bank",
                     default=os.path.join(S, "bank_cluster_r5"))
-    ap.add_argument("--prev", default="/root/repo/BENCH_SCALING.json",
-                    help="committed round-4 artifact (evidence carried "
-                         "forward + campaign history)")
+    # NOT /root/repo/BENCH_SCALING.json: that is also the OUTPUT path, so
+    # a re-run of this assembler would read its own round-5 output as
+    # "round 4" and silently relabel round-5 numbers as round-4 history.
+    # The round-4 snapshot is extracted once from git (commit cb2981d) by
+    # finish_r5.sh; the assembler refuses to proceed when prev == out.
+    ap.add_argument("--prev",
+                    default=os.path.join(
+                        S, "BENCH_SCALING_r4_committed.json"),
+                    help="round-4 artifact SNAPSHOT (evidence carried "
+                         "forward + campaign history); must not be the "
+                         "output path")
     ap.add_argument("--cluster-resume-json",
                     default=os.path.join(S, "resume_cluster_r5.json"))
     ap.add_argument("--probe-out",
@@ -96,6 +104,13 @@ def main() -> None:
     ap.add_argument("--context-md", default=None)
     args = ap.parse_args()
 
+    if os.path.abspath(args.prev) == os.path.abspath(args.out):
+        raise SystemExit(
+            "--prev must be a round-4 SNAPSHOT, not the output path: "
+            "reading the assembler's own output as 'round 4' would "
+            "relabel round-5 numbers as round-4 history on re-run "
+            "(extract it with: git show cb2981d:BENCH_SCALING.json)"
+        )
     simul = load(args.simul, required=True)
     csim = load(args.cluster_simul)
     prev = load(args.prev, required=True)
@@ -193,6 +208,15 @@ def main() -> None:
     if args.probe_out and os.path.exists(simul.get("probe_trace", "")):
         import shutil
         shutil.copyfile(simul["probe_trace"], args.probe_out)
+    else:
+        # the scratch trace is gone (/tmp wipe): the committed probe file
+        # would be a STALE prior round's — say so in the artifact rather
+        # than letting readers verify acceptance against the wrong trace
+        result["calm_window"]["probe_trace"] = (
+            f"UNAVAILABLE (scratch trace {simul.get('probe_trace')} "
+            "missing at assembly; any committed "
+            f"{os.path.basename(args.probe_out)} is from a prior round)"
+        )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     summary = {k: result[k] for k in (

@@ -35,6 +35,13 @@ print(
 PYEOF
 )
 
+# the round-4 history source must be a SNAPSHOT, never the (re)written
+# BENCH_SCALING.json itself — see the guard in assemble_r5.py
+if [ ! -f "$S/BENCH_SCALING_r4_committed.json" ]; then
+    git -C $REPO show cb2981d:BENCH_SCALING.json \
+        > "$S/BENCH_SCALING_r4_committed.json"
+fi
+
 python $REPO/tools/assemble_r5.py --context-md "$CTX"
 python $REPO/tools/update_baseline_md.py $REPO/BENCH_SCALING.json $REPO/BASELINE.md
 

@@ -76,7 +76,11 @@ def main() -> None:
         JOIN '{res_ranks}/*.parquet' b USING (vertex_id)
         """
     ).fetchone()
-    d, joined, na, nb = float(row[0]), int(row[1]), int(row[2]), int(row[3])
+    # an empty join (disjoint/empty ranks parquet after a partial write)
+    # yields max(...) = NULL: report a FAIL verdict, don't crash on
+    # float(None)
+    d = float(row[0]) if row[0] is not None else float("inf")
+    joined, na, nb = int(row[1]), int(row[2]), int(row[3])
     out = {
         "master_mode": "local-cluster",
         "executors": 4, "cores_per_executor": 2, "supersteps": steps,

@@ -80,14 +80,23 @@ def run_leg_async(units: int, edges: str, steps: int, parts: int,
                 "--executor-mem-mb", str(exec_mem_mb)]
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "24g")
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
-                       env=env)
-    if r.returncode != 0:
-        out[tag] = {"error": r.stderr[-1500:]}
-        return
-    out[tag] = json.loads(
-        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-    )
+    # every failure mode must land in out[tag] — an exception escaping
+    # this worker thread would leave the key unset and crash the whole
+    # campaign at res["lo"]/res["hi"] instead of skipping one attempt
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=3600, env=env)
+        if r.returncode != 0:
+            out[tag] = {"error": r.stderr[-1500:]}
+            return
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            out[tag] = {"error": "no JSON line in leg stdout (rc=0); "
+                                 "stderr tail: " + r.stderr[-500:]}
+            return
+        out[tag] = json.loads(lines[-1])
+    except Exception as ex:
+        out[tag] = {"error": f"{type(ex).__name__}: {ex}"}
 
 
 def verdicts(attempts: list[dict]) -> None:
@@ -141,6 +150,20 @@ def main() -> None:
     # hi block starts where an 8-core lo block could never reach: keep the
     # r4 geometry (lo cores [0, lo*cpe), hi cores [8, 8 + hi*cpe))
     hi_offset = 8
+    lo_top = lo_units * cpe
+    hi_top = hi_offset + hi_units * cpe
+    if lo_top > hi_offset:
+        raise SystemExit(
+            f"lo block [0,{lo_top}) overlaps hi block [{hi_offset},"
+            f"{hi_top}) — the protocol's disjointness claim would be "
+            "false; shrink --lo-units/--cores-per-executor"
+        )
+    if hi_top > PROBE_CORE:
+        raise SystemExit(
+            f"hi block [{hi_offset},{hi_top}) reaches the probe core "
+            f"{PROBE_CORE} — probe readings would measure the job, not "
+            "ambient load; shrink --hi-units/--cores-per-executor"
+        )
 
     os.makedirs(args.bank_dir, exist_ok=True)
     trace = os.path.join(args.bank_dir, "probe.jsonl")
